@@ -1,0 +1,79 @@
+"""Engine configuration.
+
+Mirrors the reference's global query/space parameters
+(``mbR-NGQ/Config.cs:11-19``: m=3 categories, k=10 result groups, space
+[0,100]x[0,100]) as an explicit config object instead of C# statics.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # coordinate space (reference Config.cs:16-19)
+    min_x: float = 0.0
+    min_y: float = 0.0
+    max_x: float = 100.0
+    max_y: float = 100.0
+    # number of categories m (Config.cs:11)
+    m: int = 3
+    # result groups k (Config.cs:14)
+    k: int = 10
+    # default grid resolution for the doc index (2^res bins per axis)
+    index_res: int = 6
+    # resolution used for raster tiles (FIXTURES.md §5)
+    tile_res: int = 6
+    # per-(query, category) candidate cap for the NGQ refine step
+    ngq_candidates: int = 32
+
+    @property
+    def width(self) -> float:
+        return self.max_x - self.min_x
+
+    @property
+    def height(self) -> float:
+        return self.max_y - self.min_y
+
+    @property
+    def diagonal(self) -> float:
+        """Space diagonal — the reference's globalMaxDist seed (RTree.cs:1056)."""
+        return (self.width ** 2 + self.height ** 2) ** 0.5
+
+    @property
+    def full_catmask(self) -> int:
+        """Bitmask with all m categories set — 'dictator' test (Node.cs:199-206)."""
+        return (1 << self.m) - 1
+
+
+DEFAULT = EngineConfig()
+
+
+def session(app: str = "mbrngq_spark", cores: int | None = None,
+            shuffle_partitions: int | None = None) -> SparkSession:
+    """Build the engine SparkSession.
+
+    local[N] here; on a real cluster the same code runs under spark-submit
+    --py-files with these configs in spark-defaults. AQE stays on so skewed
+    cell joins get runtime-split (SURVEY.md §4).
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
+    return (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
