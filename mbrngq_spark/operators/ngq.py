@@ -1,0 +1,178 @@
+"""NGQ — nearest group query, the reference's flagship operator.
+
+Reference: ``RTree.NearestGroup`` (mbR-NGQ/Data/RTree.cs:1040-1335 + helpers,
+SURVEY.md Q4): find the top-k groups, one member per category 0..m-1,
+minimizing
+
+    minDist(G, q) = innerDist(G) + interDist(G, q)
+                  = max pairwise dist among members + min dist from q to any
+                    member                      (RTree.cs:938-966)
+
+The reference runs a single-threaded best-first branch-and-bound with
+per-category inverted R-trees and a theta threshold pool. The distributed
+re-expression (SURVEY.md §3.1) is two-phase:
+
+  phase 1  candidate retrieval — per (query, category), the top-L nearest
+           docs via the same cell-grid planner as kNN (knn.py). L-truncation
+           is EXACT when the refined k-th best score ≤ the L-th candidate
+           distance of every truncated category, because any group touching
+           a doc beyond rank L has score ≥ that doc's distance to q
+           (triangle inequality:  score = innerDist + interDist
+            ≥ (d_i − d_min) + d_min = d_i ).  This bound plays the role of
+           the reference's theta pruning (RTree.cs:1391-1469,1961-1970);
+           the refine step verifies it and flags each query row `exact`.
+
+  phase 2  exact refine — one shuffle keyed by query_id, then
+           groupBy(query_id).applyInPandas: full cross-category enumeration
+           with NumPy broadcasting — semantically the reference's ORACLE
+           (CheckNearGroup enumeration, RTree.cs:1505-1556), which its own
+           search must equal, so it is the unambiguous ground truth
+           (SURVEY.md §7.4).
+
+Tie-break: (score, member-id tuple) — deterministic total order replacing
+the reference's heap-insertion-order ties (HeapPriorityQueue.cs:193-197).
+Skew: dense queries are bounded by construction (≤ m·L rows per query group);
+the shuffle is by query_id so AQE's skew handling is irrelevant here — the
+heavy side stays in phase 1's broadcast join.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mbrngq_spark import geom
+from mbrngq_spark.config import DEFAULT, EngineConfig
+from mbrngq_spark.operators.knn import cell_stats, plan_candidate_cells, with_cell
+
+
+def candidate_topL(spark: SparkSession, docs_geo: DataFrame,
+                   queries: pd.DataFrame, L: int, res: int,
+                   cfg: EngineConfig = DEFAULT,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Phase 1: top-L nearest docs per (query, category).
+
+    Returns (query_id, category, doc_id, x, y, dq, rn) with rn ≤ L ordered
+    by (dq, doc_id). The doc side is only broadcast-joined on cell id —
+    never shuffled."""
+    stats = cell_stats(docs_geo, res, cfg).toPandas()
+    cand = plan_candidate_cells(stats, queries, L, res, cfg, per_category=True)
+    cand_df = spark.createDataFrame(cand)
+    q_df = spark.createDataFrame(queries)
+    docs_c = with_cell(docs_geo, res, cfg)
+
+    joined = (docs_c
+              .join(F.broadcast(cand_df), ["cell", "category"])
+              .join(F.broadcast(q_df), "query_id")
+              .withColumn("dq", geom.dist_point(F.col("x"), F.col("y"),
+                                                F.col("qx"), F.col("qy"))))
+    w = Window.partitionBy("query_id", "category") \
+              .orderBy(F.col("dq").asc(), F.col(id_col).asc())
+    return (joined
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= L)
+            .select("query_id", "category", id_col, "x", "y", "dq", "rn"))
+
+
+def _refine_schema(m: int) -> T.StructType:
+    fields = [T.StructField("query_id", T.LongType()),
+              T.StructField("group_rank", T.IntegerType())]
+    fields += [T.StructField(f"c{i}_id", T.LongType()) for i in range(m)]
+    fields += [T.StructField("min_dist", T.DoubleType()),
+               T.StructField("exact", T.BooleanType())]
+    return T.StructType(fields)
+
+
+def _make_refine(m: int, k: int, L: int, cat_totals: dict[int, int]):
+    """Build the per-query exact enumeration kernel (vectorized NumPy).
+
+    Semantics = the reference oracle's partial-group expansion collapsed to a
+    dense cross-category enumeration (RTree.cs:1505-1556): every combination
+    of one member per category is scored with GetGroupMinDist
+    (RTree.cs:938-966) and the top-k by (score, id-tuple) are kept."""
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        per_cat = []
+        for c in range(m):
+            sub = pdf[pdf["category"] == c].sort_values("rn")
+            if len(sub) == 0:
+                return pd.DataFrame()  # a category is empty → no groups exist
+            per_cat.append(sub)
+
+        xs = [s["x"].to_numpy(np.float64) for s in per_cat]
+        ys = [s["y"].to_numpy(np.float64) for s in per_cat]
+        ids = [s["doc_id"].to_numpy(np.int64) for s in per_cat]
+        dqs = [s["dq"].to_numpy(np.float64) for s in per_cat]
+        sizes = [len(i) for i in ids]
+
+        def expand(a: np.ndarray, axis: int) -> np.ndarray:
+            shape = [1] * m
+            shape[axis] = -1
+            return a.reshape(shape)
+
+        # innerDist: max pairwise distance (skips i==j pairs exactly like the
+        # reference skipping same-element pairs, RTree.cs:946-956)
+        inner = np.zeros(tuple(sizes), dtype=np.float64)
+        for i, j in itertools.combinations(range(m), 2):
+            dx = expand(xs[i], i) - expand(xs[j], j)
+            dy = expand(ys[i], i) - expand(ys[j], j)
+            np.maximum(inner, np.sqrt(dx * dx + dy * dy), out=inner)
+        # interDist: min distance from q to any member (RTree.cs:958-962)
+        inter = np.full(tuple(sizes), np.inf)
+        for i in range(m):
+            np.minimum(inter, expand(dqs[i], i), out=inter)
+        score = (inner + inter).ravel()
+
+        idx = np.unravel_index(np.arange(score.size), tuple(sizes))
+        member_ids = [ids[c][idx[c]] for c in range(m)]
+        # deterministic total order: (score, c0_id, .., c{m-1}_id)
+        order = np.lexsort(tuple(member_ids[::-1]) + (score,))[:k]
+
+        # exactness: kth best truncated score must not exceed the L-th
+        # candidate distance of any truncated category (see module doc)
+        kth = score[order[-1]] if len(order) else np.inf
+        exact = True
+        for c in range(m):
+            truncated = sizes[c] >= L and cat_totals.get(c, 0) > sizes[c]
+            if truncated and kth > dqs[c][-1]:
+                exact = False
+
+        out = {"query_id": np.full(len(order), qid, dtype=np.int64),
+               "group_rank": np.arange(1, len(order) + 1, dtype=np.int32)}
+        for c in range(m):
+            out[f"c{c}_id"] = member_ids[c][order]
+        out["min_dist"] = score[order]
+        out["exact"] = np.full(len(order), exact)
+        return pd.DataFrame(out)
+
+    return refine
+
+
+def nearest_group(spark: SparkSession, docs_geo: DataFrame,
+                  queries: pd.DataFrame, k: int | None = None,
+                  L: int | None = None, res: int | None = None,
+                  cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Top-k nearest groups per query point (SURVEY.md Q4).
+
+    Returns (query_id, group_rank, c0_id..c{m-1}_id, min_dist, exact),
+    group_rank 1..k ordered by (min_dist, id tuple)."""
+    k = k or cfg.k
+    L = L or cfg.ngq_candidates
+    res = res or cfg.index_res
+    m = cfg.m
+
+    cat_totals = {r["category"]: r["n"] for r in
+                  docs_geo.groupBy("category").agg(F.count("*").alias("n"))
+                  .collect()}
+    cands = candidate_topL(spark, docs_geo, queries, L, res, cfg)
+    refine = _make_refine(m, k, L, cat_totals)
+    return (cands
+            .repartition("query_id")
+            .groupBy("query_id")
+            .applyInPandas(refine, schema=_refine_schema(m)))

@@ -1,0 +1,74 @@
+"""kNN + range query vs pandas brute force on real testdata documents
+(derived geometry) — the engine's minimum end-to-end slice (SURVEY.md §7.3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mbrngq_spark.functions import derive
+from mbrngq_spark.operators import knn as knn_op
+from mbrngq_spark.operators.range_query import range_query
+from tests.conftest import SF_DIR
+
+QUERIES = pd.DataFrame({
+    "query_id": [0, 1, 2, 3, 4],
+    "qx": [11.5, 80.25, 50.0, 3.125, 97.5],
+    "qy": [23.25, 14.5, 50.0, 96.875, 2.5],
+})
+
+
+@pytest.fixture(scope="module")
+def docs_geo(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return derive.with_geometry(docs).select("doc_id", "x", "y", "category")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs_geo):
+    return docs_geo.toPandas()
+
+
+@pytest.mark.parametrize("k", [1, 7, 25])
+def test_knn_matches_bruteforce(spark, docs_geo, docs_pdf, k):
+    got = (knn_op.knn_join(spark, docs_geo, QUERIES, k=k)
+           .orderBy("query_id", "rank").toPandas())
+    for _, q in QUERIES.iterrows():
+        d = np.sqrt((docs_pdf.x - q.qx) ** 2 + (docs_pdf.y - q.qy) ** 2)
+        exp = (docs_pdf.assign(dist=d)
+               .sort_values(["dist", "doc_id"]).head(k))
+        sub = got[got.query_id == q.query_id]
+        assert sub.doc_id.tolist() == exp.doc_id.tolist()
+        np.testing.assert_allclose(sub.dist.to_numpy(), exp.dist.to_numpy(),
+                                   rtol=0, atol=1e-12)
+
+
+def test_knn_keep_ties_rank_semantics(spark, docs_geo):
+    # rank() variant must return >= row_number() variant rows and contain them
+    a = knn_op.knn_join(spark, docs_geo, QUERIES, k=5, keep_ties=False).toPandas()
+    b = knn_op.knn_join(spark, docs_geo, QUERIES, k=5, keep_ties=True).toPandas()
+    assert len(b) >= len(a)
+    assert set(map(tuple, a[["query_id", "doc_id"]].values)) <= \
+           set(map(tuple, b[["query_id", "doc_id"]].values))
+
+
+RECTS = pd.DataFrame({
+    "rect_id": [0, 1, 2],
+    "xmin": [10.0, 0.0, 90.0], "ymin": [10.0, 0.0, 90.0],
+    "xmax": [30.0, 100.0, 100.0], "ymax": [25.0, 5.0, 100.0],
+})
+
+
+def test_range_query_matches_bruteforce(spark, docs_geo, docs_pdf):
+    got = range_query(spark, docs_geo, RECTS).toPandas()
+    for _, r in RECTS.iterrows():
+        exp = docs_pdf[(docs_pdf.x >= r.xmin) & (docs_pdf.x <= r.xmax) &
+                       (docs_pdf.y >= r.ymin) & (docs_pdf.y <= r.ymax)]
+        sub = got[got.rect_id == r.rect_id]
+        assert sorted(sub.doc_id) == sorted(exp.doc_id)
+
+
+def test_knn_more_than_population(spark, docs_geo, docs_pdf):
+    # k greater than doc count → return all docs, ranked
+    n = len(docs_pdf)
+    got = knn_op.knn_join(spark, docs_geo, QUERIES.head(1), k=n + 10).toPandas()
+    assert len(got) == n
