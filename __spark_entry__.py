@@ -1,38 +1,420 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (+ the
+training-data-pipeline operators) as (spark, sf_dir) → DataFrame callables;
+``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL. Both sides are
+generated from the shared constants in ``mbrngq_spark/harness.py`` so they
+cannot drift. Geometry for the spatial operators is derived from ``doc_id``
+by integer arithmetic that is bit-exact in Spark and DuckDB
+(mbrngq_spark/functions/derive.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mbrngq_spark import harness as H
+from mbrngq_spark.config import DEFAULT
+from mbrngq_spark.functions import derive
+from mbrngq_spark.operators import dedup, similarity, text, tiles
+from mbrngq_spark.operators.knn import knn_join
+from mbrngq_spark.operators.ngq import nearest_group
+from mbrngq_spark.operators.pip import point_in_polygon_join
+from mbrngq_spark.operators.range_query import range_query
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: NGQ top-k groups on sf0.001 (SURVEY.md Q4)."""
+    docs_geo = H.load_docs_geo(spark, "/root/testdata/sf0.001")
+    out = nearest_group(spark, docs_geo, H.queries_pdf(),
+                        k=H.NGQ_K, L=H.NGQ_L)
+    return out.select("query_id",
+                      F.col("group_rank").cast("long").alias("group_rank"),
+                      "c0_id", "c1_id", "c2_id",
+                      F.round("min_dist", 6).alias("min_dist"))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def _q_spatial_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    return range_query(spark, docs_geo, H.rects_pdf()) \
+        .select("rect_id", "doc_id", "x", "y")
+
+
+def _q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    out = knn_join(spark, docs_geo, H.queries_pdf(), k=H.KNN_K)
+    return out.select("query_id", "doc_id",
+                      F.col("rank").cast("long").alias("rnk"),
+                      F.round("dist", 6).alias("dist"))
+
+
+def _q_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 semantics: ALL co-minimal nearest (rank with ties, k=1)."""
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    out = knn_join(spark, docs_geo, H.queries_pdf(), k=1, keep_ties=True)
+    return out.select("query_id", "doc_id", F.round("dist", 6).alias("dist"))
+
+
+def _q_spatial_ngq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    out = nearest_group(spark, docs_geo, H.queries_pdf(), k=H.NGQ_K, L=H.NGQ_L)
+    return out.select("query_id",
+                      F.col("group_rank").cast("long").alias("group_rank"),
+                      "c0_id", "c1_id", "c2_id",
+                      F.round("min_dist", 6).alias("min_dist"))
+
+
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    return tiles.assign_tiles(docs_geo).select("doc_id", "tile_id")
+
+
+def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    return tiles.tile_rollup(docs_geo) \
+        .select("tile_id", "n_docs", "catmask", "xmin", "ymin", "xmax", "ymax")
+
+
+def _q_cell_catmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-cell rollup at MASK_RES — CalculateBitArray parity
+    (RTree.cs:209-247): per-cell category bitmask + count."""
+    from mbrngq_spark import grid
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    return (docs_geo
+            .withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"),
+                                                 H.MASK_RES, H.CFG))
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_docs"),
+                 F.bit_or(F.expr("shiftleft(1, category)"))
+                 .cast("long").alias("catmask")))
+
+
+def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    polys = pd.DataFrame({
+        "poly_id": [t[0] for t in H.TRIANGLES],
+        "vx": [[t[1], t[3], t[5]] for t in H.TRIANGLES],
+        "vy": [[t[2], t[4], t[6]] for t in H.TRIANGLES],
+    })
+    return point_in_polygon_join(spark, docs_geo, polys) \
+        .select("poly_id", "doc_id")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_duplicates(docs)
+
+
+def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.with_text_features(docs) \
+        .select("doc_id", "n_tokens", "n_stop", "avg_token_len",
+                "quality", "fingerprint")
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    out = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate (scan→filter→groupBy·agg coverage,
+    SURVEY.md §2.5). Money in integer cents so sums are order-independent
+    and cross-engine exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(cents("l_quantity")).alias("sum_qty_c"),
+                 F.sum(cents("l_extendedprice")).alias("sum_price_c"),
+                 F.count("*").alias("n_rows")))
+
+
+def _q_join_orders_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join chain orders⋈customer⋈nation (join coverage)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("total_c")))
+
+
+def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank: top-3 orders by totalprice per customer."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey").asc())
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn")))
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour event rollup (the batch analog of the streaming agg)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                       .alias("hour_epoch"),
+                       F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_c")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "spatial_range": _q_spatial_range,
+        "spatial_knn": _q_spatial_knn,
+        "spatial_nearest": _q_spatial_nearest,
+        "spatial_ngq": _q_spatial_ngq,
+        "tile_assign": _q_tile_assign,
+        "tile_rollup": _q_tile_rollup,
+        "cell_catmask": _q_cell_catmask,
+        "spatial_pip": _q_spatial_pip,
+        "dedup_exact": _q_dedup_exact,
+        "text_features": _q_text_features,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "agg_pricing": _q_agg_pricing,
+        "join_orders_nation": _q_join_orders_nation,
+        "window_top_orders": _q_window_top_orders,
+        "events_hourly": _q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (same constants via harness builders)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    geo = H.docs_geo_sql()
+    d = H.dist_sql  # euclidean with engine op order
+
+    spatial_range = f"""
+        WITH g AS ({geo})
+        SELECT r.rect_id, g.doc_id, g.x, g.y
+        FROM g CROSS JOIN {H.rect_values_sql()}
+        WHERE g.x >= r.xmin AND g.x <= r.xmax AND g.y >= r.ymin AND g.y <= r.ymax
     """
-    return {}
+
+    knn_core = f"""
+        WITH g AS ({geo}),
+        cand AS (
+          SELECT q.query_id, g.doc_id,
+                 {d('g.x', 'g.y', 'q.qx', 'q.qy')} AS dist
+          FROM g CROSS JOIN {H.q_values_sql()}
+        )
+    """
+    spatial_knn = knn_core + f"""
+        , ranked AS (
+          SELECT query_id, doc_id, dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist ASC, doc_id ASC) AS rnk
+          FROM cand)
+        SELECT query_id, doc_id, rnk, round(dist, 6) AS dist
+        FROM ranked WHERE rnk <= {H.KNN_K}
+    """
+    spatial_nearest = knn_core + """
+        , ranked AS (
+          SELECT query_id, doc_id, dist,
+                 rank() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, doc_id ASC) AS rnk
+          FROM cand)
+        SELECT query_id, doc_id, round(dist, 6) AS dist
+        FROM ranked WHERE rnk <= 1
+    """
+
+    ngq_cats = []
+    for c in range(3):
+        ngq_cats.append(f"""
+        c{c} AS (SELECT * FROM (
+          SELECT query_id, doc_id, x, y, dq,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dq ASC, doc_id ASC) AS rn
+          FROM cand WHERE category = {c}) WHERE rn <= {H.NGQ_L})""")
+    spatial_ngq = f"""
+        WITH g AS ({geo}),
+        cand AS (
+          SELECT q.query_id, g.doc_id, g.x, g.y, g.category,
+                 {d('g.x', 'g.y', 'q.qx', 'q.qy')} AS dq
+          FROM g CROSS JOIN {H.q_values_sql()}
+        ),
+        {','.join(ngq_cats)},
+        grp AS (
+          SELECT c0.query_id,
+                 c0.doc_id AS c0_id, c1.doc_id AS c1_id, c2.doc_id AS c2_id,
+                 greatest({d('c0.x', 'c0.y', 'c1.x', 'c1.y')},
+                          {d('c0.x', 'c0.y', 'c2.x', 'c2.y')},
+                          {d('c1.x', 'c1.y', 'c2.x', 'c2.y')})
+                 + least(c0.dq, c1.dq, c2.dq) AS score
+          FROM c0
+          JOIN c1 ON c0.query_id = c1.query_id
+          JOIN c2 ON c1.query_id = c2.query_id
+        ),
+        ranked AS (
+          SELECT query_id, c0_id, c1_id, c2_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score ASC, c0_id, c1_id, c2_id)
+                 AS group_rank
+          FROM grp)
+        SELECT query_id, group_rank, c0_id, c1_id, c2_id,
+               round(score, 6) AS min_dist
+        FROM ranked WHERE group_rank <= {H.NGQ_K}
+    """
+
+    n_tile = 1 << H.TILE_RES
+    qx_tile = H.quantize_sql("g.x", H.CFG.min_x, H.CFG.width, H.TILE_RES)
+    qy_tile = H.quantize_sql("g.y", H.CFG.min_y, H.CFG.height, H.TILE_RES)
+    tile_assign = f"""
+        WITH g AS ({geo})
+        SELECT doc_id, ({qy_tile}) * {n_tile} + ({qx_tile}) AS tile_id FROM g
+    """
+    tile_rollup = f"""
+        WITH g AS ({geo})
+        SELECT ({qy_tile}) * {n_tile} + ({qx_tile}) AS tile_id,
+               count(*) AS n_docs,
+               bit_or(CAST(1 << category AS BIGINT)) AS catmask,
+               min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax
+        FROM g GROUP BY 1
+    """
+
+    qx_mask = H.quantize_sql("g.x", H.CFG.min_x, H.CFG.width, H.MASK_RES)
+    qy_mask = H.quantize_sql("g.y", H.CFG.min_y, H.CFG.height, H.MASK_RES)
+    cell_catmask = f"""
+        WITH g AS ({geo})
+        SELECT {H.morton_sql(f'({qx_mask})', f'({qy_mask})', H.MASK_RES)} AS cell,
+               count(*) AS n_docs,
+               bit_or(CAST(1 << category AS BIGINT)) AS catmask
+        FROM g GROUP BY 1
+    """
+
+    # convex CCW triangles: inside ⇔ all three edge cross-products > 0
+    def cross(ax, ay, bx, by, px, py):
+        return f"(({bx}-{ax})*({py}-{ay}) - ({by}-{ay})*({px}-{ax}))"
+    spatial_pip = f"""
+        WITH g AS ({geo})
+        SELECT t.poly_id, g.doc_id
+        FROM g CROSS JOIN {H.tri_values_sql()}
+        WHERE {cross('t.x1', 't.y1', 't.x2', 't.y2', 'g.x', 'g.y')} > 0
+          AND {cross('t.x2', 't.y2', 't.x3', 't.y3', 'g.x', 'g.y')} > 0
+          AND {cross('t.x3', 't.y3', 't.x1', 't.y1', 'g.x', 'g.y')} > 0
+    """
+
+    dedup_exact = """
+        SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1
+    """
+
+    text_features = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 (length(text) - length(replace(text, ' ', ''))) + 1 AS n_tokens,
+                 ((length(text) - length(replace(text, ' the ', ''))) // 5)
+                 + ((length(text) - length(replace(text, ' a ', ''))) // 3) AS n_stop
+          FROM documents),
+        fp AS (
+          SELECT doc_id,
+                 CAST(sum(ord(substr(text, u.i, 1)) * u.i) % {H.FP_PRIME} AS BIGINT) AS fingerprint
+          FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+          GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens, b.n_stop,
+               round(CAST(length(b.text) - (b.n_tokens - 1) AS DOUBLE)
+                     / b.n_tokens, 6) AS avg_token_len,
+               round(least(CAST(b.n_tokens AS DOUBLE) / 200.0, 1.0) * 0.5
+                     + least(CAST(b.n_stop AS DOUBLE) * 10.0 / b.n_tokens, 1.0)
+                     * 0.5, 6) AS quality,
+               fp.fingerprint
+        FROM base b JOIN fp USING (doc_id)
+    """
+
+    ann_cosine_topk = """
+        WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 4),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+          FROM embeddings e CROSS JOIN q),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rnk
+          FROM scored)
+        SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
+    """
+
+    agg_pricing = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    join_orders_nation = """
+        SELECT n.n_name, count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """
+
+    window_top_orders = """
+        SELECT o_custkey, o_orderkey, rn FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC)
+                 AS rn
+          FROM orders) WHERE rn <= 3
+    """
+
+    events_hourly = """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               event_type, count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        FROM events GROUP BY 1, 2
+    """
+
+    return {
+        "spatial_range": spatial_range,
+        "spatial_knn": spatial_knn,
+        "spatial_nearest": spatial_nearest,
+        "spatial_ngq": spatial_ngq,
+        "tile_assign": tile_assign,
+        "tile_rollup": tile_rollup,
+        "cell_catmask": cell_catmask,
+        "spatial_pip": spatial_pip,
+        "dedup_exact": dedup_exact,
+        "text_features": text_features,
+        "ann_cosine_topk": ann_cosine_topk,
+        "agg_pricing": agg_pricing,
+        "join_orders_nation": join_orders_nation,
+        "window_top_orders": window_top_orders,
+        "events_hourly": events_hourly,
+    }

@@ -1,0 +1,133 @@
+"""Driver-contract harness: engine queries + matching DuckDB oracle SQL.
+
+Every operator exposed in ``__spark_entry__.queries()`` has its parameters
+(query points, rects, polygons, k/L, grid constants) defined HERE once; the
+Spark callables and the oracle SQL strings are both generated from the same
+constants, so engine and oracle can never drift.
+
+Geometry is derived from ``doc_id`` by integer arithmetic that is bit-exact
+in both Spark and DuckDB (functions/derive.py), so even floating-point
+distance columns hash identically across engines (rounded to 6 dp only to
+guard against non-IEEE aggregation order).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mbrngq_spark.config import DEFAULT, EngineConfig
+from mbrngq_spark.functions import derive
+from mbrngq_spark import grid
+
+CFG: EngineConfig = DEFAULT
+
+# --- shared literals --------------------------------------------------------
+
+QUERY_POINTS = [
+    (0, 11.5, 23.25), (1, 80.25, 14.5), (2, 50.0, 50.0), (3, 3.125, 96.875),
+    (4, 97.5, 2.5), (5, 25.0, 75.0), (6, 66.0, 33.5), (7, 42.75, 58.125),
+]
+
+RECTS = [
+    (0, 10.0, 10.0, 30.0, 25.0),
+    (1, 0.0, 0.0, 100.0, 5.0),
+    (2, 90.0, 90.0, 100.0, 100.0),
+    (3, 40.0, 40.0, 60.0, 60.0),
+]
+
+# CCW triangles (poly_id, x1, y1, x2, y2, x3, y3) — convex, so the oracle's
+# half-plane test and the engine's general ray-crossing agree except on exact
+# boundaries (measure zero for hash-derived doubles)
+TRIANGLES = [
+    (0, 10.0, 10.0, 45.0, 15.0, 20.0, 40.0),
+    (1, 50.0, 50.0, 95.0, 55.0, 70.0, 95.0),
+    (2, 5.0, 60.0, 35.0, 65.0, 10.0, 95.0),
+    (3, 60.0, 5.0, 95.0, 10.0, 75.0, 35.0),
+]
+
+KNN_K = 10
+NGQ_K = 10
+NGQ_L = 32
+TILE_RES = CFG.tile_res        # 64×64 row-major tiles
+MASK_RES = 4                   # 16×16 Morton cells for the catmask rollup
+
+FP_PRIME = 1000000007          # doc-fingerprint modulus
+
+
+def queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(QUERY_POINTS, columns=["query_id", "qx", "qy"])
+
+
+def rects_pdf() -> pd.DataFrame:
+    return pd.DataFrame(RECTS, columns=["rect_id", "xmin", "ymin", "xmax", "ymax"])
+
+
+# --- SQL fragment builders --------------------------------------------------
+
+# NOTE: DuckDB types bare VALUES literals as INTEGER/DECIMAL — every literal
+# table is wrapped in explicit BIGINT/DOUBLE casts so the oracle computes in
+# the same types as the engine (DECIMAL arithmetic would silently change the
+# distance values).
+
+def q_values_sql() -> str:
+    rows = ", ".join(f"({i}, {x}, {y})" for i, x, y in QUERY_POINTS)
+    return (f"(SELECT CAST(query_id AS BIGINT) AS query_id, "
+            f"CAST(qx AS DOUBLE) AS qx, CAST(qy AS DOUBLE) AS qy "
+            f"FROM (VALUES {rows}) AS v(query_id, qx, qy)) AS q")
+
+
+def rect_values_sql() -> str:
+    rows = ", ".join(f"({i}, {a}, {b}, {c}, {d})" for i, a, b, c, d in RECTS)
+    return (f"(SELECT CAST(rect_id AS BIGINT) AS rect_id, "
+            f"CAST(xmin AS DOUBLE) AS xmin, CAST(ymin AS DOUBLE) AS ymin, "
+            f"CAST(xmax AS DOUBLE) AS xmax, CAST(ymax AS DOUBLE) AS ymax "
+            f"FROM (VALUES {rows}) AS v(rect_id, xmin, ymin, xmax, ymax)) AS r")
+
+
+def tri_values_sql() -> str:
+    rows = ", ".join(f"({i}, {x1}, {y1}, {x2}, {y2}, {x3}, {y3})"
+                     for i, x1, y1, x2, y2, x3, y3 in TRIANGLES)
+    return (f"(SELECT CAST(poly_id AS BIGINT) AS poly_id, "
+            f"CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1, "
+            f"CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2, "
+            f"CAST(x3 AS DOUBLE) AS x3, CAST(y3 AS DOUBLE) AS y3 "
+            f"FROM (VALUES {rows}) AS v(poly_id, x1, y1, x2, y2, x3, y3)) AS t")
+
+
+def docs_geo_sql() -> str:
+    """CTE body deriving (doc_id, x, y, category) — bit-exact vs Spark."""
+    return (f"SELECT doc_id, {derive.x_sql()} AS x, {derive.y_sql()} AS y, "
+            f"{derive.category_sql()} AS category FROM documents")
+
+
+def dist_sql(ax: str, ay: str, bx: str, by: str) -> str:
+    """Euclidean distance with the exact op order of geom.dist_point."""
+    return f"sqrt(({ax} - {bx}) * ({ax} - {bx}) + ({ay} - {by}) * ({ay} - {by}))"
+
+
+def quantize_sql(expr: str, lo: float, extent: float, res: int) -> str:
+    """Mirror of grid.quantize: floor((v - lo)/extent * 2^res), clamped."""
+    n = 1 << res
+    return (f"LEAST(GREATEST(CAST(FLOOR(({expr} - {lo}) / {extent} * {float(n)})"
+            f" AS BIGINT), 0), {n - 1})")
+
+
+def morton_sql(ix_expr: str, iy_expr: str, res: int) -> str:
+    """Bit-interleave via plain integer arithmetic (works in any ANSI SQL)."""
+    def spread(e: str) -> str:
+        return " + ".join(f"((({e}) // {1 << b}) % 2) * {1 << (2 * b)}"
+                          for b in range(res))
+    return f"({spread(ix_expr)}) + 2 * ({spread(iy_expr)})"
+
+
+# --- Spark-side derived docs -------------------------------------------------
+
+def load_docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return derive.with_geometry(docs).select("doc_id", "x", "y", "category")
+
+
+def tile_id_col():
+    return grid.row_major_tile_id(F.col("x"), F.col("y"), TILE_RES, CFG)

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce`` — exact baseline: broadcast the (small) query
+  vectors, dot products via zip_with/aggregate — ALL JVM-side, codegen'd,
+  no Python, no shuffle of the corpus; one window rank per query.
+- ``cosine_topk_lsh`` — the scale path: random-hyperplane LSH buckets
+  (SimHash for vectors). Corpus is bucketed once (map-side arithmetic),
+  queries probe their bucket (+ multiprobe neighbors); only candidates get
+  exact scoring. Recall < 1 by construction; the baseline is the oracle.
+- ``embedding_near_dups`` — cosine near-duplicate pairs via the same LSH
+  bucketing, self-joined (dedup tier 'embedding-cosine near-dup').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in array order (deterministic fold, double precision)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           q_id_col: str = "q_id") -> DataFrame:
+    """Exact top-k by cosine per query vector.
+
+    ``queries``: (q_id, embedding) — the broadcast side. Returns
+    (q_id, vec_id, cos, rnk); cos rounded to 6 dp BEFORE ranking so the
+    ordering is reproducible across engines (ties broken by vec_id)."""
+    q = queries.select(F.col(q_id_col),
+                       F.col(vec_col).alias("q_vec"))
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / \
+        (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))
+    scored = (corpus.crossJoin(F.broadcast(q))
+              .withColumn("cos", F.round(cos, 6)))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                             F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(q_id_col, id_col, "cos", "rnk"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane sign bucket, computed JVM-side: bit b set iff
+    Σ vec_i·plane[b,i] > 0 (plane rows inlined as literal arrays)."""
+    out = F.lit(0).cast("long")
+    for b in range(planes.shape[0]):
+        lits = F.array(*[F.lit(float(v)) for v in planes[b]])
+        d = F.aggregate(F.zip_with(vec, lits,
+                                   lambda x, p: x.cast("double") * p),
+                        F.lit(0.0), lambda acc, v: acc + v)
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(F.shiftleft(bit, b))
+    return out
+
+
+def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int,
+                    dim: int, n_planes: int = 8, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "q_id") -> DataFrame:
+    """Approximate top-k: candidates = corpus rows whose hyperplane bucket is
+    within hamming 1 of the query's bucket (multiprobe), exact-scored.
+
+    At 100 TB the corpus is written bucketed/partitioned by this key, so a
+    probe is partition pruning, not a scan."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("bucket", _bucket_col(F.col(vec_col), planes))
+    q = queries.withColumn("q_bucket", _bucket_col(F.col(vec_col), planes)) \
+               .select(q_id_col, F.col(vec_col).alias("q_vec"), "q_bucket")
+    # multiprobe: query bucket + all 1-bit flips
+    probes = F.array(F.col("q_bucket"),
+                     *[F.col("q_bucket").bitwiseXOR(F.lit(1 << b))
+                       for b in range(n_planes)])
+    q = q.withColumn("bucket", F.explode(probes))
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / \
+        (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .withColumn("cos", F.round(cos, 6)))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                             F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(q_id_col, id_col, "cos", "rnk"))
+
+
+def embedding_near_dups(corpus: DataFrame, threshold: float, dim: int,
+                        n_planes: int = 8, seed: int = 42,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same-bucket self-join, exact
+    cosine verify ≥ threshold. Returns (id_a, id_b, cos)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v")) \
+              .withColumn("bucket", _bucket_col(F.col("v"), planes))
+    a = c.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = c.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+    return (a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(cos, 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos").distinct())

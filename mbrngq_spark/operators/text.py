@@ -1,0 +1,96 @@
+"""Text-analysis operators for the training-data pipeline (brief: language-ID,
+quality scoring, token counting, document fingerprinting).
+
+All hot-path features are pure Column arithmetic (codegen'd, no Python); the
+only UDF is the language-ID trigram scorer, which is a vectorized pandas UDF
+over Arrow batches. Fingerprint and counts are defined with arithmetic that
+is reproducible in ANSI SQL so the DuckDB oracle can verify them bit-exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FP_PRIME = 1000000007
+
+
+def n_tokens_col(text: Column) -> Column:
+    """Whitespace token count via pure length arithmetic (single-space
+    separated corpora): #spaces + 1. Matches the SQL oracle exactly."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1) \
+        .cast("long")
+
+
+def substr_hits_col(text: Column, needle: str) -> Column:
+    """Occurrence count of ``needle`` via length difference (SQL-exact)."""
+    n = len(needle)
+    return ((F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+            / F.lit(n)).cast("long")
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Order-sensitive document fingerprint: sum(code(c_i) * i) mod P over
+    1-based char positions — a positional rolling hash kept SQL-reproducible
+    (no builtin modpow in either engine). JVM-side via transform+aggregate,
+    no explode, no Python."""
+    weighted = F.transform(F.split(text, ""),
+                           lambda c, i: (F.ascii(c) * (i + F.lit(1))).cast("long"))
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return total % F.lit(FP_PRIME)
+
+
+def avg_token_len_col(text: Column) -> Column:
+    nt = n_tokens_col(text)
+    return (F.length(text) - (nt - 1)).cast("double") / nt.cast("double")
+
+
+def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + token count, stopword hits, punctuation, avg token length,
+    a [0,1] quality score, and the positional fingerprint."""
+    t = F.col(text_col)
+    nt = n_tokens_col(t)
+    stop = substr_hits_col(t, " the ") + substr_hits_col(t, " a ")
+    quality = F.round(
+        F.least(nt.cast("double") / F.lit(200.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(stop.cast("double") * F.lit(10.0) / nt.cast("double"), F.lit(1.0))
+        * F.lit(0.5), 6)
+    return (docs
+            .withColumn("n_tokens", nt)
+            .withColumn("n_stop", stop.cast("long"))
+            .withColumn("avg_token_len", F.round(avg_token_len_col(t), 6))
+            .withColumn("quality", quality)
+            .withColumn("fingerprint", fingerprint_col(t)))
+
+
+# --- language ID: char-trigram profile scoring (vectorized pandas UDF) ------
+
+_PROFILES = {
+    "en": ["the", "and", " th", "ing", "ion", " of", "of ", "ed ", " to", "er "],
+    "de": ["der", "die", "und", "ein", "ich", "sch", "en ", "ch ", " de", "nd "],
+    "es": ["de ", " de", "la ", "el ", "que", " la", "os ", "ión", " qu", "es "],
+    "fr": ["es ", " de", "de ", "le ", "ent", " le", "la ", "et ", " la", "ion"],
+}
+
+
+def lang_id_udf():
+    """Language-ID by trigram-profile hit counting. Returns 'und' when no
+    profile scores — honest for synthetic shuffled-vocab corpora."""
+
+    @F.pandas_udf(T.StringType())
+    def lang_id(text: pd.Series) -> pd.Series:
+        langs = list(_PROFILES)
+        scores = np.zeros((len(text), len(langs)), dtype=np.int64)
+        low = text.fillna("").str.lower()
+        for li, lang in enumerate(langs):
+            for tri in _PROFILES[lang]:
+                scores[:, li] += low.str.count(tri, flags=0).to_numpy(np.int64)
+        best = scores.argmax(axis=1)
+        hit = scores.max(axis=1) > 0
+        out = np.where(hit, np.array(langs)[best], "und")
+        return pd.Series(out)
+
+    return lang_id

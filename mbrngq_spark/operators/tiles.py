@@ -1,0 +1,58 @@
+"""Raster-tile ↔ vector assignment and rollups (north_rule operator).
+
+Tiles are fixed-resolution grid cells (FIXTURES.md §5): ``tile_id =
+iy * 2^res + ix`` (row-major — the oracle SQL stays pure arithmetic; the
+spatial index itself is Morton, grid.py). Assignment is deterministic
+arithmetic per doc — whole-stage codegen, zero shuffles. Rollups are one
+hash aggregate keyed by tile_id; the hierarchical rollup is parent-id
+truncation + re-aggregation (≡ the reference's bottom-up MBR/bitmap
+maintenance, CalculateBitArray mbR-NGQ/Data/RTree.cs:209-247, as a
+groupBy instead of recursion).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mbrngq_spark import grid
+from mbrngq_spark.config import DEFAULT, EngineConfig
+
+
+def assign_tiles(docs_geo: DataFrame, res: int | None = None,
+                 cfg: EngineConfig = DEFAULT) -> DataFrame:
+    res = res or cfg.tile_res
+    return docs_geo.withColumn(
+        "tile_id", grid.row_major_tile_id(F.col("x"), F.col("y"), res, cfg))
+
+
+def tile_rollup(docs_geo: DataFrame, res: int | None = None,
+                cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Per-tile stats: count, category bitmap, bounding box of members.
+
+    catmask = bit_or(1 << category) ≡ the reference's per-node BitArray
+    (Node.cs:37-47); n/min/max ≡ entry-count + MBR (Node.cs:137-148)."""
+    res = res or cfg.tile_res
+    return (assign_tiles(docs_geo, res, cfg)
+            .groupBy("tile_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.bit_or(F.expr("shiftleft(1, category)")).cast("long").alias("catmask"),
+                 F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+                 F.max("x").alias("xmax"), F.max("y").alias("ymax")))
+
+
+def tile_vector_assignment(spark: SparkSession, docs_geo: DataFrame,
+                           polygons: pd.DataFrame, res: int | None = None,
+                           cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """raster↔vector: per (polygon, tile), how many docs of the polygon fall
+    in the tile — PIP join then tile rollup (north_rule 'tile assignments')."""
+    from mbrngq_spark.operators.pip import point_in_polygon_join
+
+    res = res or cfg.tile_res
+    inside = point_in_polygon_join(spark, docs_geo, polygons, cfg=cfg)
+    return (inside
+            .withColumn("tile_id",
+                        grid.row_major_tile_id(F.col("x"), F.col("y"), res, cfg))
+            .groupBy("poly_id", "tile_id")
+            .agg(F.count("*").alias("n_docs")))
