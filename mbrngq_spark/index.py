@@ -1,0 +1,99 @@
+"""Index build job — documents → partitioned cell-indexed table + cell stats.
+
+Replaces the reference's tree construction (insert/split/adjust,
+mbR-NGQ/Data/RTree.cs:254-350,2156-2662) with one batch pass:
+
+  docs → derive/carry (x, y, category)
+       → coarse cell (partition key) + index cell (query prune key)
+       → ADAPTIVE SPLIT: cells whose doc count exceeds ``hot_threshold``
+         get a finer-resolution cell id (+ a salt column for shuffle
+         balance) — the distributed analog of the R-tree node split keeping
+         fan-out bounded under dense data (splitNode, RTree.cs:2156-2412),
+         and the north_rule's "adaptive cell-level splitting" + salting.
+       → write parquet partitioned by coarse cell → scans with a cell
+         predicate become partition-pruned file skips.
+  cells → per-(cell) aggregates: count, MBR, category bitmask
+          (≡ CalculateBitArray, RTree.cs:209-247).
+
+The ``spans`` payload column rides along untouched; ``span_ck`` lets every
+later stage assert the sequence survived (input_hint invariant).
+
+At 100 TB: the only shuffle is the partitionBy write (which AQE balances);
+stats are a bounded-size aggregate (≤ 4^res rows). Hot-cell detection reads
+the stats table, never the raw data twice.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mbrngq_spark import grid
+from mbrngq_spark.config import DEFAULT, EngineConfig
+from mbrngq_spark.sources.synth import span_checksum
+
+
+@dataclass(frozen=True)
+class IndexLayout:
+    coarse_res: int = 3     # partition key: 64 coarse cells
+    index_res: int = 6      # query prune key: 4096 cells
+    fine_res: int = 9       # hot cells re-encoded here (adaptive split)
+    hot_threshold: int = 50_000   # docs per index cell before splitting
+    salt_buckets: int = 16  # shuffle salt for hot cells
+
+
+def build_index(docs_geo: DataFrame, layout: IndexLayout = IndexLayout(),
+                cfg: EngineConfig = DEFAULT) -> tuple[DataFrame, DataFrame]:
+    """→ (indexed docs, cell stats). Pure Column math + one aggregate."""
+    x, y = F.col("x"), F.col("y")
+    indexed = (docs_geo
+               .withColumn("cell_coarse", grid.cell_encode(x, y, layout.coarse_res, cfg))
+               .withColumn("cell", grid.cell_encode(x, y, layout.index_res, cfg)))
+    if "spans" in docs_geo.columns:
+        indexed = indexed.withColumn("span_ck", span_checksum(F.col("spans")))
+
+    stats = (indexed
+             .groupBy("cell")
+             .agg(F.count("*").alias("n"),
+                  F.bit_or(F.expr("shiftleft(1, category)")).cast("long")
+                  .alias("catmask"),
+                  F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+                  F.max("x").alias("xmax"), F.max("y").alias("ymax")))
+
+    # adaptive split: hot cells get a finer cell id + a salt bucket
+    hot = stats.filter(F.col("n") > layout.hot_threshold) \
+               .select("cell", F.lit(True).alias("is_hot"))
+    indexed = (indexed
+               .join(F.broadcast(hot), "cell", "left")
+               .withColumn("is_hot", F.coalesce(F.col("is_hot"), F.lit(False)))
+               .withColumn("cell_fine",
+                           F.when(F.col("is_hot"),
+                                  grid.cell_encode(x, y, layout.fine_res, cfg))
+                           .otherwise(F.col("cell")))
+               .withColumn("salt",
+                           F.when(F.col("is_hot"),
+                                  F.pmod(F.xxhash64(F.col("doc_id")),
+                                         F.lit(layout.salt_buckets)).cast("int"))
+                           .otherwise(F.lit(0))))
+    return indexed, stats
+
+
+def write_index(indexed: DataFrame, path: str) -> None:
+    """Persist partitioned by coarse cell → cell-predicate partition pruning.
+    (Iceberg would take this same layout via partition transforms; plain
+    parquet keeps the sandbox dependency-free.)"""
+    indexed.write.mode("overwrite").partitionBy("cell_coarse").parquet(path)
+
+
+def read_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def verify_span_invariant(docs_with_ck: DataFrame) -> int:
+    """Recompute the span checksum and count mismatches (expect 0).
+    Run after any pipeline stage that shuffled the table."""
+    return (docs_with_ck
+            .filter(span_checksum(F.col("spans")) != F.col("span_ck"))
+            .count())
