@@ -57,11 +57,15 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
     Seeding via an extra literal hash input gives H independent hash families
     without any Python."""
     out = docs.select(id_col, shingles_col(F.col(text_col)).alias("sh"))
+
+    def hasher(seed: int):
+        # NB: the lambda must be unary — PySpark passes the element index as
+        # a second argument to binary lambdas, which would clobber the seed
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     for i in range(num_hashes):
         out = out.withColumn(
-            f"sig_{i}",
-            F.array_min(F.transform(F.col("sh"),
-                                    lambda s, _i=i: F.xxhash64(s, F.lit(_i)))))
+            f"sig_{i}", F.array_min(F.transform(F.col("sh"), hasher(i))))
     return out.drop("sh")
 
 
@@ -120,13 +124,16 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     token array (no explode, no shuffle on the map side)."""
     toks = F.split(text, " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_contrib(b: int):
+        # unary lambda on purpose — see hasher() note above
+        return lambda h: F.when(
+            F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+
     bit_cols = []
     for b in range(bits):
-        contrib = F.transform(
-            hashes,
-            lambda h, _b=b: F.when(
-                F.shiftrightunsigned(h, _b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1)))
+        contrib = F.transform(hashes, bit_contrib(b))
         s = F.aggregate(contrib, F.lit(0), lambda acc, v: acc + v)
         bit_cols.append(F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
     out = F.lit(0).cast("long")

@@ -72,22 +72,30 @@ def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
 
 
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int,
-                    dim: int, n_planes: int = 8, seed: int = 42,
+                    dim: int, n_planes: int = 8, probe_radius: int = 2,
+                    seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     q_id_col: str = "q_id") -> DataFrame:
     """Approximate top-k: candidates = corpus rows whose hyperplane bucket is
-    within hamming 1 of the query's bucket (multiprobe), exact-scored.
+    within hamming ``probe_radius`` of the query's bucket (multiprobe),
+    exact-scored. Recall/cost dial: for neighbors at angle θ each plane
+    splits the pair w.p. θ/π, so bucket hamming ~ Binomial(n_planes, θ/π) —
+    radius 2 at 8 planes covers ~90% of cos≈0.9 neighbors while probing
+    37/256 buckets.
 
     At 100 TB the corpus is written bucketed/partitioned by this key, so a
     probe is partition pruning, not a scan."""
+    import itertools
+
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.withColumn("bucket", _bucket_col(F.col(vec_col), planes))
     q = queries.withColumn("q_bucket", _bucket_col(F.col(vec_col), planes)) \
                .select(q_id_col, F.col(vec_col).alias("q_vec"), "q_bucket")
-    # multiprobe: query bucket + all 1-bit flips
-    probes = F.array(F.col("q_bucket"),
-                     *[F.col("q_bucket").bitwiseXOR(F.lit(1 << b))
-                       for b in range(n_planes)])
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    probes = F.array(*[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in masks])
     q = q.withColumn("bucket", F.explode(probes))
     cos = _dot(F.col(vec_col), F.col("q_vec")) / \
         (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))

@@ -1,0 +1,125 @@
+"""Dedup tiers (exact, MinHash-LSH, SimHash, n-gram Jaccard) and similarity
+search (brute-force cosine vs LSH recall) on constructed fixtures with known
+ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mbrngq_spark.operators import dedup, similarity
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Corpus with planted duplicates: 40 base docs; ids 1000+i exact-dup of
+    i; ids 2000+i near-dup (one token changed) of i."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .filter(F.col("doc_id") < 40).select("doc_id", "text")
+    exact = base.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat(F.lit("zzz"), F.substring("text", 4, 100000)).alias("text"))
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup(spark, dup_docs):
+    got = dedup.exact_duplicates(dup_docs).toPandas()
+    # every base doc's text appears twice (base + planted exact dup)
+    assert (got["dup_count"] == 2).sum() == 40
+    # keeper is always the lower id
+    assert (got[got.dup_count == 2]["keeper_id"] < 1000).all()
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, dup_docs):
+    got = dedup.near_duplicates_minhash(dup_docs, threshold=0.5,
+                                        num_hashes=16, bands=8).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values))
+    # exact dups (jaccard 1.0) must all be found
+    exact_expected = {(i, i + 1000) for i in range(40)}
+    assert exact_expected <= pairs
+    # most near-dups (first shingles perturbed) found
+    near_found = sum((i, i + 2000) in pairs for i in range(40))
+    assert near_found >= 30
+    # jaccard values are exact: planted exact dups score 1.0
+    ex = got[(got.id_a < 1000) & (got.id_b == got.id_a + 1000)]
+    assert (ex["jaccard"] == 1.0).all()
+
+
+def test_jaccard_matches_python_oracle(spark, dup_docs):
+    texts = {r.doc_id: r.text for r in dup_docs.collect()}
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [0, 1, 2], "id_b": [2000, 2001, 2002]}))
+    got = dedup.jaccard_pairs(dup_docs, pairs).toPandas()
+
+    def sh(t):
+        toks = t.split(" ")
+        return set(" ".join(toks[j:j + 3]) for j in range(max(len(toks) - 2, 1)))
+    for r in got.itertuples():
+        a, b = sh(texts[r.id_a]), sh(texts[r.id_b])
+        exp = len(a & b) / len(a | b)
+        assert r.jaccard == pytest.approx(exp, abs=1e-12)
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    got = dedup.simhash_near_dups(dup_docs, max_hamming=8).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values))
+    # exact dups have hamming 0 → always found
+    assert {(i, i + 1000) for i in range(40)} <= pairs
+    ex = got[(got.id_a < 1000) & (got.id_b == got.id_a + 1000)]
+    assert (ex["hamming"] == 0).all()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_bruteforce_self_match(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=10).toPandas()
+    ex1 = exact[exact.rnk == 1]
+    assert (ex1.q_id == ex1.vec_id).all()
+    assert (ex1.cos == 1.0).all()
+
+
+def test_lsh_topk_recall_on_clustered_vectors(spark):
+    """LSH recall is meaningful on data WITH near neighbors (the testdata
+    embeddings are near-orthogonal noise — top-10 cosine ≈ 0.3 — where no
+    ANN structure can help). Planted clusters: 40 centers × 10 members,
+    noise σ=0.15 → true neighbors at cos ≈ 0.9."""
+    rng = np.random.default_rng(42)
+    dim = 32
+    centers = rng.standard_normal((40, dim))
+    vecs = np.repeat(centers, 10, axis=0) + \
+        0.15 * rng.standard_normal((400, dim))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(400),
+        "embedding": [v.astype("float32").tolist() for v in vecs],
+    })
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.filter(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = similarity.cosine_topk_bruteforce(corpus, queries, k=10).toPandas()
+    approx = similarity.cosine_topk_lsh(corpus, queries, k=10, dim=dim,
+                                        n_planes=8).toPandas()
+    hits = total = 0
+    for q in exact.q_id.unique():
+        e = set(exact[exact.q_id == q]["vec_id"])
+        a = set(approx[approx.q_id == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.8, f"LSH recall too low: {hits}/{total}"
+
+
+def test_embedding_near_dups_self_consistency(spark, emb):
+    # plant an exact duplicate vector
+    dup = emb.filter(F.col("vec_id") == 0) \
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    corpus = emb.unionByName(dup)
+    dim = len(emb.select("embedding").first()[0])
+    got = similarity.embedding_near_dups(corpus, threshold=0.999, dim=dim) \
+        .toPandas()
+    assert (0, 10000) in set(map(tuple, got[["id_a", "id_b"]].values))

@@ -1,0 +1,46 @@
+"""Text-analysis operators: feature math vs hand-computed values, fingerprint
+order-sensitivity, language-ID heuristic on constructed samples."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mbrngq_spark.operators import text
+
+
+def test_features_hand_computed(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a bb ccc", "x the y the z"],
+    }))
+    got = text.with_text_features(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_tokens"] == 3
+    assert got.loc[2, "n_tokens"] == 5
+    assert got.loc[1, "n_stop"] == 0
+    assert got.loc[2, "n_stop"] == 2          # two ' the ' hits
+    assert got.loc[1, "avg_token_len"] == 2.0  # (8-2)/3
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["ab", "ba"]}))
+    got = text.with_text_features(df).toPandas().set_index("doc_id")
+    # same multiset of chars, different order → different fingerprint
+    assert got.loc[1, "fingerprint"] != got.loc[2, "fingerprint"]
+    # and the exact value: 'ab' = 97*1 + 98*2 = 293
+    assert got.loc[1, "fingerprint"] == 293
+
+
+def test_lang_id_on_marker_text(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the thing and the other thing of note",
+                 "der ich und ein schoenes ding",
+                 "el que de la casa que de",
+                 "0123 456789"],
+    }))
+    got = df.withColumn("lang", text.lang_id_udf()(F.col("text"))).toPandas()
+    langs = dict(zip(got.doc_id, got.lang))
+    assert langs[1] == "en"
+    assert langs[2] == "de"
+    assert langs[3] == "es"
+    assert langs[4] == "und"
