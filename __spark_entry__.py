@@ -134,6 +134,65 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard over a bounded doc set (the
+    verification kernel of the near-dup tier, oracle-checkable in SQL —
+    the LSH candidate stage itself is hash-seeded and pytest-verified)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 300).select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    out = dedup.jaccard_pairs(docs, pairs)
+    return (out.filter(F.col("jaccard") >= 0.03)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user event sessions split at 30-min gaps (lag +
+    running sum — the classic window composition; the streaming twin is a
+    session window with watermark)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("te"))
+    w = Window.partitionBy("user_id").orderBy("te", "event_id")
+    new_s = F.when(
+        (F.col("te") - F.lag("te").over(w) > 1800)
+        | F.lag("te").over(w).isNull(), 1).otherwise(0)
+    sess = (ev.withColumn("new_s", new_s)
+            .withColumn("session_idx",
+                        F.sum("new_s").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("te").alias("start_epoch"),
+                 F.max("te").alias("end_epoch")))
+
+
+def _q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution stats per event_type via integer-cent moments
+    (sum/sum-of-squares as int64 → identical across engines; stddev and
+    mean derived from them in one deterministic expression)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = F.round(F.col("value") * 100).cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(c).alias("sum_c"),
+                 F.sum(c * c).alias("sumsq_c"),
+                 F.min(c).alias("min_c"),
+                 F.max(c).alias("max_c"))
+            .withColumn("mean_c",
+                        F.round(F.col("sum_c").cast("double") / F.col("n"), 6)))
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (trigram profiles, vectorized pandas UDF).
+    No SQL oracle — UDF logic; driver records the rows-only check;
+    correctness is pytest-verified on constructed samples."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id",
+                       text.lang_id_udf()(F.col("text")).alias("lang_pred"))
+
+
 def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregate (scan→filter→groupBy·agg coverage,
     SURVEY.md §2.5). Money in integer cents so sums are order-independent
@@ -195,6 +254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "text_features": _q_text_features,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "events_sessionize": _q_events_sessionize,
+        "agg_stats": _q_agg_stats,
+        "text_langid": _q_text_langid,
         "agg_pricing": _q_agg_pricing,
         "join_orders_nation": _q_join_orders_nation,
         "window_top_orders": _q_window_top_orders,
@@ -366,6 +429,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
     """
 
+    dedup_jaccard = """
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE doc_id < 300)
+        SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE j >= 0.03
+    """
+
+    events_sessionize = """
+        WITH ev AS (
+          SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS te
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, te,
+                 CASE WHEN te - lag(te) OVER w > 1800
+                      OR lag(te) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY te, event_id)),
+        sess AS (
+          SELECT user_id, te,
+                 CAST(sum(new_s) OVER (PARTITION BY user_id
+                      ORDER BY te, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+          FROM flagged)
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(te) AS start_epoch, max(te) AS end_epoch
+        FROM sess GROUP BY user_id, session_idx
+    """
+
+    agg_stats = """
+        WITH c AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events)
+        SELECT event_type, count(*) AS n,
+               CAST(sum(v) AS BIGINT) AS sum_c,
+               CAST(sum(v * v) AS BIGINT) AS sumsq_c,
+               min(v) AS min_c, max(v) AS max_c,
+               round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_c
+        FROM c GROUP BY event_type
+    """
+
     agg_pricing = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
@@ -413,6 +524,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact,
         "text_features": text_features,
         "ann_cosine_topk": ann_cosine_topk,
+        "dedup_jaccard": dedup_jaccard,
+        "events_sessionize": events_sessionize,
+        "agg_stats": agg_stats,
         "agg_pricing": agg_pricing,
         "join_orders_nation": join_orders_nation,
         "window_top_orders": window_top_orders,

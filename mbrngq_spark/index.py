@@ -48,13 +48,16 @@ def build_index(docs_geo: DataFrame, layout: IndexLayout = IndexLayout(),
                 cfg: EngineConfig = DEFAULT) -> tuple[DataFrame, DataFrame]:
     """→ (indexed docs, cell stats). Pure Column math + one aggregate."""
     x, y = F.col("x"), F.col("y")
-    indexed = (docs_geo
-               .withColumn("cell_coarse", grid.cell_encode(x, y, layout.coarse_res, cfg))
-               .withColumn("cell", grid.cell_encode(x, y, layout.index_res, cfg)))
+    base = (docs_geo
+            .withColumn("cell_coarse", grid.cell_encode(x, y, layout.coarse_res, cfg))
+            .withColumn("cell", grid.cell_encode(x, y, layout.index_res, cfg)))
+    # stats derive from the pre-checksum plan: the hot-cell broadcast branch
+    # must not re-evaluate the (expensive) span checksum
+    indexed = base
     if "spans" in docs_geo.columns:
         indexed = indexed.withColumn("span_ck", span_checksum(F.col("spans")))
 
-    stats = (indexed
+    stats = (base
              .groupBy("cell")
              .agg(F.count("*").alias("n"),
                   F.bit_or(F.expr("shiftleft(1, category)")).cast("long")

@@ -52,32 +52,44 @@ def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, sig_0..sig_{H-1}): sig_i = min over shingles of xxhash64(shingle, i).
+    """(id, sig: array<long>[H]): sig[i] = min over shingles of
+    xxhash64(shingle, i).
 
-    Seeding via an extra literal hash input gives H independent hash families
+    ONE nested higher-order expression: the shingle array is evaluated once
+    per row (separate per-sig columns would let Catalyst's CollapseProject
+    inline — and recompute — the shingle construction H times; measured 16×
+    slower). Seeding via an extra hash input gives H independent families
     without any Python."""
-    out = docs.select(id_col, shingles_col(F.col(text_col)).alias("sh"))
-
-    def hasher(seed: int):
-        # NB: the lambda must be unary — PySpark passes the element index as
-        # a second argument to binary lambdas, which would clobber the seed
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    for i in range(num_hashes):
-        out = out.withColumn(
-            f"sig_{i}", F.array_min(F.transform(F.col("sh"), hasher(i))))
-    return out.drop("sh")
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    sig = F.transform(
+        seeds,
+        lambda seed: F.array_min(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s, seed))))
+    return (docs
+            .select(id_col, shingles_col(F.col(text_col)).alias("sh"))
+            .select(id_col, sig.alias("sig")))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, num_hashes: int = 16, bands: int = 4,
-                        id_col: str = "doc_id") -> DataFrame:
-    """Band the signature, bucket-join per band, union distinct pairs (a<b)."""
+                        id_col: str = "doc_id",
+                        max_bucket: int = 1000) -> DataFrame:
+    """Band the signature array, bucket-join per band, union distinct pairs
+    (a<b). Caller should persist ``sigs`` (each band re-reads it).
+
+    ``max_bucket`` drops degenerate buckets (boilerplate/empty-text clusters
+    whose quadratic pair blowup would dominate at corpus scale — the
+    standard production-dedup guard; dropped buckets are near-identical
+    families better handled by exact dedup first)."""
     rows = num_hashes // bands
     pairs = None
     for b in range(bands):
-        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
-        bucketed = sigs.select(F.col(id_col).alias("id"),
-                               F.xxhash64(*cols).alias("bucket"))
+        bucketed = sigs.select(
+            F.col(id_col).alias("id"),
+            F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows), F.lit(b))
+            .alias("bucket"))
+        ok = (bucketed.groupBy("bucket").count()
+              .filter(F.col("count") <= max_bucket).select("bucket"))
+        bucketed = bucketed.join(F.broadcast(ok), "bucket")
         other = bucketed.select(F.col("id").alias("id_b"), "bucket")
         p = (bucketed.join(other, "bucket")
              .filter(F.col("id") < F.col("id_b"))
@@ -90,19 +102,23 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage).
 
-    Returns (id_a, id_b, jaccard)."""
-    sh = docs.select(F.col(id_col).alias("id"),
-                     shingles_col(F.col(text_col)).alias("sh"),
-                     F.size(shingles_col(F.col(text_col))).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                  F.col("n_sh").alias("n_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                  F.col("n_sh").alias("n_b"))
+    Texts are joined to the pair list FIRST, so shingles are built only for
+    rows that survive the join (Catalyst will not hoist an expensive
+    projection below a join by itself; at corpus scale candidates are a
+    sliver of n and this ordering is the difference between O(pairs) and
+    O(corpus) shingle builds). Returns (id_a, id_b, jaccard)."""
+    texts = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    joined = (pairs
+              .join(texts.select(F.col("id").alias("id_a"),
+                                 F.col("t").alias("t_a")), "id_a")
+              .join(texts.select(F.col("id").alias("id_b"),
+                                 F.col("t").alias("t_b")), "id_b")
+              .withColumn("sh_a", shingles_col(F.col("t_a")))
+              .withColumn("sh_b", shingles_col(F.col("t_b"))))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (pairs.join(a, "id_a").join(b, "id_b")
-            .withColumn("jaccard",
-                        inter.cast("double")
-                        / (F.col("n_a") + F.col("n_b") - inter).cast("double"))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (joined
+            .withColumn("jaccard", inter.cast("double") / union.cast("double"))
             .select("id_a", "id_b", "jaccard"))
 
 
@@ -111,11 +127,28 @@ def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7,
                             text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: sketch → band join →
-    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(docs, num_hashes, text_col, id_col)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
-    return jaccard_pairs(docs, cands, text_col, id_col) \
-        .filter(F.col("jaccard") >= threshold)
+    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard).
+
+    Signatures AND candidate pairs are persisted across their reuses (the
+    verify stage references the pair set three times — unpersisted, the
+    whole band-join chain would recompute each time). The corpus is spread
+    across the full parallelism first — sketching is the CPU-heavy stage
+    and a small input often arrives as a single file split."""
+    spark = docs.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    d = docs.repartition(n_part)
+    sigs = minhash_signatures(d, num_hashes, text_col, id_col).persist()
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col).persist()
+    try:
+        cands.count()  # materialize both persisted stages
+        out = jaccard_pairs(d, cands, text_col, id_col) \
+            .filter(F.col("jaccard") >= threshold)
+        # pin results before releasing upstream storage
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+        cands.unpersist()
+    return out
 
 
 def simhash_col(text: Column, bits: int = 64) -> Column:

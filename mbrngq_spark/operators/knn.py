@@ -53,6 +53,20 @@ def cell_stats(docs_geo: DataFrame, res: int,
                  F.max("x").alias("xmax"), F.max("y").alias("ymax")))
 
 
+def choose_planner_res(n_per_group: int, k: int, cfg: EngineConfig = DEFAULT,
+                       lo: int = 3, hi: int = 12) -> int:
+    """Resolution where a cell holds ≈ k docs of one group (category), so
+    the candidate join ships O(k·rings) rows per query instead of whole
+    coarse cells — the analog of the R-tree's bounded node fan-out
+    (maxNodeEntries=10, RTree.cs:72). Cells are computed on the fly from
+    (x, y), so the planner is free to pick any resolution per query batch."""
+    import math
+
+    target_cells = max(n_per_group / max(k, 1), 1.0)
+    res = round(math.log(target_cells, 4))
+    return max(lo, min(hi, res))
+
+
 def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
                          k: int, res: int, cfg: EngineConfig = DEFAULT,
                          per_category: bool = False) -> pd.DataFrame:
@@ -60,16 +74,21 @@ def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
 
     ``stats``: (cell, [category,] n) — the tiny phase-0 table.
     ``queries``: (query_id, qx, qy).
-    Returns (query_id, [category,] cell) pairs covering every doc that could
-    be a top-k answer. Pure NumPy: a Q×C distance matrix over the non-empty
-    cells (C ≤ 4^res). For very large Q this function is called per Arrow
-    batch inside mapInPandas, so no single matrix exceeds batch_size×C.
+    Returns (query_id, [category,] cell, radius) rows covering every doc
+    that could be a top-k answer; ``radius`` is the per-(query[, category])
+    distance bound (any doc farther than it is provably outside the top-k),
+    used to pre-filter rows BEFORE the rank shuffle. Pure NumPy: a Q×C
+    distance matrix over the non-empty cells (C ≤ 4^res). For very large Q
+    this function is called per Arrow batch inside mapInPandas, so no
+    single matrix exceeds batch_size×C.
     """
-    out_q, out_c, out_cat = [], [], []
+    out_q, out_c, out_cat, out_r = [], [], [], []
     cats = sorted(stats["category"].unique()) if per_category else [None]
     qids = queries["query_id"].to_numpy()
     qxs = queries["qx"].to_numpy(dtype=np.float64)
     qys = queries["qy"].to_numpy(dtype=np.float64)
+    n = 1 << res
+    wx, wy = cfg.width / n, cfg.height / n
 
     for cat in cats:
         sub = stats if cat is None else stats[stats["category"] == cat]
@@ -80,24 +99,71 @@ def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
         counts = sub["n"].to_numpy(dtype=np.int64)
         if len(cells) == 0:
             continue
-        xmin, ymin, xmax, ymax = grid.np_cell_box(cells, res, cfg)
+        total = int(counts.sum())
+
+        # dense count grid + summed-area table → O(1) box counts, O(log n)
+        # radius search per query (a per-query sort over all cells would be
+        # a serial driver bottleneck at fine resolutions)
+        ix_all = grid.np_compact_bits(cells)
+        iy_all = grid.np_compact_bits(cells >> 1)
+        g = np.zeros((n, n), dtype=np.int64)
+        g[iy_all, ix_all] = counts
+        sat = np.zeros((n + 1, n + 1), dtype=np.int64)
+        sat[1:, 1:] = g.cumsum(0).cumsum(1)
+
+        def box_count(x0: int, y0: int, x1: int, y1: int) -> int:
+            # inclusive cell-coordinate box, pre-clipped to [0, n)
+            return int(sat[y1 + 1, x1 + 1] - sat[y0, x1 + 1]
+                       - sat[y1 + 1, x0] + sat[y0, x0])
+
         for qi in range(len(qids)):
             qx, qy = qxs[qi], qys[qi]
-            mind = geom.np_mindist_point_rect(qx, qy, xmin, ymin, xmax, ymax)
-            maxd = geom.np_maxdist_point_rect(qx, qy, xmin, ymin, xmax, ymax)
-            order = np.argsort(mind, kind="stable")
-            csum = np.cumsum(counts[order])
-            enough = np.searchsorted(csum, k)  # first idx with csum >= k
-            if enough >= len(order):
-                radius = np.inf  # fewer than k docs exist → take everything
+            cx = min(max(int((qx - cfg.min_x) / wx), 0), n - 1)
+            cy = min(max(int((qy - cfg.min_y) / wy), 0), n - 1)
+            if total < k:
+                radius = np.inf
+                take = cells
             else:
-                radius = maxd[order[: enough + 1]].max()
-            take = cells[mind <= radius]
+                # smallest half-width h whose (clipped) box holds ≥ k docs
+                lo_h, hi_h = 0, n
+                while lo_h < hi_h:
+                    mid = (lo_h + hi_h) // 2
+                    if box_count(max(cx - mid, 0), max(cy - mid, 0),
+                                 min(cx + mid, n - 1), min(cy + mid, n - 1)) >= k:
+                        hi_h = mid
+                    else:
+                        lo_h = mid + 1
+                h = lo_h
+                bx0, by0 = max(cx - h, 0), max(cy - h, 0)
+                bx1, by1 = min(cx + h, n - 1), min(cy + h, n - 1)
+                # ≥ k docs inside the box ⇒ kth distance ≤ MAXDIST(q, box)
+                radius = float(geom.np_maxdist_point_rect(
+                    qx, qy,
+                    cfg.min_x + bx0 * wx, cfg.min_y + by0 * wy,
+                    cfg.min_x + (bx1 + 1) * wx, cfg.min_y + (by1 + 1) * wy))
+                # candidates: non-empty cells with MINDIST ≤ radius, searched
+                # only inside the radius-reach box
+                rx = int(radius / wx) + 1
+                ry = int(radius / wy) + 1
+                sx0, sy0 = max(cx - rx, 0), max(cy - ry, 0)
+                sx1, sy1 = min(cx + rx, n - 1), min(cy + ry, n - 1)
+                sub_g = g[sy0:sy1 + 1, sx0:sx1 + 1]
+                yy, xx = np.nonzero(sub_g)
+                gx = np.maximum(np.maximum(
+                    cfg.min_x + (xx + sx0) * wx - qx,
+                    qx - (cfg.min_x + (xx + sx0 + 1) * wx)), 0.0)
+                gy = np.maximum(np.maximum(
+                    cfg.min_y + (yy + sy0) * wy - qy,
+                    qy - (cfg.min_y + (yy + sy0 + 1) * wy)), 0.0)
+                keep = np.sqrt(gx * gx + gy * gy) <= radius
+                take = (grid.np_spread_bits((xx[keep] + sx0).astype(np.int64))
+                        | (grid.np_spread_bits((yy[keep] + sy0).astype(np.int64)) << 1))
             out_q.extend([qids[qi]] * len(take))
             out_c.extend(take.tolist())
+            out_r.extend([radius] * len(take))
             if cat is not None:
                 out_cat.extend([cat] * len(take))
-    data = {"query_id": out_q, "cell": out_c}
+    data = {"query_id": out_q, "cell": out_c, "radius": out_r}
     if per_category:
         data["category"] = out_cat
     return pd.DataFrame(data)
@@ -119,8 +185,14 @@ def knn_join(spark: SparkSession, docs_geo: DataFrame, queries: pd.DataFrame,
     ``keep_ties=True`` reproduces the reference's Nearest contract of keeping
     all co-minimal answers (RTree.cs:2440-2443) via RANK instead of
     ROW_NUMBER.
+
+    With ``res=None`` the planner resolution adapts to the corpus size
+    (≈ k docs per cell), and every row entering the rank shuffle is
+    pre-filtered by the per-query radius bound — the shuffle carries
+    O(k·Q) rows regardless of corpus size.
     """
-    res = res or cfg.index_res
+    if res is None:
+        res = choose_planner_res(docs_geo.count(), k, cfg)
     stats = cell_stats(docs_geo, res, cfg).toPandas()
     cand = plan_candidate_cells(stats, queries, k, res, cfg)
 
@@ -132,7 +204,8 @@ def knn_join(spark: SparkSession, docs_geo: DataFrame, queries: pd.DataFrame,
               .join(F.broadcast(cand_df), "cell")
               .join(F.broadcast(q_df), "query_id")
               .withColumn("dist", geom.dist_point(F.col("x"), F.col("y"),
-                                                  F.col("qx"), F.col("qy"))))
+                                                  F.col("qx"), F.col("qy")))
+              .filter(F.col("dist") <= F.col("radius")))
     rank_fn = F.rank() if keep_ties else F.row_number()
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
                                                F.col(id_col).asc())

@@ -54,13 +54,15 @@ from mbrngq_spark.operators.knn import cell_stats, plan_candidate_cells, with_ce
 def candidate_topL(spark: SparkSession, docs_geo: DataFrame,
                    queries: pd.DataFrame, L: int, res: int,
                    cfg: EngineConfig = DEFAULT,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   stats: pd.DataFrame | None = None) -> DataFrame:
     """Phase 1: top-L nearest docs per (query, category).
 
     Returns (query_id, category, doc_id, x, y, dq, rn) with rn ≤ L ordered
     by (dq, doc_id). The doc side is only broadcast-joined on cell id —
     never shuffled."""
-    stats = cell_stats(docs_geo, res, cfg).toPandas()
+    if stats is None:
+        stats = cell_stats(docs_geo, res, cfg).toPandas()
     cand = plan_candidate_cells(stats, queries, L, res, cfg, per_category=True)
     cand_df = spark.createDataFrame(cand)
     q_df = spark.createDataFrame(queries)
@@ -70,7 +72,10 @@ def candidate_topL(spark: SparkSession, docs_geo: DataFrame,
               .join(F.broadcast(cand_df), ["cell", "category"])
               .join(F.broadcast(q_df), "query_id")
               .withColumn("dq", geom.dist_point(F.col("x"), F.col("y"),
-                                                F.col("qx"), F.col("qy"))))
+                                                F.col("qx"), F.col("qy")))
+              # provably-sufficient per-(query, category) radius: prune
+              # BEFORE the rank shuffle (≡ theta prune, RTree.cs:1391-1469)
+              .filter(F.col("dq") <= F.col("radius")))
     w = Window.partitionBy("query_id", "category") \
               .orderBy(F.col("dq").asc(), F.col(id_col).asc())
     return (joined
@@ -164,13 +169,17 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
     group_rank 1..k ordered by (min_dist, id tuple)."""
     k = k or cfg.k
     L = L or cfg.ngq_candidates
-    res = res or cfg.index_res
     m = cfg.m
+    if res is None:
+        from mbrngq_spark.operators.knn import choose_planner_res
+        res = choose_planner_res(docs_geo.count() // m, L, cfg)
 
-    cat_totals = {r["category"]: r["n"] for r in
-                  docs_geo.groupBy("category").agg(F.count("*").alias("n"))
-                  .collect()}
-    cands = candidate_topL(spark, docs_geo, queries, L, res, cfg)
+    # ONE stats job feeds both the planner and the per-category totals
+    # (the totals drive the exactness flag — see _make_refine)
+    stats = cell_stats(docs_geo, res, cfg).toPandas()
+    cat_totals = {int(k): int(v) for k, v in
+                  stats.groupby("category")["n"].sum().items()}
+    cands = candidate_topL(spark, docs_geo, queries, L, res, cfg, stats=stats)
     refine = _make_refine(m, k, L, cat_totals)
     return (cands
             .repartition("query_id")

@@ -1,0 +1,107 @@
+"""Physical-plan audit: assert the plans we claim are the plans we get.
+
+Checks, for each core operator at sf0.01:
+- kNN / NGQ candidate joins are BroadcastHashJoin (doc side never shuffled
+  before the rank window);
+- the only Exchange hashing a big side is keyed by query_id(/category);
+- parquet scans carry PushedFilters / pruned ReadSchema where expected;
+- hot-path arithmetic sits inside WholeStageCodegen spans;
+- the partitioned index write prunes partitions under a cell_coarse filter.
+
+Writes docs/PLANS.md with the captured plan excerpts. Exit 1 on any failed
+assertion — run it like a test when touching operator plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+checks: list[tuple[str, bool, str]] = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    checks.append((name, ok, detail))
+    print(("PASS " if ok else "FAIL ") + name + ("" if ok else f" — {detail}"))
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from mbrngq_spark import harness as H
+    from mbrngq_spark.config import session
+    from mbrngq_spark.index import IndexLayout, build_index, write_index
+    from mbrngq_spark.operators.knn import knn_join
+    from mbrngq_spark.operators.ngq import nearest_group
+
+    spark = session(app="plan-audit", cores=8, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs_geo = H.load_docs_geo(spark, SF)
+    qpts = H.queries_pdf()
+    sections: list[tuple[str, str]] = []
+
+    # --- kNN ---------------------------------------------------------------
+    knn = knn_join(spark, docs_geo, qpts, k=10)
+    p = plan_of(knn)
+    sections.append(("kNN join", p))
+    check("knn: candidate join is broadcast", "BroadcastHashJoin" in p)
+    check("knn: no SortMergeJoin on the doc side", "SortMergeJoin" not in p)
+    # the single keyed exchange feeds the rank window on query_id
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", p)
+    big_exchanges = [e for e in exchanges if "query_id" in e]
+    check("knn: rank shuffle keyed by query_id", len(big_exchanges) >= 1,
+          f"exchanges={exchanges}")
+    check("knn: codegen on the distance math", "WholeStageCodegen" in p)
+
+    # --- parquet pushdown ----------------------------------------------------
+    filtered = (spark.read.parquet(f"{SF}/documents.parquet")
+                .filter(F.col("doc_id") < 100).select("doc_id"))
+    p = plan_of(filtered)
+    sections.append(("scan pushdown", p))
+    check("scan: filter pushed to parquet", "PushedFilters: [" in p
+          and "LessThan(doc_id,100)" in p, p[-400:])
+    check("scan: column pruned", "ReadSchema: struct<doc_id:bigint>" in p)
+
+    # --- NGQ -----------------------------------------------------------------
+    ngq = nearest_group(spark, docs_geo, qpts, k=10, L=32)
+    p = plan_of(ngq)
+    sections.append(("NGQ", p))
+    check("ngq: candidate join is broadcast", "BroadcastHashJoin" in p)
+    check("ngq: refine runs in Arrow (FlatMapGroupsInPandas)",
+          "FlatMapGroupsInPandas" in p)
+    check("ngq: no doc-side sort-merge", "SortMergeJoin" not in p)
+
+    # --- index write partition pruning --------------------------------------
+    indexed, _ = build_index(docs_geo, IndexLayout())
+    path = "/tmp/plan_audit_idx"
+    write_index(indexed, path)
+    back = spark.read.parquet(path).filter(F.col("cell_coarse") == 9)
+    p = plan_of(back)
+    sections.append(("index partition pruning", p))
+    check("index: coarse-cell filter is a partition filter",
+          "PartitionFilters" in p and "cell_coarse" in
+          p.split("PartitionFilters", 1)[1][:200])
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/PLANS.md", "w") as f:
+        f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
+        f.write("Assertions:\n\n")
+        for name, ok, detail in checks:
+            f.write(f"- {'✅' if ok else '❌'} {name}\n")
+        f.write("\n")
+        for title, plan in sections:
+            f.write(f"## {title}\n\n```\n{plan[:4000]}\n```\n\n")
+    spark.stop()
+    return 0 if all(ok for _, ok, _ in checks) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
