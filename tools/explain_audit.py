@@ -29,7 +29,11 @@ def check(name: str, ok: bool, detail: str = "") -> None:
     print(("PASS " if ok else "FAIL ") + name + ("" if ok else f" — {detail}"))
 
 
-def plan_of(df) -> str:
+def plan_of(df, execute: bool = False) -> str:
+    if execute:
+        # AQE only finalizes (and annotates codegen: "*(n)") the plan of the
+        # EXACT frame that ran — count() would execute a different plan
+        df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -50,7 +54,7 @@ def main() -> int:
 
     # --- kNN ---------------------------------------------------------------
     knn = knn_join(spark, docs_geo, qpts, k=10)
-    p = plan_of(knn)
+    p = plan_of(knn, execute=True)
     sections.append(("kNN join", p))
     check("knn: candidate join is broadcast", "BroadcastHashJoin" in p)
     check("knn: no SortMergeJoin on the doc side", "SortMergeJoin" not in p)
@@ -59,7 +63,9 @@ def main() -> int:
     big_exchanges = [e for e in exchanges if "query_id" in e]
     check("knn: rank shuffle keyed by query_id", len(big_exchanges) >= 1,
           f"exchanges={exchanges}")
-    check("knn: codegen on the distance math", "WholeStageCodegen" in p)
+    check("knn: codegen on the distance math", "*(" in p)
+    check("knn: map-side partial top-k before the shuffle",
+          p.count("WindowGroupLimit") >= 2)
 
     # --- parquet pushdown ----------------------------------------------------
     filtered = (spark.read.parquet(f"{SF}/documents.parquet")
