@@ -114,6 +114,40 @@ def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("poly_id", "doc_id")
 
 
+def _q_spatial_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index bounds accessor — RTree.getBounds (RTree.cs:2075-2085) as a
+    global MBR aggregate, plus counts per category (Count/TreeHeight-class
+    accessors, RTree.cs:2706-2712)."""
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    return (docs_geo.groupBy("category")
+            .agg(F.count("*").alias("n"),
+                 F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+                 F.max("x").alias("xmax"), F.max("y").alias("ymax")))
+
+
+def _q_spatial_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rect×rect intersects join (Q1 for rect inputs, Rectangle.cs:187-199):
+    per-doc boxes (hash-sized) against the literal query rects, overlap
+    semantics — broadcast nested-loop on the tiny side after cell prune is
+    unnecessary at this rect count; the exact interval predicate is the
+    contract under test."""
+    from mbrngq_spark import geom
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    half = (F.pmod(F.col("doc_id") * 7919 + 13, F.lit(1000))
+            .cast("double") / 1000.0 * 2.0 + 0.25)
+    boxes = (docs_geo
+             .withColumn("bxmin", F.col("x") - half)
+             .withColumn("bymin", F.col("y") - half)
+             .withColumn("bxmax", F.col("x") + half)
+             .withColumn("bymax", F.col("y") + half))
+    rects = spark.createDataFrame(H.rects_pdf())
+    pred = geom.rect_intersects(
+        F.col("bxmin"), F.col("bymin"), F.col("bxmax"), F.col("bymax"),
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))
+    return (boxes.join(F.broadcast(rects), pred)
+            .select("rect_id", "doc_id"))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_duplicates(docs)
@@ -251,6 +285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": _q_tile_rollup,
         "cell_catmask": _q_cell_catmask,
         "spatial_pip": _q_spatial_pip,
+        "spatial_bounds": _q_spatial_bounds,
+        "spatial_rect_join": _q_spatial_rect_join,
         "dedup_exact": _q_dedup_exact,
         "text_features": _q_text_features,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -381,6 +417,28 @@ def oracle_sql() -> dict[str, str]:
         WHERE {cross('t.x1', 't.y1', 't.x2', 't.y2', 'g.x', 'g.y')} > 0
           AND {cross('t.x2', 't.y2', 't.x3', 't.y3', 'g.x', 'g.y')} > 0
           AND {cross('t.x3', 't.y3', 't.x1', 't.y1', 'g.x', 'g.y')} > 0
+    """
+
+    spatial_bounds = f"""
+        WITH g AS ({geo})
+        SELECT category, count(*) AS n,
+               min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax
+        FROM g GROUP BY category
+    """
+
+    spatial_rect_join = f"""
+        WITH g AS ({geo}),
+        b AS (
+          SELECT doc_id,
+                 x - h AS bxmin, y - h AS bymin, x + h AS bxmax, y + h AS bymax
+          FROM (SELECT doc_id, x, y,
+                       CAST((doc_id * 7919 + 13) % 1000 AS DOUBLE)
+                       / 1000.0 * 2.0 + 0.25 AS h
+                FROM g))
+        SELECT r.rect_id, b.doc_id
+        FROM b CROSS JOIN {H.rect_values_sql()}
+        WHERE b.bxmin <= r.xmax AND b.bxmax >= r.xmin
+          AND b.bymin <= r.ymax AND b.bymax >= r.ymin
     """
 
     dedup_exact = """
@@ -521,6 +579,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_rollup": tile_rollup,
         "cell_catmask": cell_catmask,
         "spatial_pip": spatial_pip,
+        "spatial_bounds": spatial_bounds,
+        "spatial_rect_join": spatial_rect_join,
         "dedup_exact": dedup_exact,
         "text_features": text_features,
         "ann_cosine_topk": ann_cosine_topk,
