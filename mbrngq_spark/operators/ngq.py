@@ -84,10 +84,14 @@ def candidate_topL(spark: SparkSession, docs_geo: DataFrame,
             .select("query_id", "category", id_col, "x", "y", "dq", "rn"))
 
 
-def _refine_schema(m: int) -> T.StructType:
+def _refine_schema(m: int, id_type: T.DataType | None = None) -> T.StructType:
+    """Output schema; member-id columns inherit the input id type (the
+    input_hint table carries STRING doc ids — int ids are just the common
+    case for the testdata tables)."""
+    id_type = id_type or T.LongType()
     fields = [T.StructField("query_id", T.LongType()),
               T.StructField("group_rank", T.IntegerType())]
-    fields += [T.StructField(f"c{i}_id", T.LongType()) for i in range(m)]
+    fields += [T.StructField(f"c{i}_id", id_type) for i in range(m)]
     fields += [T.StructField("min_dist", T.DoubleType()),
                T.StructField("exact", T.BooleanType())]
     return T.StructType(fields)
@@ -101,19 +105,9 @@ def _make_refine(m: int, k: int, L: int, cat_totals: dict[int, int]):
     of one member per category is scored with GetGroupMinDist
     (RTree.cs:938-966) and the top-k by (score, id-tuple) are kept."""
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["query_id"].iloc[0])
-        per_cat = []
-        for c in range(m):
-            sub = pdf[pdf["category"] == c].sort_values("rn")
-            if len(sub) == 0:
-                return pd.DataFrame()  # a category is empty → no groups exist
-            per_cat.append(sub)
-
-        xs = [s["x"].to_numpy(np.float64) for s in per_cat]
-        ys = [s["y"].to_numpy(np.float64) for s in per_cat]
-        ids = [s["doc_id"].to_numpy(np.int64) for s in per_cat]
-        dqs = [s["dq"].to_numpy(np.float64) for s in per_cat]
+    def enumerate_topk(xs, ys, ids, dqs):
+        """Dense cross-category enumeration → (top-k order, member_ids,
+        scores) under the deterministic (score, id-tuple) total order."""
         sizes = [len(i) for i in ids]
 
         def expand(a: np.ndarray, axis: int) -> np.ndarray:
@@ -136,16 +130,58 @@ def _make_refine(m: int, k: int, L: int, cat_totals: dict[int, int]):
 
         idx = np.unravel_index(np.arange(score.size), tuple(sizes))
         member_ids = [ids[c][idx[c]] for c in range(m)]
-        # deterministic total order: (score, c0_id, .., c{m-1}_id)
         order = np.lexsort(tuple(member_ids[::-1]) + (score,))[:k]
+        return order, member_ids, score
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        per_cat = []
+        for c in range(m):
+            sub = pdf[pdf["category"] == c].sort_values("rn")
+            if len(sub) == 0:
+                return pd.DataFrame()  # a category is empty → no groups exist
+            per_cat.append(sub)
+
+        xs = [s["x"].to_numpy(np.float64) for s in per_cat]
+        ys = [s["y"].to_numpy(np.float64) for s in per_cat]
+        # no dtype cast: int64 for long ids, object for string ids —
+        # np.lexsort only needs orderable keys
+        ids = [s["doc_id"].to_numpy() for s in per_cat]
+        dqs = [s["dq"].to_numpy(np.float64) for s in per_cat]
+        sizes = [len(i) for i in ids]
+
+        # theta tightening (≡ RTree.cs:1961-1970): a cheap prefix enumeration
+        # yields an upper bound T on the kth-best score; every candidate with
+        # dq > T is provably outside the top-k (score ≥ max member dq), so
+        # the full enumeration runs on the pruned lists — this keeps the
+        # dense product small even at large L
+        pre = [min(s, 12) for s in sizes]
+        if any(p < s for p, s in zip(pre, sizes)):
+            order0, _, score0 = enumerate_topk(
+                [a[:p] for a, p in zip(xs, pre)],
+                [a[:p] for a, p in zip(ys, pre)],
+                [a[:p] for a, p in zip(ids, pre)],
+                [a[:p] for a, p in zip(dqs, pre)])
+            if len(order0) >= k:
+                T = score0[order0[-1]]
+                keep = [dq <= T for dq in dqs]
+                xs = [a[kp] for a, kp in zip(xs, keep)]
+                ys = [a[kp] for a, kp in zip(ys, keep)]
+                ids = [a[kp] for a, kp in zip(ids, keep)]
+                dqs = [a[kp] for a, kp in zip(dqs, keep)]
+
+        order, member_ids, score = enumerate_topk(xs, ys, ids, dqs)
 
         # exactness: kth best truncated score must not exceed the L-th
-        # candidate distance of any truncated category (see module doc)
+        # candidate distance of any truncated category (see module doc).
+        # NOTE: uses the ORIGINAL per-category lists' last dq (pre-pruning
+        # never drops anything the bound needs — pruning only removed
+        # candidates that cannot affect kth)
         kth = score[order[-1]] if len(order) else np.inf
         exact = True
         for c in range(m):
             truncated = sizes[c] >= L and cat_totals.get(c, 0) > sizes[c]
-            if truncated and kth > dqs[c][-1]:
+            if truncated and kth > per_cat[c]["dq"].iloc[-1]:
                 exact = False
 
         out = {"query_id": np.full(len(order), qid, dtype=np.int64),
@@ -159,14 +195,37 @@ def _make_refine(m: int, k: int, L: int, cat_totals: dict[int, int]):
     return refine
 
 
+def _nearest_group_once(spark: SparkSession, docs_geo: DataFrame,
+                        queries: pd.DataFrame, k: int, L: int, res: int,
+                        cfg: EngineConfig,
+                        stats: pd.DataFrame) -> DataFrame:
+    m = cfg.m
+    cat_totals = {int(c): int(v) for c, v in
+                  stats.groupby("category")["n"].sum().items()}
+    cands = candidate_topL(spark, docs_geo, queries, L, res, cfg, stats=stats)
+    refine = _make_refine(m, k, L, cat_totals)
+    id_type = docs_geo.schema["doc_id"].dataType
+    return (cands
+            .repartition("query_id")
+            .groupBy("query_id")
+            .applyInPandas(refine, schema=_refine_schema(m, id_type)))
+
+
 def nearest_group(spark: SparkSession, docs_geo: DataFrame,
                   queries: pd.DataFrame, k: int | None = None,
                   L: int | None = None, res: int | None = None,
-                  cfg: EngineConfig = DEFAULT) -> DataFrame:
+                  cfg: EngineConfig = DEFAULT,
+                  max_rounds: int = 4) -> DataFrame:
     """Top-k nearest groups per query point (SURVEY.md Q4).
 
     Returns (query_id, group_rank, c0_id..c{m-1}_id, min_dist, exact),
-    group_rank 1..k ordered by (min_dist, id tuple)."""
+    group_rank 1..k ordered by (min_dist, id tuple).
+
+    ADAPTIVE: queries whose L-truncation bound fails (dense-cluster inputs —
+    the GaussianIsland regime, DataGenerators.cs:30-83) are retried with L
+    doubled, up to ``max_rounds`` times — the distributed analog of the
+    reference widening its search until theta certifies the answer. The
+    in-kernel theta prune keeps large-L refines cheap."""
     k = k or cfg.k
     L = L or cfg.ngq_candidates
     m = cfg.m
@@ -174,14 +233,25 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
         from mbrngq_spark.operators.knn import choose_planner_res
         res = choose_planner_res(docs_geo.count() // m, L, cfg)
 
-    # ONE stats job feeds both the planner and the per-category totals
-    # (the totals drive the exactness flag — see _make_refine)
+    # ONE stats job feeds the planner, the per-category totals (exactness
+    # flag), and every escalation round
     stats = cell_stats(docs_geo, res, cfg).toPandas()
-    cat_totals = {int(k): int(v) for k, v in
-                  stats.groupby("category")["n"].sum().items()}
-    cands = candidate_topL(spark, docs_geo, queries, L, res, cfg, stats=stats)
-    refine = _make_refine(m, k, L, cat_totals)
-    return (cands
-            .repartition("query_id")
-            .groupBy("query_id")
-            .applyInPandas(refine, schema=_refine_schema(m)))
+
+    remaining = queries
+    done: DataFrame | None = None
+    for _ in range(max_rounds):
+        out = _nearest_group_once(spark, docs_geo, remaining, k, L, res,
+                                  cfg, stats).localCheckpoint(eager=True)
+        bad = [r.query_id for r in
+               out.filter(~F.col("exact")).select("query_id")
+               .distinct().collect()]
+        good = out.filter(~F.col("query_id").isin(bad)) if bad else out
+        done = good if done is None else done.unionByName(good)
+        if not bad:
+            return done
+        remaining = remaining[remaining["query_id"].isin(bad)]
+        L *= 2
+    # final round: whatever is left is returned with exact=False visible
+    out = _nearest_group_once(spark, docs_geo, remaining, k, L, res,
+                              cfg, stats)
+    return done.unionByName(out) if done is not None else out

@@ -24,7 +24,7 @@ def ngq_bruteforce(docs: pd.DataFrame, qx: float, qy: float,
         return pd.DataFrame()
     xs = [p.x.to_numpy(np.float64) for p in per_cat]
     ys = [p.y.to_numpy(np.float64) for p in per_cat]
-    ids = [p.doc_id.to_numpy(np.int64) for p in per_cat]
+    ids = [p.doc_id.to_numpy() for p in per_cat]
     sizes = [len(i) for i in ids]
 
     def expand(a, axis):
