@@ -81,21 +81,23 @@ def lsh_candidate_pairs(sigs: DataFrame, num_hashes: int = 16, bands: int = 4,
     standard production-dedup guard; dropped buckets are near-identical
     families better handled by exact dedup first)."""
     rows = num_hashes // bands
-    pairs = None
-    for b in range(bands):
-        bucketed = sigs.select(
-            F.col(id_col).alias("id"),
-            F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows), F.lit(b))
-            .alias("bucket"))
-        ok = (bucketed.groupBy("bucket").count()
-              .filter(F.col("count") <= max_bucket).select("bucket"))
-        bucketed = bucketed.join(F.broadcast(ok), "bucket")
-        other = bucketed.select(F.col("id").alias("id_b"), "bucket")
-        p = (bucketed.join(other, "bucket")
-             .filter(F.col("id") < F.col("id_b"))
-             .select(F.col("id").alias("id_a"), "id_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    band_hashes = F.array(*[
+        F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows), F.lit(b))
+        for b in range(bands)])
+    # ONE pass over the signatures: explode bands → (band, bucket) keys →
+    # one degenerate-bucket filter → one self-join (instead of a per-band
+    # loop of join pipelines — bands× fewer shuffles and jobs)
+    bucketed = sigs.select(F.col(id_col).alias("id"),
+                           F.posexplode(band_hashes).alias("band", "bucket"))
+    ok = (bucketed.groupBy("band", "bucket").count()
+          .filter(F.col("count") <= max_bucket)
+          .select("band", "bucket"))
+    bucketed = bucketed.join(F.broadcast(ok), ["band", "bucket"])
+    other = bucketed.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (bucketed.join(other, ["band", "bucket"])
+            .filter(F.col("id") < F.col("id_b"))
+            .select(F.col("id").alias("id_a"), "id_b")
+            .distinct())
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
