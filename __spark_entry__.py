@@ -148,6 +148,45 @@ def _q_spatial_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rect_id", "doc_id"))
 
 
+def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup: per-cell stats at two
+    resolutions in one table; the coarse level is derivable from the fine
+    level by Morton parent truncation (grid.cell_parent ≡ cell >> 2·Δ) —
+    the distributed CalculateBitArray pyramid (RTree.cs:209-247)."""
+    from mbrngq_spark import grid
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    levels = []
+    for res in (2, H.MASK_RES):
+        levels.append(
+            docs_geo
+            .withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"),
+                                                 res, H.CFG))
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_docs"),
+                 F.bit_or(F.expr("shiftleft(1, category)"))
+                 .cast("long").alias("catmask"))
+            .withColumn("res", F.lit(res).cast("int")))
+    return levels[0].unionByName(levels[1])         .select("res", "cell", "n_docs", "catmask")
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection on a corpus with planted duplicates
+    (ids+10000 exact, ids+20000 one-token-perturbed). The LSH candidate
+    stage is xxhash64-seeded (not replicable in DuckDB) → the oracle is the
+    exact Jaccard-threshold pair set; the entry passes exactly when LSH
+    recall on the planted corpus is 1.0 at these (H, bands) — deterministic,
+    since every hash is seeded."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")         .filter(F.col("doc_id") < 60).select("doc_id", "text")
+    exact = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.lit("zzz"), F.substring("text", 4, 1000000)).alias("text"))
+    corpus = base.unionByName(exact).unionByName(near)
+    out = dedup.near_duplicates_minhash(corpus, threshold=0.6,
+                                        num_hashes=16, bands=8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_duplicates(docs)
@@ -176,8 +215,9 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 300).select("doc_id", "text")
     a = docs.select(F.col("doc_id").alias("id_a"))
     b = docs.select(F.col("doc_id").alias("id_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    out = dedup.jaccard_pairs(docs, pairs)
+    pairs = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .repartition(16))
+    out = dedup.jaccard_pairs(docs, pairs, shingle_side="docs")
     return (out.filter(F.col("jaccard") >= 0.03)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
@@ -225,6 +265,32 @@ def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id",
                        text.lang_id_udf()(F.col("text")).alias("lang_pred"))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline plumbing: interleaved spans → media-asset table
+    (binary payload + typed meta) → Arrow-batched decode/featurize
+    (mapInPandas; codecs stubbed — deterministic features). Rows-only
+    check: UDF output has no SQL twin; determinism is pytest-verified
+    across partitionings."""
+    from mbrngq_spark.operators import multimodal as mm
+    from mbrngq_spark.sources.synth import documents_spans
+    media = mm.media_table(documents_spans(spark, 300))
+    feats = mm.extract_features(media)
+    return feats.select("doc_id", "media_ref", "kind",
+                        F.size("features").alias("n_features"))
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH multiprobe (the 100 TB
+    scale path next to the exact baseline). Seeded → deterministic, but the
+    bucket hashing has no DuckDB twin → rows-only; recall vs the exact
+    baseline is pytest-verified."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 4)                  .select(F.col("vec_id").alias("q_id"), "embedding")
+    out = similarity.cosine_topk_lsh(emb, queries, k=10, dim=dim)
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
 def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _q_tile_assign,
         "tile_rollup": _q_tile_rollup,
         "cell_catmask": _q_cell_catmask,
+        "cell_pyramid": _q_cell_pyramid,
+        "minhash_near_dups": _q_minhash_near_dups,
         "spatial_pip": _q_spatial_pip,
         "spatial_bounds": _q_spatial_bounds,
         "spatial_rect_join": _q_spatial_rect_join,
@@ -294,6 +362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "agg_stats": _q_agg_stats,
         "text_langid": _q_text_langid,
+        "media_features": _q_media_features,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "agg_pricing": _q_agg_pricing,
         "join_orders_nation": _q_join_orders_nation,
         "window_top_orders": _q_window_top_orders,
@@ -405,6 +475,42 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs,
                bit_or(CAST(1 << category AS BIGINT)) AS catmask
         FROM g GROUP BY 1
+    """
+
+    pyr_levels = []
+    for res in (2, H.MASK_RES):
+        qx_r = H.quantize_sql("g.x", H.CFG.min_x, H.CFG.width, res)
+        qy_r = H.quantize_sql("g.y", H.CFG.min_y, H.CFG.height, res)
+        pyr_levels.append(f"""
+        SELECT CAST({res} AS INT) AS res,
+               {H.morton_sql(f'({qx_r})', f'({qy_r})', res)} AS cell,
+               count(*) AS n_docs,
+               bit_or(CAST(1 << category AS BIGINT)) AS catmask
+        FROM g GROUP BY 2""")
+    cell_pyramid = f"""
+        WITH g AS ({geo})
+        {' UNION ALL '.join(pyr_levels)}
+    """
+
+    minhash_near_dups = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 20000, 'zzz' || substr(text, 4)
+          FROM documents WHERE doc_id < 60),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus))
+        SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE j >= 0.6
     """
 
     # convex CCW triangles: inside ⇔ all three edge cross-products > 0
@@ -578,6 +684,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": tile_assign,
         "tile_rollup": tile_rollup,
         "cell_catmask": cell_catmask,
+        "cell_pyramid": cell_pyramid,
+        "minhash_near_dups": minhash_near_dups,
         "spatial_pip": spatial_pip,
         "spatial_bounds": spatial_bounds,
         "spatial_rect_join": spatial_rect_join,

@@ -101,24 +101,44 @@ def lsh_candidate_pairs(sigs: DataFrame, num_hashes: int = 16, bands: int = 4,
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  shingle_side: str = "pairs") -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage).
+    Returns (id_a, id_b, jaccard).
 
-    Texts are joined to the pair list FIRST, so shingles are built only for
-    rows that survive the join (Catalyst will not hoist an expensive
-    projection below a join by itself; at corpus scale candidates are a
-    sliver of n and this ordering is the difference between O(pairs) and
-    O(corpus) shingle builds). Returns (id_a, id_b, jaccard)."""
-    texts = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    joined = (pairs
-              .join(texts.select(F.col("id").alias("id_a"),
-                                 F.col("t").alias("t_a")), "id_a")
-              .join(texts.select(F.col("id").alias("id_b"),
-                                 F.col("t").alias("t_b")), "id_b")
-              .withColumn("sh_a", shingles_col(F.col("t_a")))
-              .withColumn("sh_b", shingles_col(F.col("t_b"))))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    ``shingle_side`` picks where the (expensive) shingle construction runs:
+    - 'pairs' (default): texts join to the pair list FIRST and shingles are
+      built per surviving pair row — O(pairs) shingle builds. Right when
+      candidates are a sliver of n (the LSH production case; Catalyst will
+      not hoist an expensive projection below a join by itself).
+    - 'docs': shingles are built once per doc BEFORE the join — O(docs)
+      builds, reused across pairs. Right for dense pair sets (all-pairs
+      verification), where pairs ≫ docs."""
+    if shingle_side == "docs":
+        sh = docs.select(F.col(id_col).alias("id"),
+                         shingles_col(F.col(text_col)).alias("sh")) \
+                 .withColumn("n_sh", F.size(F.col("sh")))
+        joined = (pairs
+                  .join(sh.select(F.col("id").alias("id_a"),
+                                  F.col("sh").alias("sh_a"),
+                                  F.col("n_sh").alias("n_a")), "id_a")
+                  .join(sh.select(F.col("id").alias("id_b"),
+                                  F.col("sh").alias("sh_b"),
+                                  F.col("n_sh").alias("n_b")), "id_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.col("n_a") + F.col("n_b") - inter
+    else:
+        texts = docs.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("t"))
+        joined = (pairs
+                  .join(texts.select(F.col("id").alias("id_a"),
+                                     F.col("t").alias("t_a")), "id_a")
+                  .join(texts.select(F.col("id").alias("id_b"),
+                                     F.col("t").alias("t_b")), "id_b")
+                  .withColumn("sh_a", shingles_col(F.col("t_a")))
+                  .withColumn("sh_b", shingles_col(F.col("t_b"))))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (joined
             .withColumn("jaccard", inter.cast("double") / union.cast("double"))
             .select("id_a", "id_b", "jaccard"))
