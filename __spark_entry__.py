@@ -267,6 +267,34 @@ def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                        text.lang_id_udf()(F.col("text")).alias("lang_pred"))
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs on a corpus with planted exact
+    duplicate vectors (vec_id+50000). LSH bucketing finds identical vectors
+    with probability 1 (same bucket by construction); at threshold 0.999
+    the surviving pairs are exactly the planted ones, which the oracle
+    reproduces with a plain cosine cross join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") < 8)         .select((F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label")
+    corpus = emb.unionByName(dup)
+    dim = len(emb.select("embedding").first()[0])
+    out = similarity.embedding_near_dups(corpus, threshold=0.999, dim=dim)
+    return out.select("id_a", "id_b", "cos")
+
+
+def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash at hamming distance 0 on a corpus with planted exact text
+    duplicates (doc_id+30000): identical texts → identical 64-bit sketches,
+    and 64 bits of sign-sum make accidental full-sketch collisions of
+    different random texts vanishingly unlikely — so the oracle is the
+    same-text pair set (md5 equality)."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")         .filter(F.col("doc_id") < 80).select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 30000).alias("doc_id"), "text")
+    corpus = base.unionByName(dup)
+    out = dedup.simhash_near_dups(corpus, max_hamming=0)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline plumbing: interleaved spans → media-asset table
     (binary payload + typed meta) → Arrow-batched decode/featurize
@@ -362,6 +390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "agg_stats": _q_agg_stats,
         "text_langid": _q_text_langid,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "simhash_dups": _q_simhash_dups,
         "media_features": _q_media_features,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "agg_pricing": _q_agg_pricing,
@@ -641,6 +671,35 @@ def oracle_sql() -> dict[str, str]:
         FROM c GROUP BY event_type
     """
 
+    embedding_near_dups = """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 50000, embedding FROM embeddings WHERE vec_id < 8)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                              a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]))), 6) AS cos
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                             a.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]))), 6) >= 0.999
+    """
+
+    simhash_dups = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT doc_id + 30000, text FROM documents WHERE doc_id < 80)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+        FROM corpus a JOIN corpus b
+          ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
+    """
+
     agg_pricing = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
@@ -695,6 +754,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": dedup_jaccard,
         "events_sessionize": events_sessionize,
         "agg_stats": agg_stats,
+        "embedding_near_dups": embedding_near_dups,
+        "simhash_dups": simhash_dups,
         "agg_pricing": agg_pricing,
         "join_orders_nation": join_orders_nation,
         "window_top_orders": window_top_orders,
