@@ -94,6 +94,9 @@ def bench_once(spark, sf_dir: str) -> tuple[dict, dict]:
     run("dedup_minhash",
         lambda: dedup.near_duplicates_minhash(tdocs, threshold=0.7).count(),
         n_t)
+    run("simhash",
+        lambda: dedup.simhash_near_dups(tdocs, max_hamming=3).count(),
+        n_t)
     run("text_features",
         lambda: text.with_text_features(tdocs).select(
             F.sum("fingerprint")).collect(),

@@ -23,10 +23,34 @@ candidate volume the standard MinHash-LSH way.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SHINGLE_N = 3  # word-shingle width
+
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public splitmix64 constants) — seeds the
+    per-family affine parameters without any runtime randomness."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+def _family_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) uint64 arrays: family i maps h ↦ a[i]*h + b[i] (mod 2^64),
+    a[i] odd so the map is a bijection on Z_2^64."""
+    a = np.array([_splitmix64(2 * i + 1) | 1 for i in range(num_hashes)],
+                 dtype=np.uint64)
+    b = np.array([_splitmix64(2 * i + 2) for i in range(num_hashes)],
+                 dtype=np.uint64)
+    return a, b
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
@@ -50,24 +74,61 @@ def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
     return F.array_distinct(sh)
 
 
+def shingle_hashes_col(text: Column, n: int = SHINGLE_N) -> Column:
+    """Each distinct shingle hashed ONCE to int64 JVM-side (xxhash64).
+    Downstream per-family work then touches only longs, never strings."""
+    return F.transform(shingles_col(text, n), lambda s: F.xxhash64(s))
+
+
+def minhash_mix_udf(num_hashes: int = 16):
+    """Vectorized Arrow UDF: array<long> shingle hashes → array<long>[H]
+    MinHash signature, sig[i] = min over shingles of a[i]*h+b[i] (mod 2^64).
+
+    Why not pure Column expressions: the r1 formulation (H nested
+    array_min∘transform HOFs) JIT-compiled for ~250 s per fresh JVM and
+    re-hashed every shingle STRING H times (Catalyst CollapseProject inlines
+    the shingle build into each family lambda). Here strings are hashed once
+    JVM-side (shingle_hashes_col) and the H families are one flat NumPy
+    affine pass over the Arrow batch — map-only, no shuffle, no codegen
+    cliff. Affine-over-xxhash64 is the standard multiply-shift MinHash
+    family; collisions only affect candidate recall, and survivors are
+    exact-Jaccard verified anyway."""
+    a, b = _family_params(num_hashes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def mix(h: pd.Series) -> pd.Series:
+        n = len(h)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(x, dtype=np.int64).view(np.uint64) for x in h]
+        lengths = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
+        # shingles_col guarantees ≥1 shingle/row; guard reduceat regardless
+        if (lengths == 0).any():
+            arrs = [x if len(x) else np.array([0], dtype=np.uint64)
+                    for x in arrs]
+            lengths = np.maximum(lengths, 1)
+        flat = np.concatenate(arrs)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        sigs = np.empty((n, num_hashes), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(num_hashes):
+                sigs[:, i] = np.minimum.reduceat(a[i] * flat + b[i], offsets)
+        out = sigs.view(np.int64)
+        return pd.Series(list(out))
+
+    return mix
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, sig: array<long>[H]): sig[i] = min over shingles of
-    xxhash64(shingle, i).
-
-    ONE nested higher-order expression: the shingle array is evaluated once
-    per row (separate per-sig columns would let Catalyst's CollapseProject
-    inline — and recompute — the shingle construction H times; measured 16×
-    slower). Seeding via an extra hash input gives H independent families
-    without any Python."""
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    sig = F.transform(
-        seeds,
-        lambda seed: F.array_min(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s, seed))))
-    return (docs
-            .select(id_col, shingles_col(F.col(text_col)).alias("sh"))
-            .select(id_col, sig.alias("sig")))
+    """(id, sig: array<long>[H]). Two map-only stages: JVM xxhash64 per
+    distinct shingle (once), then NumPy affine family mixing over Arrow
+    batches — see minhash_mix_udf for why this shape."""
+    return docs.select(
+        id_col,
+        minhash_mix_udf(num_hashes)(
+            shingle_hashes_col(F.col(text_col))).alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, num_hashes: int = 16, bands: int = 4,
@@ -173,28 +234,46 @@ def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7,
     return out
 
 
-def simhash_col(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash, fully JVM-side: per token hash, each bit contributes
-    ±1; the sketch bit is the sign of the sum. Built as a fold over the
-    token array (no explode, no shuffle on the map side)."""
-    toks = F.split(text, " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash_sketch_udf():
+    """Vectorized Arrow UDF: array<long> token hashes → 64-bit SimHash.
+    Bit b of the sketch is 1 iff more than half the token hashes have bit b
+    set (sign of the ±1 contribution sum; tie → 0) — numerically identical
+    to the r1 Column formulation, which built 64 separate
+    aggregate∘transform folds (O(64·tokens) interpreted lambda evals + a
+    giant codegen tree). Here: unpackbits over the flattened batch → one
+    add.reduceat per batch → packbits. Map-only."""
 
-    def bit_contrib(b: int):
-        # unary lambda on purpose — see hasher() note above
-        return lambda h: F.when(
-            F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1)).otherwise(F.lit(-1))
+    @F.pandas_udf(T.LongType())
+    def sketch(h: pd.Series) -> pd.Series:
+        n = len(h)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        arrs = [np.asarray(x, dtype=np.int64).view(np.uint64) for x in h]
+        lengths = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
+        if (lengths == 0).any():
+            # empty token list → all-zero sketch (sum of nothing is 0 → bit 0)
+            arrs = [x if len(x) else np.array([0], dtype=np.uint64)
+                    for x in arrs]
+        flat = np.concatenate(arrs)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(np.maximum(lengths, 1)[:-1], out=offsets[1:])
+        # (flat_len, 64) bit matrix, column b == bit b of the uint64
+        bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little").reshape(-1, 64)
+        ones = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
+        keep = (2 * ones) > lengths[:, None]          # sign(2*ones-len) > 0
+        packed = np.packbits(keep, axis=1, bitorder="little") \
+            .copy().view(np.uint64).ravel().view(np.int64)
+        return pd.Series(packed)
 
-    bit_cols = []
-    for b in range(bits):
-        contrib = F.transform(hashes, bit_contrib(b))
-        s = F.aggregate(contrib, F.lit(0), lambda acc, v: acc + v)
-        bit_cols.append(F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = F.lit(0).cast("long")
-    for b, bc in enumerate(bit_cols):
-        out = out.bitwiseOR(F.shiftleft(bc, b))
-    return out
+    return sketch
+
+
+def simhash_col(text: Column) -> Column:
+    """64-bit SimHash column: JVM-side per-token xxhash64 (once), NumPy
+    sign-of-sum sketch over Arrow batches."""
+    hashes = F.transform(F.split(text, " "), lambda t: F.xxhash64(t))
+    return simhash_sketch_udf()(hashes)
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
