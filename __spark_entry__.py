@@ -69,8 +69,13 @@ def _q_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_spatial_ngq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs_geo = H.load_docs_geo(spark, sf_dir)
-    out = nearest_group(spark, docs_geo, H.queries_pdf(), k=H.NGQ_K, L=H.NGQ_L)
+    # max_rounds=1 pins the engine to the oracle's fixed-L semantics: the
+    # oracle SQL truncates at L per category, while adaptive escalation
+    # would (more correctly) widen L when the exactness bound fails — the
+    # two must be compared under the SAME L or the gate fails by design on
+    # escalation-triggering data. Escalation is exercised by test_ngq.py.
+    out = nearest_group(spark, H.load_docs_geo(spark, sf_dir),
+                        H.queries_pdf(), k=H.NGQ_K, L=H.NGQ_L, max_rounds=1)
     return out.select("query_id",
                       F.col("group_rank").cast("long").alias("group_rank"),
                       "c0_id", "c1_id", "c2_id",
@@ -185,6 +190,21 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.near_duplicates_minhash(corpus, threshold=0.6,
                                         num_hashes=16, bands=8)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH candidate STAGE with the md5 hash family — bit-reproducible
+    in DuckDB (dedup.lsh_candidates_md5), so the banding/bucketing/join
+    logic itself is oracle-checked, not just the verified output. Whatever
+    collides, both engines collide identically — no recall assumption."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 60).select("doc_id", "text")
+    exact = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.lit("zzz"), F.substring("text", 4, 1000000)).alias("text"))
+    corpus = base.unionByName(exact).unionByName(near)
+    return dedup.lsh_candidates_md5(corpus, num_hashes=16, bands=4)
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,9 +331,11 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH multiprobe (the 100 TB
-    scale path next to the exact baseline). Seeded → deterministic, but the
-    bucket hashing has no DuckDB twin → rows-only; recall vs the exact
-    baseline is pytest-verified."""
+    scale path next to the exact baseline). The hyperplanes are plain
+    float64 constants, so the ORACLE recomputes the full LSH semantics —
+    bucket signs, multiprobe mask set, candidate join, exact scoring —
+    verbatim in DuckDB (no recall assumption; recall-vs-exact is a quality
+    dial, pytest-tracked, orthogonal to correctness of the operator)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 4)                  .select(F.col("vec_id").alias("q_id"), "embedding")
@@ -380,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_catmask": _q_cell_catmask,
         "cell_pyramid": _q_cell_pyramid,
         "minhash_near_dups": _q_minhash_near_dups,
+        "minhash_lsh_bands": _q_minhash_lsh_bands,
         "spatial_pip": _q_spatial_pip,
         "spatial_bounds": _q_spatial_bounds,
         "spatial_rect_join": _q_spatial_rect_join,
@@ -543,6 +566,34 @@ def oracle_sql() -> dict[str, str]:
         WHERE j >= 0.6
     """
 
+    minhash_lsh_bands = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 20000, 'zzz' || substr(text, 4)
+          FROM documents WHERE doc_id < 60),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks)-2, 1)+1)])) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+        vals AS (
+          SELECT doc_id, f.i AS fam,
+                 substr(md5(CAST(f.i AS VARCHAR) || chr(1) || s), 1, 15) AS v
+          FROM sh CROSS JOIN range(16) f(i)),
+        sig AS (SELECT doc_id, fam, min(v) AS mv FROM vals
+                GROUP BY doc_id, fam),
+        bands AS (
+          SELECT doc_id, fam // 4 AS band,
+                 string_agg(mv, '|' ORDER BY fam) AS bucket
+          FROM sig GROUP BY doc_id, fam // 4)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
     # convex CCW triangles: inside ⇔ all three edge cross-products > 0
     def cross(ax, ay, bx, by, px, py):
         return f"(({bx}-{ax})*({py}-{ay}) - ({by}-{ay})*({px}-{ax}))"
@@ -690,14 +741,62 @@ def oracle_sql() -> dict[str, str]:
                                                b.embedding::DOUBLE[]))), 6) >= 0.999
     """
 
+    # the sketch is order-INsensitive over the token multiset, so the oracle
+    # for hamming-0 is sorted-token-multiset equality (token permutations of
+    # the same text share a sketch), not raw-text equality
     simhash_dups = """
         WITH corpus AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 80
           UNION ALL
-          SELECT doc_id + 30000, text FROM documents WHERE doc_id < 80)
+          SELECT doc_id + 30000, text FROM documents WHERE doc_id < 80),
+        keyed AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+                 AS mk
+          FROM corpus)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
-        FROM corpus a JOIN corpus b
-          ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
+        FROM keyed a JOIN keyed b
+          ON a.doc_id < b.doc_id AND a.mk = b.mk
+    """
+
+    # ann_lsh_topk: the oracle replays the engine's LSH semantics exactly —
+    # same hyperplane float64 literals (similarity._hyperplanes(64, 8, 42)),
+    # same sign-bucket encoding, same 37 multiprobe masks (radius 2), same
+    # exact scoring of candidates. 6-dp cosine rounding matches the engine
+    # (precedent: ann_cosine_topk hash-matches with list_dot_product).
+    import itertools as _it
+
+    from mbrngq_spark.operators.similarity import _hyperplanes
+    _planes = _hyperplanes(64, 8, 42)
+    _bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in _planes[b])
+        + "]) > 0 THEN {} ELSE 0 END)".format(1 << b)
+        for b in range(8))
+    _masks = [0] + [sum(1 << b for b in bits)
+                    for r in (1, 2)
+                    for bits in _it.combinations(range(8), r)]
+    ann_lsh_topk = f"""
+        WITH eb AS (
+          SELECT vec_id, v, ({_bucket}) AS bucket
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+              FROM eb WHERE vec_id < 4),
+        probes AS (
+          SELECT q_id, qv, xor(q_bucket, m.m) AS bucket
+          FROM q CROSS JOIN (SELECT unnest({_masks}) AS m) m),
+        cand AS (
+          SELECT p.q_id, eb.vec_id,
+                 round(list_dot_product(eb.v, p.qv)
+                       / (sqrt(list_dot_product(eb.v, eb.v))
+                          * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos
+          FROM eb JOIN probes p ON eb.bucket = p.bucket),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rnk
+          FROM cand)
+        SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
     """
 
     agg_pricing = """
@@ -745,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_catmask": cell_catmask,
         "cell_pyramid": cell_pyramid,
         "minhash_near_dups": minhash_near_dups,
+        "minhash_lsh_bands": minhash_lsh_bands,
         "spatial_pip": spatial_pip,
         "spatial_bounds": spatial_bounds,
         "spatial_rect_join": spatial_rect_join,
@@ -756,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_stats": agg_stats,
         "embedding_near_dups": embedding_near_dups,
         "simhash_dups": simhash_dups,
+        "ann_lsh_topk": ann_lsh_topk,
         "agg_pricing": agg_pricing,
         "join_orders_nation": join_orders_nation,
         "window_top_orders": window_top_orders,

@@ -44,8 +44,14 @@ def insert_docs(spark: SparkSession, path: str, new_docs_geo: DataFrame,
     partitions that grew past the threshold is a separate compaction pass
     (run build_index over the touched partitions when stats say so)."""
     indexed, _ = build_index(new_docs_geo, layout, cfg)
-    indexed.write.mode("append").partitionBy("cell_coarse").parquet(path)
-    return indexed.count()
+    # persist so the count reuses the frame the write materialized — without
+    # it the count re-runs the whole build job (stats agg + hot-cell join)
+    indexed = indexed.persist()
+    try:
+        indexed.write.mode("append").partitionBy("cell_coarse").parquet(path)
+        return indexed.count()
+    finally:
+        indexed.unpersist()
 
 
 def delete_docs(spark: SparkSession, path: str, ids: DataFrame,
@@ -66,6 +72,21 @@ def delete_docs(spark: SparkSession, path: str, ids: DataFrame,
                  # they are lazily read from
                  .localCheckpoint(eager=True))
     _dynamic_overwrite(survivors, path)
+    # dynamic overwrite only rewrites partitions PRESENT in the written data:
+    # a partition whose every row was a victim is absent from `survivors`, so
+    # its old files would silently remain — clear those directories explicitly
+    alive = {r.cell_coarse for r in
+             survivors.select("cell_coarse").distinct().collect()}
+    emptied = [c for c in touched if c not in alive]
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(conf)
+        for c in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/cell_coarse={c}")
+            if fs.exists(p):
+                fs.delete(p, True)
     return n_before - survivors.count()
 
 

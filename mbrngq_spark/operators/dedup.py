@@ -161,6 +161,44 @@ def lsh_candidate_pairs(sigs: DataFrame, num_hashes: int = 16, bands: int = 4,
             .distinct())
 
 
+def lsh_candidates_md5(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cross-engine-checkable MinHash-LSH candidate pairs.
+
+    Hash family i of shingle s = substr(md5(i || chr(1) || s), 1, 15): md5
+    hex is identical in Spark and DuckDB and fixed-width lowercase, so the
+    lexicographic MIN is the family minimum in both engines; the band bucket
+    is the '|'-join of the band's family minima in family order. Candidates
+    are therefore bit-reproducible in ANSI SQL — this is the DuckDB twin of
+    the production xxhash64 path (same banding/bucket/join shape, hash
+    family swapped), giving the LSH candidate STAGE itself an oracle (the
+    production entry oracles only the verified output).
+
+    Shape: explode shingles → flat 16-way md5 projection (plain codegen'd
+    expressions — no nested HOF tree, see minhash_mix_udf) → two keyed aggs
+    → band self-join. The two aggregations shuffle by (id) — acceptable for
+    a verification-tier operator; the production path is map-only."""
+    rows = num_hashes // bands
+    sh = docs.select(F.col(id_col).alias("id"),
+                     F.explode(shingles_col(F.col(text_col))).alias("s"))
+    fams = F.array(*[
+        F.substring(F.md5(F.concat(F.lit(f"{i}\x01"), F.col("s"))), 1, 15)
+        for i in range(num_hashes)])
+    sig = (sh.select("id", F.posexplode(fams).alias("fam", "v"))
+           .groupBy("id", "fam").agg(F.min("v").alias("mv")))
+    band = (sig.withColumn("band", F.expr(f"fam div {rows}").cast("int"))
+            .groupBy("id", "band")
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("fam", "mv"))),
+                            lambda st: st["mv"]), "|").alias("bucket")))
+    other = band.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (band.join(other, ["band", "bucket"])
+            .filter(F.col("id") < F.col("id_b"))
+            .select(F.col("id").alias("id_a"), "id_b")
+            .distinct())
+
+
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   shingle_side: str = "pairs") -> DataFrame:

@@ -50,6 +50,25 @@ def test_insert_then_delete_roundtrip(spark, index_path):
     assert stats.agg(F.sum("n")).collect()[0][0] == n0 + 300 - 5
 
 
+def test_delete_entire_partition(spark, index_path):
+    """Deleting EVERY row of a coarse-cell partition must clear its files:
+    dynamic partition overwrite alone leaves a fully-emptied partition's
+    directory untouched (it is absent from the written data)."""
+    idx = spark.read.parquet(index_path)
+    # pick the smallest coarse cell and delete all of its docs
+    cell = (idx.groupBy("cell_coarse").count()
+            .orderBy("count", F.col("cell_coarse")).first())
+    victims = idx.filter(F.col("cell_coarse") == cell.cell_coarse) \
+        .select("doc_id")
+    n_victims = victims.count()
+    n0 = idx.count()
+    deleted = delete_docs(spark, index_path, victims)
+    assert deleted == n_victims
+    back = spark.read.parquet(index_path)
+    assert back.count() == n0 - n_victims
+    assert back.filter(F.col("cell_coarse") == cell.cell_coarse).count() == 0
+
+
 def test_delete_nonexistent_is_noop(spark, index_path):
     n0 = spark.read.parquet(index_path).count()
     ids = spark.createDataFrame(pd.DataFrame({"doc_id": [777_777]}))
