@@ -82,6 +82,35 @@ def _q_spatial_ngq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("min_dist", 6).alias("min_dist"))
 
 
+def _q_spatial_ngq_m5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NGQ with m=5 categories — the reference's Config.m is a free
+    parameter (Config.cs:11; MGroup ctor asserts member count == m,
+    RTree.cs:650-654). Same engine kernel, cfg.m=5; L=8 keeps the oracle's
+    L^m enumeration bounded. max_rounds=1 pins fixed-L semantics (see
+    _q_spatial_ngq)."""
+    from mbrngq_spark.config import EngineConfig
+    cfg5 = EngineConfig(m=H.NGQ5_M)
+    docs_geo = H.load_docs_geo(spark, sf_dir, cfg5)
+    out = nearest_group(spark, docs_geo, H.queries_pdf(), k=H.NGQ5_K,
+                        L=H.NGQ5_L, cfg=cfg5, max_rounds=1)
+    return out.select("query_id",
+                      F.col("group_rank").cast("long").alias("group_rank"),
+                      *[f"c{i}_id" for i in range(H.NGQ5_M)],
+                      F.round("min_dist", 6).alias("min_dist"))
+
+
+def _q_spatial_nearest_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-capped kNN — RTree.Nearest(p, furthestDistance)
+    (RTree.cs:454-474): answers beyond the cap are excluded by contract,
+    so some queries return fewer than k rows."""
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    out = knn_join(spark, docs_geo, H.queries_pdf(), k=H.KNN_K,
+                   max_dist=H.KNN_CAP)
+    return out.select("query_id", "doc_id",
+                      F.col("rank").cast("long").alias("rnk"),
+                      F.round("dist", 6).alias("dist"))
+
+
 def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_geo = H.load_docs_geo(spark, sf_dir)
     return tiles.assign_tiles(docs_geo).select("doc_id", "tile_id")
@@ -396,7 +425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range": _q_spatial_range,
         "spatial_knn": _q_spatial_knn,
         "spatial_nearest": _q_spatial_nearest,
+        "spatial_nearest_capped": _q_spatial_nearest_capped,
         "spatial_ngq": _q_spatial_ngq,
+        "spatial_ngq_m5": _q_spatial_ngq_m5,
         "tile_assign": _q_tile_assign,
         "tile_rollup": _q_tile_rollup,
         "cell_catmask": _q_cell_catmask,
@@ -465,44 +496,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, doc_id, round(dist, 6) AS dist
         FROM ranked WHERE rnk <= 1
     """
+    spatial_nearest_capped = knn_core + f"""
+        , ranked AS (
+          SELECT query_id, doc_id, dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist ASC, doc_id ASC) AS rnk
+          FROM cand WHERE dist <= {H.KNN_CAP})
+        SELECT query_id, doc_id, rnk, round(dist, 6) AS dist
+        FROM ranked WHERE rnk <= {H.KNN_K}
+    """
 
-    ngq_cats = []
-    for c in range(3):
-        ngq_cats.append(f"""
+    def ngq_sql(geo_sql: str, m: int, k: int, L: int) -> str:
+        """Parametric NGQ oracle: per-category top-L truncation, full L^m
+        cross-category enumeration, GetGroupMinDist score = max pairwise
+        member distance + min member-to-q distance (RTree.cs:938-966),
+        top-k under the (score, id-tuple) total order — for any m
+        (Config.cs:11)."""
+        import itertools as _it
+        cats = ",".join(f"""
         c{c} AS (SELECT * FROM (
           SELECT query_id, doc_id, x, y, dq,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY dq ASC, doc_id ASC) AS rn
-          FROM cand WHERE category = {c}) WHERE rn <= {H.NGQ_L})""")
-    spatial_ngq = f"""
-        WITH g AS ({geo}),
+          FROM cand WHERE category = {c}) WHERE rn <= {L})""" for c in range(m))
+        pair_d = [d(f"c{i}.x", f"c{i}.y", f"c{j}.x", f"c{j}.y")
+                  for i, j in _it.combinations(range(m), 2)]
+        inner = f"greatest({', '.join(pair_d)})" if len(pair_d) > 1 else pair_d[0]
+        inter = f"least({', '.join(f'c{i}.dq' for i in range(m))})"
+        id_sel = ", ".join(f"c{i}.doc_id AS c{i}_id" for i in range(m))
+        id_cols = ", ".join(f"c{i}_id" for i in range(m))
+        joins = " ".join(f"JOIN c{i} ON c{i-1}.query_id = c{i}.query_id"
+                         for i in range(1, m))
+        return f"""
+        WITH g AS ({geo_sql}),
         cand AS (
           SELECT q.query_id, g.doc_id, g.x, g.y, g.category,
                  {d('g.x', 'g.y', 'q.qx', 'q.qy')} AS dq
           FROM g CROSS JOIN {H.q_values_sql()}
         ),
-        {','.join(ngq_cats)},
+        {cats},
         grp AS (
-          SELECT c0.query_id,
-                 c0.doc_id AS c0_id, c1.doc_id AS c1_id, c2.doc_id AS c2_id,
-                 greatest({d('c0.x', 'c0.y', 'c1.x', 'c1.y')},
-                          {d('c0.x', 'c0.y', 'c2.x', 'c2.y')},
-                          {d('c1.x', 'c1.y', 'c2.x', 'c2.y')})
-                 + least(c0.dq, c1.dq, c2.dq) AS score
-          FROM c0
-          JOIN c1 ON c0.query_id = c1.query_id
-          JOIN c2 ON c1.query_id = c2.query_id
+          SELECT c0.query_id, {id_sel}, {inner} + {inter} AS score
+          FROM c0 {joins}
         ),
         ranked AS (
-          SELECT query_id, c0_id, c1_id, c2_id, score,
+          SELECT query_id, {id_cols}, score,
                  row_number() OVER (PARTITION BY query_id
-                                    ORDER BY score ASC, c0_id, c1_id, c2_id)
+                                    ORDER BY score ASC, {id_cols})
                  AS group_rank
           FROM grp)
-        SELECT query_id, group_rank, c0_id, c1_id, c2_id,
-               round(score, 6) AS min_dist
-        FROM ranked WHERE group_rank <= {H.NGQ_K}
+        SELECT query_id, group_rank, {id_cols}, round(score, 6) AS min_dist
+        FROM ranked WHERE group_rank <= {k}
     """
+
+    spatial_ngq = ngq_sql(geo, 3, H.NGQ_K, H.NGQ_L)
+    from mbrngq_spark.config import EngineConfig as _EC
+    spatial_ngq_m5 = ngq_sql(H.docs_geo_sql(_EC(m=H.NGQ5_M)),
+                             H.NGQ5_M, H.NGQ5_K, H.NGQ5_L)
 
     n_tile = 1 << H.TILE_RES
     qx_tile = H.quantize_sql("g.x", H.CFG.min_x, H.CFG.width, H.TILE_RES)
@@ -838,7 +888,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_range": spatial_range,
         "spatial_knn": spatial_knn,
         "spatial_nearest": spatial_nearest,
+        "spatial_nearest_capped": spatial_nearest_capped,
         "spatial_ngq": spatial_ngq,
+        "spatial_ngq_m5": spatial_ngq_m5,
         "tile_assign": tile_assign,
         "tile_rollup": tile_rollup,
         "cell_catmask": cell_catmask,

@@ -48,8 +48,12 @@ TRIANGLES = [
 ]
 
 KNN_K = 10
+KNN_CAP = 6.0                  # radius-capped Nearest: excludes some answers
 NGQ_K = 10
 NGQ_L = 32
+NGQ5_M = 5                     # m≠3 coverage (reference Config.m is free)
+NGQ5_K = 5
+NGQ5_L = 8                     # keeps the oracle's L^m cross join bounded
 TILE_RES = CFG.tile_res        # 64×64 row-major tiles
 MASK_RES = 4                   # 16×16 Morton cells for the catmask rollup
 
@@ -96,10 +100,12 @@ def tri_values_sql() -> str:
             f"FROM (VALUES {rows}) AS v(poly_id, x1, y1, x2, y2, x3, y3)) AS t")
 
 
-def docs_geo_sql() -> str:
-    """CTE body deriving (doc_id, x, y, category) — bit-exact vs Spark."""
-    return (f"SELECT doc_id, {derive.x_sql()} AS x, {derive.y_sql()} AS y, "
-            f"{derive.category_sql()} AS category FROM documents")
+def docs_geo_sql(cfg: EngineConfig = CFG) -> str:
+    """CTE body deriving (doc_id, x, y, category) — bit-exact vs Spark.
+    ``cfg`` parametrizes m (category = id-mix mod m)."""
+    return (f"SELECT doc_id, {derive.x_sql(cfg=cfg)} AS x, "
+            f"{derive.y_sql(cfg=cfg)} AS y, "
+            f"{derive.category_sql(cfg=cfg)} AS category FROM documents")
 
 
 def dist_sql(ax: str, ay: str, bx: str, by: str) -> str:
@@ -124,9 +130,10 @@ def morton_sql(ix_expr: str, iy_expr: str, res: int) -> str:
 
 # --- Spark-side derived docs -------------------------------------------------
 
-def load_docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_docs_geo(spark: SparkSession, sf_dir: str,
+                  cfg: EngineConfig = CFG) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return derive.with_geometry(docs).select("doc_id", "x", "y", "category")
+    return derive.with_geometry(docs, cfg).select("doc_id", "x", "y", "category")
 
 
 def tile_id_col():

@@ -69,7 +69,8 @@ def choose_planner_res(n_per_group: int, k: int, cfg: EngineConfig = DEFAULT,
 
 def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
                          k: int, res: int, cfg: EngineConfig = DEFAULT,
-                         per_category: bool = False) -> pd.DataFrame:
+                         per_category: bool = False,
+                         max_dist: float | None = None) -> pd.DataFrame:
     """Vectorized candidate-cell planner.
 
     ``stats``: (cell, [category,] n) — the tiny phase-0 table.
@@ -77,10 +78,12 @@ def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
     Returns (query_id, [category,] cell, radius) rows covering every doc
     that could be a top-k answer; ``radius`` is the per-(query[, category])
     distance bound (any doc farther than it is provably outside the top-k),
-    used to pre-filter rows BEFORE the rank shuffle. Pure NumPy: a Q×C
-    distance matrix over the non-empty cells (C ≤ 4^res). For very large Q
-    this function is called per Arrow batch inside mapInPandas, so no
-    single matrix exceeds batch_size×C.
+    used to pre-filter rows BEFORE the rank shuffle. ``max_dist`` caps the
+    radius (the reference's furthestDistance parameter, RTree.cs:454-474):
+    with a cap the planner prunes whole cells beyond it even when fewer
+    than k docs are reachable. Pure NumPy over the non-empty cells
+    (C ≤ 4^res); for very large Q, knn_join shards the query set and runs
+    this planner per shard inside mapInPandas (see _plan_distributed).
     """
     out_q, out_c, out_cat, out_r = [], [], [], []
     cats = sorted(stats["category"].unique()) if per_category else [None]
@@ -122,7 +125,6 @@ def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
             cy = min(max(int((qy - cfg.min_y) / wy), 0), n - 1)
             if total < k:
                 radius = np.inf
-                take = cells
             else:
                 # smallest half-width h whose (clipped) box holds ≥ k docs
                 lo_h, hi_h = 0, n
@@ -141,6 +143,13 @@ def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
                     qx, qy,
                     cfg.min_x + bx0 * wx, cfg.min_y + by0 * wy,
                     cfg.min_x + (bx1 + 1) * wx, cfg.min_y + (by1 + 1) * wy))
+            # radius cap (Nearest's furthestDistance): answers beyond it are
+            # excluded by contract, so cells beyond it need not be shipped
+            if max_dist is not None:
+                radius = min(radius, float(max_dist))
+            if not np.isfinite(radius):
+                take = cells
+            else:
                 # candidates: non-empty cells with MINDIST ≤ radius, searched
                 # only inside the radius-reach box
                 rx = int(radius / wx) + 1
@@ -175,7 +184,8 @@ def with_cell(docs_geo: DataFrame, res: int, cfg: EngineConfig = DEFAULT) -> Dat
 
 def knn_join(spark: SparkSession, docs_geo: DataFrame, queries: pd.DataFrame,
              k: int, res: int | None = None, cfg: EngineConfig = DEFAULT,
-             keep_ties: bool = False, id_col: str = "doc_id") -> DataFrame:
+             keep_ties: bool = False, id_col: str = "doc_id",
+             max_dist: float | None = None) -> DataFrame:
     """Top-k nearest docs per query point.
 
     ``queries`` is a small pandas frame (query_id, qx, qy) — queries are
@@ -186,6 +196,11 @@ def knn_join(spark: SparkSession, docs_geo: DataFrame, queries: pd.DataFrame,
     all co-minimal answers (RTree.cs:2440-2443) via RANK instead of
     ROW_NUMBER.
 
+    ``max_dist`` is the reference's radius-capped Nearest parameter
+    (``RTree.Nearest(p, furthestDistance)``, RTree.cs:454-474): only
+    answers with dist ≤ max_dist are returned (a query may get fewer than
+    k rows), and the planner prunes whole cells beyond the cap.
+
     With ``res=None`` the planner resolution adapts to the corpus size
     (≈ k docs per cell), and every row entering the rank shuffle is
     pre-filtered by the per-query radius bound — the shuffle carries
@@ -194,7 +209,8 @@ def knn_join(spark: SparkSession, docs_geo: DataFrame, queries: pd.DataFrame,
     if res is None:
         res = choose_planner_res(docs_geo.count(), k, cfg)
     stats = cell_stats(docs_geo, res, cfg).toPandas()
-    cand = plan_candidate_cells(stats, queries, k, res, cfg)
+    cand = plan_candidate_cells(stats, queries, k, res, cfg,
+                                max_dist=max_dist)
 
     cand_df = spark.createDataFrame(cand)
     q_df = spark.createDataFrame(queries)

@@ -42,6 +42,37 @@ def test_knn_matches_bruteforce(spark, docs_geo, docs_pdf, k):
                                    rtol=0, atol=1e-12)
 
 
+@pytest.mark.parametrize("cap", [3.0, 6.0, 150.0])
+def test_knn_radius_cap(spark, docs_geo, docs_pdf, cap):
+    """RTree.Nearest(p, furthestDistance) semantics (RTree.cs:454-474):
+    only answers within the cap, possibly fewer than k per query."""
+    k = 10
+    got = (knn_op.knn_join(spark, docs_geo, QUERIES, k=k, max_dist=cap)
+           .orderBy("query_id", "rank").toPandas())
+    assert (got.dist <= cap).all()
+    for _, q in QUERIES.iterrows():
+        d = np.sqrt((docs_pdf.x - q.qx) ** 2 + (docs_pdf.y - q.qy) ** 2)
+        exp = (docs_pdf.assign(dist=d)[lambda t: t.dist <= cap]
+               .sort_values(["dist", "doc_id"]).head(k))
+        sub = got[got.query_id == q.query_id]
+        assert sub.doc_id.tolist() == exp.doc_id.tolist()
+
+
+def test_knn_cap_with_sparse_population(spark, docs_geo, docs_pdf):
+    # k > population AND a cap: the planner's total<k branch must still prune
+    docs_small = docs_geo.limit(0).unionByName(docs_geo.filter("doc_id < 6"))
+    pdf = docs_small.toPandas()
+    cap = 40.0
+    got = knn_op.knn_join(spark, docs_small, QUERIES, k=50,
+                          max_dist=cap).toPandas()
+    for _, q in QUERIES.iterrows():
+        d = np.sqrt((pdf.x - q.qx) ** 2 + (pdf.y - q.qy) ** 2)
+        exp = pdf.assign(dist=d)[lambda t: t.dist <= cap] \
+            .sort_values(["dist", "doc_id"])
+        sub = got[got.query_id == q.query_id].sort_values("rank")
+        assert sub.doc_id.tolist() == exp.doc_id.tolist()
+
+
 def test_knn_keep_ties_rank_semantics(spark, docs_geo):
     # rank() variant must return >= row_number() variant rows and contain them
     a = knn_op.knn_join(spark, docs_geo, QUERIES, k=5, keep_ties=False).toPandas()

@@ -52,6 +52,28 @@ def test_ngq_matches_bruteforce(spark, docs_geo, docs_pdf, k, L):
                                    exp.min_dist.to_numpy(), rtol=0, atol=1e-9)
 
 
+@pytest.mark.parametrize("m", [2, 4, 5])
+def test_ngq_parametric_m(spark, m):
+    """Config.m is a free parameter in the reference (Config.cs:11) — the
+    engine kernel must be generic over category count, not hardwired m=3."""
+    cfg = EngineConfig(m=m)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs_geo = (derive.with_geometry(docs, cfg)
+                .filter(F.col("doc_id") < 120)
+                .select("doc_id", "x", "y", "category"))
+    pdf = docs_geo.toPandas()
+    assert set(pdf.category.unique()) == set(range(m))
+    got = (nearest_group(spark, docs_geo, QUERIES.head(4), k=3, L=10, cfg=cfg)
+           .orderBy("query_id", "group_rank").toPandas())
+    assert got["exact"].all()
+    for _, q in QUERIES.head(4).iterrows():
+        exp = ngq_bruteforce(pdf, q.qx, q.qy, m=m, k=3)
+        sub = got[got.query_id == q.query_id].reset_index(drop=True)
+        assert len(sub) == len(exp)
+        for c in range(m):
+            assert sub[f"c{c}_id"].tolist() == exp[f"c{c}_id"].tolist()
+
+
 def test_ngq_group_has_one_member_per_category(spark, docs_geo, docs_pdf):
     got = nearest_group(spark, docs_geo, QUERIES, k=5, L=16).toPandas()
     cat_of = dict(zip(docs_pdf.doc_id, docs_pdf.category))
