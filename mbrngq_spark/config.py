@@ -30,6 +30,11 @@ class EngineConfig:
     tile_res: int = 6
     # per-(query, category) candidate cap for the NGQ refine step
     ngq_candidates: int = 32
+    # finest planner resolution: cell_stats is aggregated ONCE at this res
+    # (≤ 4^res·m rows — the hard bound that keeps index metadata
+    # driver/broadcast-sized at any corpus size) and rolled up to whatever
+    # coarser res the query batch wants
+    planner_base_res: int = 8
 
     @property
     def width(self) -> float:

@@ -53,8 +53,20 @@ def cell_stats(docs_geo: DataFrame, res: int,
                  F.max("x").alias("xmax"), F.max("y").alias("ymax")))
 
 
+def rollup_stats(stats: pd.DataFrame, from_res: int, to_res: int) -> pd.DataFrame:
+    """Coarsen a (cell, [category,] n) stats table by Morton-parent
+    truncation (cell >> 2Δ) — the planner consumes stats at any res ≤ the
+    base res without re-scanning the corpus."""
+    if to_res == from_res:
+        return stats
+    assert to_res < from_res, "stats can only be rolled UP (coarser)"
+    out = stats.assign(cell=stats["cell"].to_numpy() >> (2 * (from_res - to_res)))
+    keys = [c for c in ("cell", "category") if c in out.columns]
+    return out.groupby(keys, as_index=False)["n"].sum()
+
+
 def choose_planner_res(n_per_group: int, k: int, cfg: EngineConfig = DEFAULT,
-                       lo: int = 3, hi: int = 12) -> int:
+                       lo: int = 3, hi: int | None = None) -> int:
     """Resolution where a cell holds ≈ k docs of one group (category), so
     the candidate join ships O(k·rings) rows per query instead of whole
     coarse cells — the analog of the R-tree's bounded node fan-out
@@ -62,6 +74,8 @@ def choose_planner_res(n_per_group: int, k: int, cfg: EngineConfig = DEFAULT,
     (x, y), so the planner is free to pick any resolution per query batch."""
     import math
 
+    if hi is None:
+        hi = cfg.planner_base_res
     target_cells = max(n_per_group / max(k, 1), 1.0)
     res = round(math.log(target_cells, 4))
     return max(lo, min(hi, res))
@@ -82,8 +96,9 @@ def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
     radius (the reference's furthestDistance parameter, RTree.cs:454-474):
     with a cap the planner prunes whole cells beyond it even when fewer
     than k docs are reachable. Pure NumPy over the non-empty cells
-    (C ≤ 4^res); for very large Q, knn_join shards the query set and runs
-    this planner per shard inside mapInPandas (see _plan_distributed).
+    (C ≤ 4^res); for very large Q, pass the queries as a Spark DataFrame
+    and this planner runs per Arrow batch inside mapInPandas
+    (plan_cells_distributed).
     """
     out_q, out_c, out_cat, out_r = [], [], [], []
     cats = sorted(stats["category"].unique()) if per_category else [None]
@@ -182,15 +197,72 @@ def with_cell(docs_geo: DataFrame, res: int, cfg: EngineConfig = DEFAULT) -> Dat
     return docs_geo.withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"), res, cfg))
 
 
-def knn_join(spark: SparkSession, docs_geo: DataFrame, queries: pd.DataFrame,
+def plan_cells_distributed(spark: SparkSession, stats: pd.DataFrame,
+                           queries_df: DataFrame, k: int, res: int,
+                           cfg: EngineConfig = DEFAULT,
+                           per_category: bool = False,
+                           max_dist: float | None = None) -> DataFrame:
+    """Large-Q planner: runs plan_candidate_cells per Arrow batch inside
+    mapInPandas over a DISTRIBUTED query table, with the (bounded, ≤4^res·m
+    rows) stats table broadcast to executors. Driver work is O(1) in Q —
+    no per-query Python loop on the driver, no driver-side candidate
+    materialization. Each batch rebuilds the summed-area grid (O(4^res),
+    amortized over the ~10k queries per Arrow batch)."""
+    bc = spark.sparkContext.broadcast(stats)
+    schema = "query_id long, cell long, radius double"
+    if per_category:
+        schema += ", category int"
+
+    def plan_batches(batches):
+        st = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = plan_candidate_cells(st, pdf, k, res, cfg,
+                                       per_category, max_dist)
+            if not len(out):
+                continue
+            out = out.astype({"query_id": "int64", "cell": "int64",
+                              "radius": "float64"})
+            if per_category:
+                out = out.astype({"category": "int32"})
+            yield out
+
+    return (queries_df.select("query_id", "qx", "qy")
+            .mapInPandas(plan_batches, schema=schema))
+
+
+def planner_stats(docs_geo: DataFrame, res: int | None, k_per_group: int,
+                  cfg: EngineConfig = DEFAULT,
+                  groups: int = 1) -> tuple[pd.DataFrame, int]:
+    """ONE corpus scan feeding everything the planner needs: stats are
+    aggregated at cfg.planner_base_res, the corpus size is read off the
+    aggregate (no separate count() scan), the planner res is chosen from
+    it, and the stats are rolled up to that res. Explicit res > base falls
+    back to a direct aggregate at that res."""
+    base = cfg.planner_base_res
+    if res is not None and res > base:
+        return cell_stats(docs_geo, res, cfg).toPandas(), res
+    stats = cell_stats(docs_geo, base, cfg).toPandas()
+    if res is None:
+        n = int(stats["n"].sum())
+        res = choose_planner_res(n // max(groups, 1), k_per_group, cfg)
+    return rollup_stats(stats, base, res), res
+
+
+def knn_join(spark: SparkSession, docs_geo: DataFrame,
+             queries: pd.DataFrame | DataFrame,
              k: int, res: int | None = None, cfg: EngineConfig = DEFAULT,
              keep_ties: bool = False, id_col: str = "doc_id",
              max_dist: float | None = None) -> DataFrame:
     """Top-k nearest docs per query point.
 
-    ``queries`` is a small pandas frame (query_id, qx, qy) — queries are
-    always the broadcast side. Returns (query_id, doc_id, dist, rank)
-    with rank 1..k ordered by (dist, doc_id).
+    ``queries``: (query_id, qx, qy) — EITHER a small pandas frame (planned
+    on the driver, broadcast-joined) OR a Spark DataFrame for large query
+    batches: the planner then runs per Arrow batch inside mapInPandas with
+    the stats broadcast (plan_cells_distributed) and join strategies are
+    left to AQE — driver time is flat in Q. Returns
+    (query_id, doc_id, dist, rank) with rank 1..k ordered by (dist, doc_id).
 
     ``keep_ties=True`` reproduces the reference's Nearest contract of keeping
     all co-minimal answers (RTree.cs:2440-2443) via RANK instead of
@@ -202,23 +274,26 @@ def knn_join(spark: SparkSession, docs_geo: DataFrame, queries: pd.DataFrame,
     k rows), and the planner prunes whole cells beyond the cap.
 
     With ``res=None`` the planner resolution adapts to the corpus size
-    (≈ k docs per cell), and every row entering the rank shuffle is
-    pre-filtered by the per-query radius bound — the shuffle carries
-    O(k·Q) rows regardless of corpus size.
+    (≈ k docs per cell, read off the ONE stats aggregate — no extra count
+    scan), and every row entering the rank shuffle is pre-filtered by the
+    per-query radius bound — the shuffle carries O(k·Q) rows regardless of
+    corpus size.
     """
-    if res is None:
-        res = choose_planner_res(docs_geo.count(), k, cfg)
-    stats = cell_stats(docs_geo, res, cfg).toPandas()
-    cand = plan_candidate_cells(stats, queries, k, res, cfg,
-                                max_dist=max_dist)
-
-    cand_df = spark.createDataFrame(cand)
-    q_df = spark.createDataFrame(queries)
+    stats, res = planner_stats(docs_geo, res, k, cfg)
     docs_c = with_cell(docs_geo, res, cfg)
 
-    joined = (docs_c
-              .join(F.broadcast(cand_df), "cell")
-              .join(F.broadcast(q_df), "query_id")
+    if isinstance(queries, DataFrame):
+        cand_df = plan_cells_distributed(spark, stats, queries, k, res, cfg,
+                                         max_dist=max_dist)
+        joined = docs_c.join(cand_df, "cell").join(queries, "query_id")
+    else:
+        cand = plan_candidate_cells(stats, queries, k, res, cfg,
+                                    max_dist=max_dist)
+        joined = (docs_c
+                  .join(F.broadcast(spark.createDataFrame(cand)), "cell")
+                  .join(F.broadcast(spark.createDataFrame(queries)),
+                        "query_id"))
+    joined = (joined
               .withColumn("dist", geom.dist_point(F.col("x"), F.col("y"),
                                                   F.col("qx"), F.col("qy")))
               .filter(F.col("dist") <= F.col("radius")))

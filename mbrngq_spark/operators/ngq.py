@@ -48,29 +48,39 @@ from pyspark.sql import types as T
 
 from mbrngq_spark import geom
 from mbrngq_spark.config import DEFAULT, EngineConfig
-from mbrngq_spark.operators.knn import cell_stats, plan_candidate_cells, with_cell
+from mbrngq_spark.operators.knn import cell_stats, plan_candidate_cells, \
+    plan_cells_distributed, planner_stats, with_cell
 
 
 def candidate_topL(spark: SparkSession, docs_geo: DataFrame,
-                   queries: pd.DataFrame, L: int, res: int,
+                   queries: pd.DataFrame | DataFrame, L: int, res: int,
                    cfg: EngineConfig = DEFAULT,
                    id_col: str = "doc_id",
                    stats: pd.DataFrame | None = None) -> DataFrame:
     """Phase 1: top-L nearest docs per (query, category).
 
     Returns (query_id, category, doc_id, x, y, dq, rn) with rn ≤ L ordered
-    by (dq, doc_id). The doc side is only broadcast-joined on cell id —
-    never shuffled."""
+    by (dq, doc_id). With pandas ``queries`` the doc side is only
+    broadcast-joined on cell id — never shuffled; with a Spark-DataFrame
+    ``queries`` (large batches) the planner runs distributed per Arrow
+    batch (plan_cells_distributed) and AQE picks the join strategy."""
     if stats is None:
         stats = cell_stats(docs_geo, res, cfg).toPandas()
-    cand = plan_candidate_cells(stats, queries, L, res, cfg, per_category=True)
-    cand_df = spark.createDataFrame(cand)
-    q_df = spark.createDataFrame(queries)
     docs_c = with_cell(docs_geo, res, cfg)
-
-    joined = (docs_c
-              .join(F.broadcast(cand_df), ["cell", "category"])
-              .join(F.broadcast(q_df), "query_id")
+    if isinstance(queries, DataFrame):
+        cand_df = plan_cells_distributed(spark, stats, queries, L, res, cfg,
+                                         per_category=True)
+        joined = (docs_c.join(cand_df, ["cell", "category"])
+                  .join(queries.select("query_id", "qx", "qy"), "query_id"))
+    else:
+        cand = plan_candidate_cells(stats, queries, L, res, cfg,
+                                    per_category=True)
+        joined = (docs_c
+                  .join(F.broadcast(spark.createDataFrame(cand)),
+                        ["cell", "category"])
+                  .join(F.broadcast(spark.createDataFrame(queries)),
+                        "query_id"))
+    joined = (joined
               .withColumn("dq", geom.dist_point(F.col("x"), F.col("y"),
                                                 F.col("qx"), F.col("qy")))
               # provably-sufficient per-(query, category) radius: prune
@@ -212,11 +222,16 @@ def _nearest_group_once(spark: SparkSession, docs_geo: DataFrame,
 
 
 def nearest_group(spark: SparkSession, docs_geo: DataFrame,
-                  queries: pd.DataFrame, k: int | None = None,
+                  queries: pd.DataFrame | DataFrame, k: int | None = None,
                   L: int | None = None, res: int | None = None,
                   cfg: EngineConfig = DEFAULT,
                   max_rounds: int = 4) -> DataFrame:
     """Top-k nearest groups per query point (SURVEY.md Q4).
+
+    ``queries`` may be a small pandas frame (driver-planned, broadcast) or
+    a Spark DataFrame for large query batches — planning, escalation
+    bookkeeping and re-queries then all stay distributed (no driver loop,
+    no collect of query ids).
 
     Returns (query_id, group_rank, c0_id..c{m-1}_id, min_dist, exact),
     group_rank 1..k ordered by (min_dist, id tuple).
@@ -229,27 +244,32 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
     k = k or cfg.k
     L = L or cfg.ngq_candidates
     m = cfg.m
-    if res is None:
-        from mbrngq_spark.operators.knn import choose_planner_res
-        res = choose_planner_res(docs_geo.count() // m, L, cfg)
-
-    # ONE stats job feeds the planner, the per-category totals (exactness
-    # flag), and every escalation round
-    stats = cell_stats(docs_geo, res, cfg).toPandas()
+    # ONE corpus scan feeds the res choice, the planner, the per-category
+    # totals (exactness flag), and every escalation round
+    stats, res = planner_stats(docs_geo, res, L, cfg, groups=m)
+    distributed = isinstance(queries, DataFrame)
 
     remaining = queries
     done: DataFrame | None = None
     for _ in range(max_rounds):
         out = _nearest_group_once(spark, docs_geo, remaining, k, L, res,
                                   cfg, stats).localCheckpoint(eager=True)
-        bad = [r.query_id for r in
-               out.filter(~F.col("exact")).select("query_id")
-               .distinct().collect()]
-        good = out.filter(~F.col("query_id").isin(bad)) if bad else out
+        bad_df = out.filter(~F.col("exact")).select("query_id").distinct()
+        if distributed:
+            none_bad = bad_df.isEmpty()
+            good = out if none_bad else out.join(bad_df, "query_id",
+                                                 "left_anti")
+        else:
+            bad = [r.query_id for r in bad_df.collect()]
+            none_bad = not bad
+            good = out if none_bad else out.filter(
+                ~F.col("query_id").isin(bad))
         done = good if done is None else done.unionByName(good)
-        if not bad:
+        if none_bad:
             return done
-        remaining = remaining[remaining["query_id"].isin(bad)]
+        remaining = (remaining.join(bad_df, "query_id", "left_semi")
+                     if distributed else
+                     remaining[remaining["query_id"].isin(bad)])
         L *= 2
     # final round: whatever is left is returned with exact=False visible
     out = _nearest_group_once(spark, docs_geo, remaining, k, L, res,

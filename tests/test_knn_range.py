@@ -73,6 +73,23 @@ def test_knn_cap_with_sparse_population(spark, docs_geo, docs_pdf):
         assert sub.doc_id.tolist() == exp.doc_id.tolist()
 
 
+def test_knn_distributed_queries_match_pandas_mode(spark, docs_geo):
+    """Large-Q path: queries as a Spark DataFrame (planner inside
+    mapInPandas, broadcast stats) must give identical results to the
+    driver-planned pandas path."""
+    from mbrngq_spark.sources.synth import query_points
+    q_df = query_points(spark, 300)
+    q_pdf = q_df.toPandas()
+    a = (knn_op.knn_join(spark, docs_geo, q_pdf, k=7)
+         .orderBy("query_id", "rank").toPandas())
+    b = (knn_op.knn_join(spark, docs_geo, q_df.repartition(8), k=7)
+         .orderBy("query_id", "rank").toPandas())
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.query_id.tolist() == b.query_id.tolist()
+    np.testing.assert_allclose(a.dist.to_numpy(), b.dist.to_numpy(),
+                               rtol=0, atol=0)
+
+
 def test_knn_keep_ties_rank_semantics(spark, docs_geo):
     # rank() variant must return >= row_number() variant rows and contain them
     a = knn_op.knn_join(spark, docs_geo, QUERIES, k=5, keep_ties=False).toPandas()

@@ -52,6 +52,20 @@ def test_ngq_matches_bruteforce(spark, docs_geo, docs_pdf, k, L):
                                    exp.min_dist.to_numpy(), rtol=0, atol=1e-9)
 
 
+def test_ngq_distributed_queries_match_pandas_mode(spark, docs_geo):
+    """Spark-DataFrame queries (distributed planner + distributed
+    escalation bookkeeping) must equal the pandas-mode output."""
+    q_df = spark.createDataFrame(QUERIES)
+    a = (nearest_group(spark, docs_geo, QUERIES, k=5, L=16)
+         .orderBy("query_id", "group_rank").toPandas())
+    b = (nearest_group(spark, docs_geo, q_df.repartition(4), k=5, L=16)
+         .orderBy("query_id", "group_rank").toPandas())
+    for c in ("query_id", "group_rank", "c0_id", "c1_id", "c2_id"):
+        assert a[c].tolist() == b[c].tolist()
+    np.testing.assert_allclose(a.min_dist.to_numpy(), b.min_dist.to_numpy(),
+                               rtol=0, atol=0)
+
+
 @pytest.mark.parametrize("m", [2, 4, 5])
 def test_ngq_parametric_m(spark, m):
     """Config.m is a free parameter in the reference (Config.cs:11) — the

@@ -77,13 +77,31 @@ def main() -> int:
     check("scan: column pruned", "ReadSchema: struct<doc_id:bigint>" in p)
 
     # --- NGQ -----------------------------------------------------------------
-    ngq = nearest_group(spark, docs_geo, qpts, k=10, L=32)
+    # audit the single-round frame: nearest_group's adaptive loop returns a
+    # localCheckpoint'd result whose lineage (a cached-RDD scan) hides the
+    # join/refine plan from inspection
+    from mbrngq_spark.operators.knn import planner_stats
+    from mbrngq_spark.operators.ngq import _nearest_group_once
+    stats, ngq_res = planner_stats(docs_geo, None, 32, H.CFG, groups=H.CFG.m)
+    ngq = _nearest_group_once(spark, docs_geo, qpts, 10, 32, ngq_res,
+                              H.CFG, stats)
     p = plan_of(ngq)
     sections.append(("NGQ", p))
     check("ngq: candidate join is broadcast", "BroadcastHashJoin" in p)
     check("ngq: refine runs in Arrow (FlatMapGroupsInPandas)",
           "FlatMapGroupsInPandas" in p)
     check("ngq: no doc-side sort-merge", "SortMergeJoin" not in p)
+
+    # --- kNN, large-Q distributed mode ---------------------------------------
+    # queries as a Spark DataFrame: the planner itself must be distributed
+    # (MapInPandas over Arrow query batches), with no driver-side loop
+    from mbrngq_spark.sources.synth import query_points
+    knn_big = knn_join(spark, docs_geo, query_points(spark, 1000), k=10)
+    p = plan_of(knn_big)
+    sections.append(("kNN large-Q (distributed planner)", p))
+    check("knn large-Q: planner runs distributed (MapInPandas)",
+          "MapInPandas" in p)
+    check("knn large-Q: no doc-side cartesian", "CartesianProduct" not in p)
 
     # --- index write partition pruning --------------------------------------
     indexed, _ = build_index(docs_geo, IndexLayout())
