@@ -49,10 +49,11 @@ class EngineConfig:
         """Space diagonal — the reference's globalMaxDist seed (RTree.cs:1056)."""
         return (self.width ** 2 + self.height ** 2) ** 0.5
 
-    @property
-    def full_catmask(self) -> int:
-        """Bitmask with all m categories set — 'dictator' test (Node.cs:199-206)."""
-        return (1 << self.m) - 1
+    # NOTE deliberately NO full_catmask/isDictator helper (Node.cs:199-206):
+    # the reference's catmask-based node skipping is subsumed here by the
+    # per-(cell, category) stats table — the per-category planner only ever
+    # sees cells that CONTAIN that category, so "skip cells lacking a needed
+    # category" happens by construction, one level earlier.
 
 
 DEFAULT = EngineConfig()

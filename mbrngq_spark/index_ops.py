@@ -90,6 +90,23 @@ def delete_docs(spark: SparkSession, path: str, ids: DataFrame,
     return n_before - survivors.count()
 
 
+def insert_docs_snapshot(table, new_docs_geo: DataFrame,
+                         layout: IndexLayout = IndexLayout(),
+                         cfg: EngineConfig = DEFAULT) -> int:
+    """I1 over a SnapshotTable index: encode + append in one committed
+    snapshot — interrupted runs keep serving the previous snapshot and
+    resume by re-running the append (plans/snapshots.py)."""
+    indexed, _ = build_index(new_docs_geo, layout, cfg)
+    return table.append(indexed)
+
+
+def delete_docs_snapshot(table, ids: DataFrame, id_col: str = "doc_id") -> int:
+    """I5 over a SnapshotTable index: copy-on-write keyed delete — only
+    data files holding victims are rewritten, the rest carry over, and
+    readers of older snapshots still see the deleted rows (time travel)."""
+    return table.delete_matching(ids, id_col)
+
+
 def refresh_stats(spark: SparkSession, path: str,
                   cfg: EngineConfig = DEFAULT) -> DataFrame:
     """Recompute per-cell aggregates from the stored index — the bottom-up

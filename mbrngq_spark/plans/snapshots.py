@@ -1,0 +1,198 @@
+"""Snapshot-table layer: Iceberg-semantics tables over plain parquet.
+
+The north rule demands Iceberg tables ("resume from the last committed
+Iceberg snapshot"); this sandbox has no network and no iceberg-spark-runtime
+jar (verified: $SPARK_HOME/jars carries none, no ivy cache), so real Iceberg
+is impossible offline. This module implements the SEMANTICS the engine needs
+from Iceberg — immutable data files + manifest-listed snapshots + atomic
+commits + time travel + copy-on-write row-level ops — over plain parquet,
+with an explicit mapping to the Iceberg features it stands in for:
+
+| here                                | Iceberg                            |
+|-------------------------------------|------------------------------------|
+| ``data/batch-*/part-*.parquet``     | immutable data files               |
+| ``snapshots/snap-<n>.json``         | snapshot + manifest list           |
+| highest complete ``snap-<n>.json``  | catalog's current-snapshot pointer |
+| tmp-write + ``os.replace`` commit   | atomic metadata swap               |
+| ``read(snapshot_id=...)``           | time travel (VERSION AS OF)        |
+| ``delete_where`` / ``merge_upsert`` | copy-on-write DELETE / MERGE INTO  |
+| ``rollback``                        | rollback_to_snapshot               |
+| per-file row counts in manifest     | manifest file stats (pruning)      |
+
+Single-writer is assumed (Iceberg arbitrates concurrent committers through
+the catalog's compare-and-swap; a filesystem sandbox has no catalog).
+Readers never list data directories — they read exactly the files the
+resolved manifest names, so a crash between data write and snapshot commit
+leaves only invisible orphan files (Iceberg's behavior) and the table keeps
+serving the previous snapshot: this is what "resume from the last committed
+snapshot" means for interrupted runs.
+
+The reference app is fully ephemeral (data regenerated per run,
+RTreeViewer.cs:31-92) — table maintenance is engine-new surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    """A parquet table with Iceberg-style snapshot isolation (see module
+    docstring). All mutating ops commit a NEW snapshot; data files are
+    immutable once written."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._snap_dir = os.path.join(path, "snapshots")
+        self._data_dir = os.path.join(path, "data")
+
+    # -- snapshot bookkeeping -------------------------------------------------
+
+    def _snapshot_ids(self) -> list[int]:
+        if not os.path.isdir(self._snap_dir):
+            return []
+        out = []
+        for f in os.listdir(self._snap_dir):
+            if f.startswith("snap-") and f.endswith(".json"):
+                out.append(int(f[5:-5]))
+        return sorted(out)
+
+    def current_snapshot_id(self) -> int | None:
+        ids = self._snapshot_ids()
+        return ids[-1] if ids else None
+
+    def _manifest(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self._snap_dir, f"snap-{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        return [self._manifest(i) for i in self._snapshot_ids()]
+
+    def _commit(self, files: list[dict], operation: str) -> int:
+        """Atomically commit a new snapshot naming exactly ``files``.
+        Write-temp-then-rename: readers either see the complete manifest or
+        none — the crash window leaves only orphan data files."""
+        os.makedirs(self._snap_dir, exist_ok=True)
+        snap_id = (self.current_snapshot_id() or 0) + 1
+        manifest = {
+            "snapshot_id": snap_id,
+            "ts": time.time(),
+            "operation": operation,
+            "files": files,                      # [{path, n_rows}]
+            "n_rows": sum(f["n_rows"] for f in files),
+        }
+        final = os.path.join(self._snap_dir, f"snap-{snap_id}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, final)                   # atomic on POSIX
+        return snap_id
+
+    # -- data-file writing ----------------------------------------------------
+
+    def _write_batch(self, df: DataFrame, tag: str) -> list[dict]:
+        """Write ``df`` as a new immutable batch; return per-file manifest
+        entries (path + row count — the stand-in for Iceberg's per-file
+        column stats)."""
+        batch = os.path.join(self._data_dir,
+                             f"batch-{int(time.time() * 1000)}-{tag}")
+        df.write.mode("error").parquet(batch)
+        back = self.spark.read.parquet(batch)
+        per_file = (back.groupBy(F.input_file_name().alias("p"))
+                    .count().collect())
+        return [{"path": r.p.removeprefix("file:"), "n_rows": r["count"]}
+                for r in per_file]
+
+    # -- public operations ----------------------------------------------------
+
+    def create(self, df: DataFrame) -> int:
+        assert self.current_snapshot_id() is None, "table already exists"
+        return self._commit(self._write_batch(df, "create"), "create")
+
+    def append(self, df: DataFrame) -> int:
+        cur = self._manifest(self.current_snapshot_id())
+        files = cur["files"] + self._write_batch(df, "append")
+        return self._commit(files, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit(self._write_batch(df, "overwrite"), "overwrite")
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table AS OF a snapshot (default: current). Readers see
+        exactly the manifest's files — never uncommitted writes."""
+        snap_id = snapshot_id or self.current_snapshot_id()
+        if snap_id is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        files = [f["path"] for f in self._manifest(snap_id)["files"]]
+        if not files:
+            raise ValueError("empty table snapshot")
+        return self.spark.read.parquet(*files)
+
+    def _touched_files(self, cond) -> tuple[list[str], list[dict]]:
+        """Split current files into (touched by cond, untouched entries)."""
+        cur = self._manifest(self.current_snapshot_id())
+        df = self.read().withColumn("_f", F.input_file_name())
+        touched = {r._f.removeprefix("file:") for r in
+                   df.filter(cond).select("_f").distinct().collect()}
+        untouched = [f for f in cur["files"] if f["path"] not in touched]
+        return sorted(touched), untouched
+
+    def delete_where(self, cond) -> int:
+        """Copy-on-write row-level DELETE: only files containing matches are
+        rewritten (their survivors land in a new batch); untouched files are
+        carried into the new snapshot verbatim."""
+        touched, untouched = self._touched_files(cond)
+        files = list(untouched)
+        if touched:
+            survivors = self.spark.read.parquet(*touched).filter(~cond)
+            if survivors.limit(1).count():
+                files += self._write_batch(survivors, "delete")
+        return self._commit(files, "delete")
+
+    def delete_matching(self, keys: DataFrame, key: str) -> int:
+        """Keyed row-level DELETE (the MERGE ... WHEN MATCHED THEN DELETE
+        form): copy-on-write over only the files holding matching keys,
+        probe and rewrite both as keyed joins."""
+        cur = self._manifest(self.current_snapshot_id())
+        df = self.read().withColumn("_f", F.input_file_name())
+        touched = sorted({r._f.removeprefix("file:") for r in
+                          df.join(F.broadcast(keys), key, "left_semi")
+                          .select("_f").distinct().collect()})
+        files = [f for f in cur["files"] if f["path"] not in touched]
+        if touched:
+            kept = (self.spark.read.parquet(*touched)
+                    .join(F.broadcast(keys), key, "left_anti"))
+            if kept.limit(1).count():
+                files += self._write_batch(kept, "delete")
+        return self._commit(files, "delete")
+
+    def merge_upsert(self, updates: DataFrame, key: str) -> int:
+        """MERGE INTO semantics (matched → update, unmatched → insert) with
+        full-row ``updates``, copy-on-write: rewrite only files holding
+        matched keys. The touched-file probe and the rewrite are both keyed
+        joins (no driver-side key list)."""
+        keys = updates.select(key)
+        cur = self._manifest(self.current_snapshot_id())
+        df = self.read().withColumn("_f", F.input_file_name())
+        touched = sorted({r._f.removeprefix("file:") for r in
+                          df.join(F.broadcast(keys), key, "left_semi")
+                          .select("_f").distinct().collect()})
+        files = [f for f in cur["files"] if f["path"] not in touched]
+        if touched:
+            kept = (self.spark.read.parquet(*touched)
+                    .join(F.broadcast(keys), key, "left_anti"))
+            files += self._write_batch(kept.unionByName(updates), "merge")
+        else:
+            files += self._write_batch(updates, "merge")
+        return self._commit(files, "merge")
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Commit a NEW snapshot that restores an older file set (history is
+        never rewritten — Iceberg's rollback_to_snapshot)."""
+        return self._commit(self._manifest(snapshot_id)["files"], "rollback")

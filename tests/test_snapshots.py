@@ -1,0 +1,127 @@
+"""Snapshot-table layer (plans/snapshots.py): Iceberg semantics on parquet —
+atomic commits, time travel, copy-on-write DELETE/MERGE, rollback, and the
+north-rule resume contract (interrupted run → table serves the last
+committed snapshot)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mbrngq_spark.plans.snapshots import SnapshotTable
+
+
+def _docs(spark, lo, hi, tag="a"):
+    pdf = pd.DataFrame({"doc_id": range(lo, hi),
+                        "text": [f"{tag}-{i}" for i in range(lo, hi)]})
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.create(_docs(spark, 0, 100))
+    return t
+
+
+def test_append_and_time_travel(spark, table):
+    s1 = table.current_snapshot_id()
+    s2 = table.append(_docs(spark, 100, 150))
+    assert table.read().count() == 150
+    assert table.read(snapshot_id=s1).count() == 100   # VERSION AS OF
+    assert [h["operation"] for h in table.history()] == ["create", "append"]
+    assert table.history()[-1]["n_rows"] == 150
+    assert s2 == s1 + 1
+
+
+def test_delete_where_rewrites_only_touched_files(spark, table):
+    table.append(_docs(spark, 100, 150))
+    before = {f["path"] for f in table._manifest(table.current_snapshot_id())["files"]}
+    table.delete_where(F.col("doc_id") < 10)
+    after = table._manifest(table.current_snapshot_id())["files"]
+    # untouched files are carried over verbatim (copy-on-write)
+    assert any(f["path"] in before for f in after)
+    got = table.read()
+    assert got.count() == 140
+    assert got.filter(F.col("doc_id") < 10).count() == 0
+
+
+def test_merge_upsert(spark, table):
+    updates = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [5, 6, 500], "text": ["new-5", "new-6", "new-500"]}))
+    table.merge_upsert(updates, key="doc_id")
+    got = table.read()
+    assert got.count() == 101                          # 2 updated, 1 inserted
+    assert got.filter("doc_id = 5").first().text == "new-5"
+    assert got.filter("doc_id = 500").count() == 1
+    assert got.filter("text = 'a-5'").count() == 0
+
+
+def test_rollback_preserves_history(spark, table):
+    s1 = table.current_snapshot_id()
+    table.delete_where(F.col("doc_id") >= 0)           # delete everything
+    s3 = table.rollback(s1)
+    assert table.read().count() == 100
+    assert s3 > s1                                     # history never rewritten
+    assert [h["operation"] for h in table.history()][-1] == "rollback"
+
+
+def test_crash_between_write_and_commit_is_invisible(spark, table, tmp_path):
+    """Orphan data files (written, never committed) must not be readable —
+    the table keeps serving the last committed snapshot, which is exactly
+    the resume contract for interrupted runs."""
+    orphan = _docs(spark, 900, 950, tag="orphan")
+    orphan.write.parquet(os.path.join(table._data_dir, "batch-orphan-crash"))
+    got = table.read()
+    assert got.count() == 100
+    assert got.filter(F.col("doc_id") >= 900).count() == 0
+    # resume: the next writer simply commits; orphans stay invisible
+    table.append(_docs(spark, 100, 120))
+    assert table.read().count() == 120
+
+
+def test_empty_delete_commits_noop_snapshot(spark, table):
+    s = table.delete_where(F.col("doc_id") > 10_000)
+    assert table.read(snapshot_id=s).count() == 100
+
+
+def test_index_over_snapshot_table(spark, tmp_path):
+    """I1/I5 against a snapshot-backed index: insert commits one snapshot,
+    delete is keyed copy-on-write, and the pre-delete snapshot remains
+    readable (time travel over index history)."""
+    from pyspark.sql import functions as F2
+
+    from mbrngq_spark.index_ops import delete_docs_snapshot, \
+        insert_docs_snapshot
+    from mbrngq_spark.sources.synth import documents_spans, \
+        with_geometry_spans
+    docs = with_geometry_spans(documents_spans(spark, 400)) \
+        .withColumn("doc_id", F2.substring("doc_id", 5, 8).cast("long"))
+    t = SnapshotTable(spark, str(tmp_path / "idx"))
+    # build initial index as the create snapshot
+    from mbrngq_spark.index import IndexLayout, build_index
+    indexed, _ = build_index(docs.filter("doc_id < 300"), IndexLayout())
+    t.create(indexed)
+    s1 = t.current_snapshot_id()
+    insert_docs_snapshot(t, docs.filter("doc_id >= 300"))
+    assert t.read().count() == 400
+    victims = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 350]}))
+    delete_docs_snapshot(t, victims)
+    back = t.read()
+    assert back.count() == 397
+    assert back.filter(F2.col("doc_id").isin([1, 2, 350])).count() == 0
+    assert t.read(snapshot_id=s1).count() == 300       # history intact
+
+
+def test_checkpoint_rows_can_carry_snapshot_ids(spark, table, tmp_path):
+    """The per-partition lineage protocol keyed on snapshot ids: a unit's
+    commit row records the snapshot it produced, and resume reads the last
+    committed one (checkpoint.py's Iceberg mapping, module docstring)."""
+    from mbrngq_spark.plans.checkpoint import lineage_checksum
+    snap = table.append(_docs(spark, 100, 130))
+    ck = lineage_checksum(table.read(snapshot_id=snap))
+    # a lineage row referencing the snapshot reproduces its checksum later
+    assert lineage_checksum(table.read(snapshot_id=snap)) == ck
+    table.delete_where(F.col("doc_id") < 50)           # table moves on
+    assert lineage_checksum(table.read(snapshot_id=snap)) == ck
