@@ -1,6 +1,7 @@
 """Structured Streaming: streamed docs index into the same cells as batch;
 windowed per-cell counts with watermark emit closed windows in append mode."""
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -12,6 +13,117 @@ SRC_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
     T.StructField("ts", T.TimestampType()),
 ])
+
+EV_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def _event_fixture():
+    """Deterministic per-user event times with sub-gap and super-gap jumps
+    (no exact-1800 ties — the two sessionizers differ only on ties)."""
+    rows = []
+    eid = 0
+    for uid in range(6):
+        te = 1000 + uid * 37
+        for j in range(30):
+            rows.append((uid, eid, te))
+            eid += 1
+            # gaps cycle: mostly small, every 7th jumps past the 1800 gap
+            te += 2500 + (uid * 131 + j * 17) % 900 if j % 7 == 6 \
+                else 60 + (uid * 13 + j * 29) % 500
+    return pd.DataFrame(rows, columns=["user_id", "event_id", "te"])
+
+
+def _batch_sessions(spark, pdf):
+    """The batch sessionize query (same composition as the gate entry)."""
+    from pyspark.sql import Window
+    ev = spark.createDataFrame(pdf).select(
+        "user_id", "event_id", F.col("te").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("te", "event_id")
+    new_s = F.when((F.col("te") - F.lag("te").over(w) > 1800)
+                   | F.lag("te").over(w).isNull(), 1).otherwise(0)
+    sess = (ev.withColumn("new_s", new_s)
+            .withColumn("session_idx", F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("te").alias("start_epoch"),
+                 F.max("te").alias("end_epoch")))
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == the batch lag/sum sessionize on
+    the same events (per-user closed sessions; a far-future flush user
+    advances the watermark so every real session times out)."""
+    from mbrngq_spark.streaming.sessionize import sessionize_stateful
+
+    pdf = _event_fixture()
+    src_dir = str(tmp_path / "ev_src")
+    # 4 time-ordered micro-batches, then a flush batch advancing the
+    # watermark far past every session close, then one more batch so the
+    # timeouts (evaluated against the PREVIOUS batch's watermark) fire
+    order = pdf.sort_values(["te", "event_id"]).reset_index(drop=True)
+    chunks = np.array_split(order, 4)
+    far = int(order.te.max()) + 100_000
+    flush1 = pd.DataFrame({"user_id": [999], "event_id": [90001], "te": [far]})
+    flush2 = pd.DataFrame({"user_id": [999], "event_id": [90002],
+                           "te": [far + 10]})
+    for i, chunk in enumerate([*chunks, flush1, flush2]):
+        out = chunk.assign(ts=pd.to_datetime(chunk["te"], unit="s"))
+        spark.createDataFrame(out[["user_id", "event_id", "ts"]], EV_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src_dir)
+
+    src = (spark.readStream.schema(EV_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    sess = sessionize_stateful(src, gap_sec=1800, watermark="10 seconds")
+    q = (sess.writeStream.format("memory").queryName("sess_stateful")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = (spark.sql("select * from sess_stateful").toPandas()
+           .query("user_id != 999")
+           .sort_values(["user_id", "start_epoch"]).reset_index(drop=True))
+    exp = (_batch_sessions(spark, pdf).toPandas()
+           .sort_values(["user_id", "start_epoch"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ("user_id", "n_events", "start_epoch", "end_epoch"):
+        assert got[c].tolist() == exp[c].tolist(), f"mismatch in {c}"
+
+
+def test_session_window_variant_closes_sessions(spark, tmp_path):
+    """Declarative session_window twin: closed sessions appear in append
+    mode and agree with the batch sessions on gap-unambiguous data."""
+    from mbrngq_spark.streaming.sessionize import sessionize_session_window
+
+    pdf = _event_fixture()
+    src_dir = str(tmp_path / "ev_src_sw")
+    order = pdf.sort_values(["te", "event_id"]).reset_index(drop=True)
+    far = int(order.te.max()) + 100_000
+    flush = pd.DataFrame({"user_id": [999], "event_id": [90001], "te": [far]})
+    for chunk in [*np.array_split(order, 3), flush]:
+        out = chunk.assign(ts=pd.to_datetime(chunk["te"], unit="s"))
+        spark.createDataFrame(out[["user_id", "event_id", "ts"]], EV_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src_dir)
+
+    src = (spark.readStream.schema(EV_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    sess = sessionize_session_window(src, gap="30 minutes",
+                                     watermark="10 seconds")
+    q = (sess.writeStream.format("memory").queryName("sess_window")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = (spark.sql("select * from sess_window").toPandas()
+           .query("user_id != 999")
+           .sort_values(["user_id", "start_epoch"]).reset_index(drop=True))
+    exp = (_batch_sessions(spark, pdf).toPandas()
+           .sort_values(["user_id", "start_epoch"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ("user_id", "n_events", "start_epoch", "end_epoch"):
+        assert got[c].tolist() == exp[c].tolist(), f"mismatch in {c}"
 
 
 def test_stream_matches_batch_cells(spark, tmp_path):
