@@ -372,6 +372,18 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN tier (similarity.cosine_topk_ivf): pivot-based inverted
+    lists, nprobe probing, exact candidate scoring — fully reproduced by
+    the oracle (pivots are data rows, the assignment argmin is 6-dp-rounded
+    with pivot-id ties, so both engines bucket identically)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    out = similarity.cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=4)
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregate (scan→filter→groupBy·agg coverage,
     SURVEY.md §2.5). Money in integer cents so sums are order-independent
@@ -448,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": _q_simhash_dups,
         "media_features": _q_media_features,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "agg_pricing": _q_agg_pricing,
         "join_orders_nation": _q_join_orders_nation,
         "window_top_orders": _q_window_top_orders,
@@ -849,6 +862,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
     """
 
+    # ann_ivf_topk: the oracle replays pivot-IVF exactly — pivots are the 16
+    # lowest-id embedding rows; assignment/probing rank pivots by
+    # round(-cos, 6) with pivot-id ties (row_number), matching the engine's
+    # array_min/array_sort over (negc, pid) structs.
+    _cosp = ("round(-(list_dot_product(e.v, p.pv)"
+             " / (sqrt(list_dot_product(e.v, e.v))"
+             " * sqrt(list_dot_product(p.pv, p.pv)))), 6)")
+    ann_ivf_topk = f"""
+        WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pivots AS (SELECT vec_id AS pid, v AS pv FROM eb
+                   ORDER BY vec_id LIMIT 16),
+        pscore AS (
+          SELECT e.vec_id, {_cosp} AS negc, p.pid
+          FROM eb e CROSS JOIN pivots p),
+        assign AS (
+          SELECT vec_id, pid AS pivot FROM (
+            SELECT vec_id, pid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY negc, pid) AS rn
+            FROM pscore) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, pid AS pivot FROM (
+            SELECT vec_id, pid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY negc, pid) AS rn
+            FROM pscore WHERE vec_id < 4) WHERE rn <= 4),
+        cand AS (
+          SELECT pr.q_id, a.vec_id,
+                 round(list_dot_product(e.v, q.v)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+          FROM assign a
+          JOIN probes pr ON a.pivot = pr.pivot
+          JOIN eb e ON e.vec_id = a.vec_id
+          JOIN eb q ON q.vec_id = pr.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rnk
+          FROM cand)
+        SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
+    """
+
     agg_pricing = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
@@ -909,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": embedding_near_dups,
         "simhash_dups": simhash_dups,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "agg_pricing": agg_pricing,
         "join_orders_nation": join_orders_nation,
         "window_top_orders": window_top_orders,

@@ -108,6 +108,67 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int,
             .select(q_id_col, id_col, "cos", "rnk"))
 
 
+def _neg_cos_rounded(vec: Column, lit_vec: Column) -> Column:
+    """round(-cos(vec, lit), 6) — the IVF assignment measure. Rounded BEFORE
+    the argmin so pivot assignment is reproducible across engines (6-dp
+    cosine via ordered fold matches DuckDB list_dot_product — the proven
+    ann_cosine_topk pattern); ties then break on pivot id."""
+    return F.round(-(_dot(vec, lit_vec) / (_norm(vec) * _norm(lit_vec))), 6)
+
+
+def _pivot_structs(vec: Column, pivots: list[tuple[int, list[float]]]) -> Column:
+    return F.array(*[
+        F.struct(_neg_cos_rounded(vec, F.array(*[F.lit(float(x)) for x in pv]))
+                 .alias("negc"),
+                 F.lit(int(pid)).cast("long").alias("pid"))
+        for pid, pv in pivots])
+
+
+def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
+                    nlist: int = 16, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "q_id") -> DataFrame:
+    """IVF (inverted-file) ANN: the third tier next to the exact baseline
+    and hyperplane LSH.
+
+    - pivots   = the ``nlist`` lowest-id corpus vectors (deterministic,
+                 data-resident — a k-means refinement would improve list
+                 balance but makes the assignment untestable cross-engine;
+                 pivot IVF keeps the exact inverted-list structure).
+    - assign   = each corpus vector joins the inverted list of its max-cosine
+                 pivot (spherical-IVF measure; 6-dp rounding + pivot-id ties
+                 make the argmin deterministic in both engines).
+    - probe    = each query scans only its ``nprobe`` nearest lists;
+                 candidates get exact cosine + window top-k.
+
+    At 100 TB the corpus is written partitioned by ``pivot`` (the inverted
+    lists), so a probe is partition pruning — same scale story as the LSH
+    bucket table, but with data-adaptive regions instead of fixed
+    hyperplanes."""
+    pivots = [(r[0], list(r[1])) for r in
+              corpus.select(id_col, vec_col).orderBy(id_col)
+              .limit(nlist).collect()]
+
+    structs = _pivot_structs(F.col(vec_col), pivots)
+    c = corpus.withColumn("pivot", F.array_min(structs)["pid"])
+    q = (queries
+         .withColumn("probe", F.transform(
+             F.slice(F.array_sort(_pivot_structs(F.col(vec_col), pivots)),
+                     1, nprobe),
+             lambda s: s["pid"]))
+         .select(q_id_col, F.col(vec_col).alias("q_vec"),
+                 F.explode("probe").alias("pivot")))
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / \
+        (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))
+    scored = (c.join(F.broadcast(q), "pivot")
+              .withColumn("cos", F.round(cos, 6)))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                             F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(q_id_col, id_col, "cos", "rnk"))
+
+
 def embedding_near_dups(corpus: DataFrame, threshold: float, dim: int,
                         n_planes: int = 8, seed: int = 42,
                         id_col: str = "vec_id",
