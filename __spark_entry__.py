@@ -111,6 +111,17 @@ def _q_spatial_nearest_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("dist", 6).alias("dist"))
 
 
+def _q_spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-distance self-join (operators/distance_join.py): grid-bucketed
+    all-pairs-within-eps — each qualifying pair found exactly once via the
+    3×3 neighbor-cell equi-join, verified against the oracle's quadratic
+    distance filter."""
+    from mbrngq_spark.operators.distance_join import distance_join
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    out = distance_join(docs_geo, docs_geo, eps=H.EPS_JOIN, self_join=True)
+    return out.select("a_id", "b_id", F.round("dist", 6).alias("dist"))
+
+
 def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_geo = H.load_docs_geo(spark, sf_dir)
     return tiles.assign_tiles(docs_geo).select("doc_id", "tile_id")
@@ -449,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_pip": _q_spatial_pip,
         "spatial_bounds": _q_spatial_bounds,
         "spatial_rect_join": _q_spatial_rect_join,
+        "spatial_distance_join": _q_spatial_distance_join,
         "dedup_exact": _q_dedup_exact,
         "text_features": _q_text_features,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -566,6 +578,14 @@ def oracle_sql() -> dict[str, str]:
     from mbrngq_spark.config import EngineConfig as _EC
     spatial_ngq_m5 = ngq_sql(H.docs_geo_sql(_EC(m=H.NGQ5_M)),
                              H.NGQ5_M, H.NGQ5_K, H.NGQ5_L)
+
+    spatial_distance_join = f"""
+        WITH g AS ({geo})
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round({d('a.x', 'a.y', 'b.x', 'b.y')}, 6) AS dist
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE {d('a.x', 'a.y', 'b.x', 'b.y')} <= {H.EPS_JOIN}
+    """
 
     n_tile = 1 << H.TILE_RES
     qx_tile = H.quantize_sql("g.x", H.CFG.min_x, H.CFG.width, H.TILE_RES)
@@ -956,6 +976,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_pip": spatial_pip,
         "spatial_bounds": spatial_bounds,
         "spatial_rect_join": spatial_rect_join,
+        "spatial_distance_join": spatial_distance_join,
         "dedup_exact": dedup_exact,
         "text_features": text_features,
         "ann_cosine_topk": ann_cosine_topk,

@@ -118,10 +118,11 @@ def scaling_worker(cores: int, sf_dir: str) -> None:
     contaminates the second measurement). Prints one JSON line
     {cores, sec, docs_per_sec, calib_sec}.
 
-    - flagship  = index build + 1000-query NGQ batch over a 16×-headline
-      parquet table (written once, reused) — parquet input, not .cache():
-      columnar scan is the realistic input path and avoids JVM object-cache
-      GC dominating the measurement.
+    - flagship  = index build + 1000-query NGQ batch + MinHash near-dup
+      sweep over a 16×-headline parquet table (written once, reused) —
+      parquet input, not .cache(): columnar scan is the realistic input
+      path and avoids JVM object-cache GC dominating the measurement.
+      Dedup text = the concatenated span texts (the interleaved payload).
     - calib     = embarrassingly-parallel pure-codegen aggregate over the
       SAME input under the SAME protocol: its speedup is the HOST+JVM
       ceiling; the engine's efficiency is meaningful relative to it
@@ -149,10 +150,21 @@ def scaling_worker(cores: int, sf_dir: str) -> None:
         geo = docs.drop("spans")
         qpts = query_points(spark, 1000).toPandas()
 
+        from mbrngq_spark.operators import dedup
+
         t0 = time.time()
         build_index(docs, IndexLayout())[0].write.mode("overwrite") \
             .format("noop").save()
         nearest_group(spark, geo, qpts, k=10, L=32).count()
+        # dedup leg: MinHash near-dups over the concatenated span texts of a
+        # deterministic 1/8 sample (keeps one flagship run a few minutes at
+        # the low core count; the sweep is still >1M docs end-to-end)
+        texts = (docs
+                 .filter(F.pmod(F.xxhash64("doc_id", F.lit("s")), F.lit(8)) == 0)
+                 .select("doc_id",
+                         F.array_join(F.transform("spans", lambda s: s["text"]),
+                                      " ").alias("text")))
+        dedup.near_duplicates_minhash(texts, threshold=0.7).count()
         dt = time.time() - t0
 
         # chained hashing makes the calibration CPU-bound (a bare scan is
@@ -171,7 +183,7 @@ def scaling_worker(cores: int, sf_dir: str) -> None:
         spark.stop()
 
 
-def scaling_run(sf_dir: str) -> dict:
+def scaling_run(sf_dir: str, pair: str) -> dict:
     """Same flagship job at N and 4N cores on the SAME input → throughput at
     both + efficiency (BASELINE.json north rule; a real N→4N executor
     cluster is out of scope in this sandbox — driver instruction allows
@@ -185,7 +197,6 @@ def scaling_run(sf_dir: str) -> dict:
     (same-JVM reuse skews the second run)."""
     import subprocess
 
-    pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8")
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     lo, hi = (int(c) for c in pair.split(","))
     results: dict = {}
@@ -219,10 +230,10 @@ def scaling_run(sf_dir: str) -> dict:
     return results
 
 
-def write_baseline_md(sf_dir: str, times: dict, rates: dict, scaling: dict) -> None:
+def write_baseline_md(sf_dir: str, times: dict, rates: dict,
+                      scalings: list[dict]) -> None:
     os.makedirs("BENCH", exist_ok=True)
     n_docs = N_DOCS.get(_sf_tag(sf_dir), 600_000)
-    lo, hi = (int(c) for c in scaling["pair"].split("->"))
     lines = [
         "# BENCH/BASELINE.md — measured engine numbers",
         "",
@@ -236,41 +247,48 @@ def write_baseline_md(sf_dir: str, times: dict, rates: dict, scaling: dict) -> N
     ]
     for q in times:
         lines.append(f"| {q} | {times[q]} | {rates[q]} |")
+    for scaling in scalings:
+        lo, hi = (int(c) for c in scaling["pair"].split("->"))
+        lines += [
+            "",
+            f"## Scaling: local[{lo}] → local[{hi}] "
+            f"(sandbox proxy for N → {hi // lo}N executors)",
+            "",
+            "| cores | wall sec | docs/sec |",
+            "| --- | --- | --- |",
+            f"| {lo} | {scaling[lo]['sec']} | {scaling[lo]['docs_per_sec']} |",
+            f"| {hi} | {scaling[hi]['sec']} | {scaling[hi]['docs_per_sec']} |",
+            "",
+            f"speedup {lo}→{hi} ({hi // lo}× cores): **{scaling['speedup']}×**",
+            "",
+            f"scaling efficiency (speedup/{hi // lo}): "
+            f"**{scaling['scaling_efficiency']}** "
+            f"(target ≥ 0.8 per BASELINE.json)",
+            "",
+            f"calibration job (embarrassingly-parallel pure-codegen aggregate, "
+            f"same input/protocol): speedup {scaling['calib_speedup']}× → "
+            f"host+JVM ceiling efficiency {scaling['calib_efficiency']}",
+            "",
+            f"**engine efficiency normalized to the host ceiling: "
+            f"{scaling['normalized_efficiency']}** — the fraction of the "
+            f"achievable parallel speedup the engine's partitioning retains.",
+        ]
     lines += [
         "",
-        f"## Scaling: local[{lo}] → local[{hi}] (sandbox proxy for N → 4N executors)",
-        "",
-        "| cores | wall sec | docs/sec |",
-        "| --- | --- | --- |",
-        f"| {lo} | {scaling[lo]['sec']} | {scaling[lo]['docs_per_sec']} |",
-        f"| {hi} | {scaling[hi]['sec']} | {scaling[hi]['docs_per_sec']} |",
-        "",
-        f"speedup {lo}→{hi} ({hi // lo}× cores): **{scaling['speedup']}×**",
-        "",
-        f"scaling efficiency (speedup/{hi // lo}): **{scaling['scaling_efficiency']}** "
-        f"(target ≥ 0.8 per BASELINE.json)",
-        "",
-        f"calibration job (embarrassingly-parallel pure-codegen aggregate, "
-        f"same input/protocol): speedup {scaling['calib_speedup']}× → "
-        f"host+JVM ceiling efficiency {scaling['calib_efficiency']}",
-        "",
-        f"**engine efficiency normalized to the host ceiling: "
-        f"{scaling['normalized_efficiency']}** — the fraction of the "
-        f"achievable parallel speedup the engine's partitioning retains.",
-        "",
-        "Methodology: flagship = index build + 1000-query NGQ batch over a "
-        "16×-headline parquet table; the two levels run INTERLEAVED in "
-        "fresh processes, min of SPARK_GRAFT_SCALE_REPS (default 3) per "
-        "level (this sandbox host jitters ±50% run-to-run). A real N→4N "
-        "executor cluster is out of scope here (driver instruction): "
-        "single-JVM local mode shares one GC across all task threads and "
-        "the 32 vCPUs are hyperthread pairs, so even an embarrassingly "
-        "parallel Spark job cannot reach efficiency 1.0 — the calibration "
-        "row quantifies exactly that ceiling; `local-cluster[N,1,m]` "
-        "(separate executor JVMs) was tried and is dominated by loopback "
-        "shuffle serialization, scaling worse. On a real cluster the "
-        "engine adds one broadcast + one keyed shuffle per query batch, "
-        "both of which scale with executors by construction.",
+        "Methodology: flagship = index build + 1000-query NGQ batch + "
+        "MinHash near-dup sweep over a 16×-headline parquet table; the two "
+        "levels of each pair run INTERLEAVED in fresh processes, min of "
+        "SPARK_GRAFT_SCALE_REPS (default 3) per level (this sandbox host "
+        "jitters ±50% run-to-run). A real N→4N executor cluster is out of "
+        "scope here (driver instruction): single-JVM local mode shares one "
+        "GC across all task threads and the 32 vCPUs are hyperthread "
+        "pairs, so even an embarrassingly parallel Spark job cannot reach "
+        "efficiency 1.0 — the calibration row quantifies exactly that "
+        "ceiling; `local-cluster[N,1,m]` (separate executor JVMs) was "
+        "tried and is dominated by loopback shuffle serialization, scaling "
+        "worse. On a real cluster the engine adds one broadcast + one "
+        "keyed shuffle per query batch, both of which scale with executors "
+        "by construction.",
     ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -289,9 +307,11 @@ def main() -> None:
     finally:
         spark.stop()
 
-    scaling = scaling_run(SF_DIR) if do_scaling else None
-    if scaling:
-        write_baseline_md(SF_DIR, times, rates, scaling)
+    scalings = None
+    if do_scaling:
+        pairs = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(";")
+        scalings = [scaling_run(SF_DIR, p) for p in pairs]
+        write_baseline_md(SF_DIR, times, rates, scalings)
 
     out = {
         "metric": "engine headline wall time (index+kNN+NGQ+tiles+dedup+text+ANN)",
@@ -301,8 +321,8 @@ def main() -> None:
         "docs_per_sec": rates,
         "sf": _sf_tag(SF_DIR),
     }
-    if scaling:
-        out["scaling"] = {str(k): v for k, v in scaling.items()}
+    if scalings:
+        out["scaling"] = [{str(k): v for k, v in s.items()} for s in scalings]
     print(json.dumps(out))
 
 

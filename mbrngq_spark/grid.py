@@ -57,6 +57,12 @@ def cell_encode(x: Column, y: Column, res: int,
     return _spread_bits(ix).bitwiseOR(F.shiftleft(_spread_bits(iy), 1)).cast("long")
 
 
+def cell_from_indices(ix: Column, iy: Column) -> Column:
+    """(ix, iy) grid indices → Morton cell id (callers clip to [0, 2^res))."""
+    return _spread_bits(ix).bitwiseOR(F.shiftleft(_spread_bits(iy), 1)) \
+        .cast("long")
+
+
 def cell_parent(cell: Column, levels: int = 1) -> Column:
     """Parent cell id ``levels`` resolutions up (Morton truncation)."""
     return F.shiftright(cell, 2 * levels)

@@ -49,6 +49,7 @@ TRIANGLES = [
 
 KNN_K = 10
 KNN_CAP = 6.0                  # radius-capped Nearest: excludes some answers
+EPS_JOIN = 2.0                 # ε-distance self-join radius
 NGQ_K = 10
 NGQ_L = 32
 NGQ5_M = 5                     # m≠3 coverage (reference Config.m is free)

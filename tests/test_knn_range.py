@@ -115,6 +115,42 @@ def test_range_query_matches_bruteforce(spark, docs_geo, docs_pdf):
         assert sorted(sub.doc_id) == sorted(exp.doc_id)
 
 
+@pytest.mark.parametrize("eps", [0.5, 2.0, 9.0])
+def test_distance_join_matches_bruteforce(spark, docs_geo, docs_pdf, eps):
+    """Grid ε-join == quadratic filter; each unordered pair exactly once."""
+    from mbrngq_spark.operators.distance_join import distance_join
+    got = (distance_join(docs_geo, docs_geo, eps=eps, self_join=True)
+           .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    a = docs_pdf.rename(columns={"doc_id": "a_id"})
+    m = a.merge(docs_pdf.rename(columns={"doc_id": "b_id"}), how="cross",
+                suffixes=("_a", "_b"))
+    m = m[m.a_id < m.b_id]
+    d = np.sqrt((m.x_a - m.x_b) ** 2 + (m.y_a - m.y_b) ** 2)
+    exp = m.assign(dist=d)[lambda t: t.dist <= eps] \
+        .sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    assert got[["a_id", "b_id"]].values.tolist() == \
+        exp[["a_id", "b_id"]].values.tolist()
+    assert len(got) == len(got.drop_duplicates(["a_id", "b_id"]))
+    np.testing.assert_allclose(got.dist.to_numpy(), exp.dist.to_numpy(),
+                               rtol=0, atol=1e-12)
+
+
+def test_distance_join_two_tables(spark, docs_geo, docs_pdf):
+    from mbrngq_spark.operators.distance_join import distance_join
+    left = docs_geo.filter("doc_id < 100")
+    right = docs_geo.filter("doc_id >= 100")
+    got = distance_join(left, right, eps=3.0).toPandas()
+    lp = docs_pdf[docs_pdf.doc_id < 100]
+    rp = docs_pdf[docs_pdf.doc_id >= 100]
+    m = (lp.rename(columns={"doc_id": "a_id"})
+         .merge(rp.rename(columns={"doc_id": "b_id"}), how="cross",
+                suffixes=("_a", "_b")))
+    d = np.sqrt((m.x_a - m.x_b) ** 2 + (m.y_a - m.y_b) ** 2)
+    exp = m.assign(dist=d)[lambda t: t.dist <= 3.0]
+    assert (set(map(tuple, got[["a_id", "b_id"]].values))
+            == set(map(tuple, exp[["a_id", "b_id"]].values)))
+
+
 def test_knn_more_than_population(spark, docs_geo, docs_pdf):
     # k greater than doc count → return all docs, ranked
     n = len(docs_pdf)
