@@ -255,8 +255,8 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.with_text_features(docs) \
-        .select("doc_id", "n_tokens", "n_stop", "avg_token_len",
-                "quality", "fingerprint")
+        .select("doc_id", "n_tokens", "n_tokens_bpe", "n_stop",
+                "avg_token_len", "quality", "fingerprint")
 
 
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,7 +729,11 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(ord(substr(text, u.i, 1)) * u.i) % {H.FP_PRIME} AS BIGINT) AS fingerprint
           FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
           GROUP BY doc_id)
-        SELECT b.doc_id, b.n_tokens, b.n_stop,
+        SELECT b.doc_id, b.n_tokens,
+               CAST(len(regexp_extract_all(b.text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT)
+               AS n_tokens_bpe,
+               b.n_stop,
                round(CAST(length(b.text) - (b.n_tokens - 1) AS DOUBLE)
                      / b.n_tokens, 6) AS avg_token_len,
                round(least(CAST(b.n_tokens AS DOUBLE) / 200.0, 1.0) * 0.5

@@ -32,6 +32,16 @@ def substr_hits_col(text: Column, needle: str) -> Column:
             / F.lit(n)).cast("long")
 
 
+BPE_PAT = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def n_tokens_bpe_col(text: Column) -> Column:
+    """BPE-ish subword-count proxy: letter runs + single digits + single
+    non-alnum marks (the GPT-2 pre-tokenizer's shape, ASCII-simplified so
+    the Java and RE2 regex dialects agree — cross-engine checkable)."""
+    return F.regexp_count(text, F.lit(BPE_PAT)).cast("long")
+
+
 def fingerprint_col(text: Column) -> Column:
     """Order-sensitive document fingerprint: sum(code(c_i) * i) mod P over
     1-based char positions — a positional rolling hash kept SQL-reproducible
@@ -60,6 +70,7 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         * F.lit(0.5), 6)
     return (docs
             .withColumn("n_tokens", nt)
+            .withColumn("n_tokens_bpe", n_tokens_bpe_col(t))
             .withColumn("n_stop", stop.cast("long"))
             .withColumn("avg_token_len", F.round(avg_token_len_col(t), 6))
             .withColumn("quality", quality)
