@@ -46,6 +46,21 @@ def with_stream_geometry(stream: DataFrame, id_col: str = "doc_id",
     return out.withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"), res, cfg))
 
 
+def dedup_stream(stream: DataFrame, text_col: str = "text",
+                 ts_col: str = "ts",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup — the stream twin of dedup.exact_duplicates'
+    digest discipline: keep the FIRST arrival per text digest, drop
+    duplicates arriving within the watermark horizon
+    (dropDuplicatesWithinWatermark keeps state bounded by the horizon; at
+    100 TB/day the state is one digest row per distinct doc in the window,
+    never the raw text)."""
+    return (stream
+            .withColumn("text_md5", F.md5(F.col(text_col)))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["text_md5"]))
+
+
 def windowed_cell_counts(stream: DataFrame, ts_col: str = "ts",
                          window: str = "1 minute",
                          watermark: str = "2 minutes") -> DataFrame:

@@ -54,6 +54,37 @@ def _batch_sessions(spark, pdf):
                  F.max("te").alias("end_epoch")))
 
 
+def test_stream_dedup_keeps_first_arrival(spark, tmp_path):
+    """Streaming exact dedup: planted duplicate texts across micro-batches
+    collapse to one row per digest (within the watermark horizon)."""
+    from mbrngq_spark.streaming.cell_stream import dedup_stream
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType()),
+                           T.StructField("ts", T.TimestampType())])
+    src_dir = str(tmp_path / "dedup_src")
+    # 3 micro-batches; texts repeat across batches (i % 40 → 40 distinct)
+    for b in range(3):
+        pdf = pd.DataFrame({
+            "doc_id": [b * 100 + i for i in range(100)],
+            "text": [f"text-{(b * 100 + i) % 40}" for i in range(100)],
+            "ts": pd.to_datetime(b * 60, unit="s"),
+        })
+        spark.createDataFrame(pdf, schema).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (dedup_stream(src, watermark="10 minutes")
+         .writeStream.format("memory").queryName("dedup_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from dedup_s").toPandas()
+    assert len(got) == 40                      # one row per distinct text
+    assert got.text.nunique() == 40
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionizer == the batch lag/sum sessionize on
     the same events (per-user closed sessions; a far-future flush user
