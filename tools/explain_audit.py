@@ -103,6 +103,27 @@ def main() -> int:
           "MapInPandas" in p)
     check("knn large-Q: no doc-side cartesian", "CartesianProduct" not in p)
 
+    # --- ε-distance join ------------------------------------------------------
+    from mbrngq_spark.operators.distance_join import distance_join
+    dj = distance_join(docs_geo, docs_geo, eps=2.0, self_join=True)
+    p = plan_of(dj, execute=True)
+    sections.append(("distance join", p))
+    check("distance-join: no cartesian product", "CartesianProduct" not in p)
+    check("distance-join: single cell-key equi-join",
+          p.count("Join") >= 1 and "BroadcastNestedLoopJoin" not in p)
+    check("distance-join: codegen on the distance predicate", "*(" in p)
+
+    # --- dedup sketch path ----------------------------------------------------
+    from mbrngq_spark.operators.dedup import minhash_signatures
+    docs_t = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = minhash_signatures(docs_t)
+    p = plan_of(sig)
+    sections.append(("minhash signatures", p))
+    check("minhash: family mixing is Arrow-vectorized (ArrowEvalPython)",
+          "ArrowEvalPython" in p)
+    check("minhash: map-only (no Exchange before the sketch)",
+          "Exchange" not in p)
+
     # --- index write partition pruning --------------------------------------
     indexed, _ = build_index(docs_geo, IndexLayout())
     path = "/tmp/plan_audit_idx"
