@@ -124,8 +124,38 @@ def _pivot_structs(vec: Column, pivots: list[tuple[int, list[float]]]) -> Column
         for pid, pv in pivots])
 
 
+def ivf_train_kmeans(corpus: DataFrame, nlist: int = 16, iters: int = 8,
+                     sample: int = 20_000, seed: int = 42,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Spherical k-means centroids for IVF list balance (the optional
+    refinement over raw pivot-IVF): a bounded deterministic hash-sample is
+    pulled to the driver (ORDER BY xxhash64(id) LIMIT sample — at any
+    corpus size the driver sees ≤ sample rows) and Lloyd-iterated in NumPy
+    on L2-normalized vectors. Returns (centroid_id, vector) pairs in the
+    shape cosine_topk_ivf expects. Centroids are DERIVED data — the gate
+    oracle keeps using data-resident pivots; k-means quality is
+    pytest-tracked (recall + list balance)."""
+    rows = (corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(sample).collect())
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)            # spherical E-step
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return [(c, cent[c].tolist()) for c in range(len(cent))]
+
+
 def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
                     nlist: int = 16, nprobe: int = 4,
+                    centroids: list[tuple[int, list[float]]] | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     q_id_col: str = "q_id") -> DataFrame:
     """IVF (inverted-file) ANN: the third tier next to the exact baseline
@@ -144,10 +174,11 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
     At 100 TB the corpus is written partitioned by ``pivot`` (the inverted
     lists), so a probe is partition pruning — same scale story as the LSH
     bucket table, but with data-adaptive regions instead of fixed
-    hyperplanes."""
-    pivots = [(r[0], list(r[1])) for r in
-              corpus.select(id_col, vec_col).orderBy(id_col)
-              .limit(nlist).collect()]
+    hyperplanes. Pass ``centroids`` (e.g. from ivf_train_kmeans) to swap
+    the default data-resident pivots for trained list centers."""
+    pivots = centroids or [(r[0], list(r[1])) for r in
+                           corpus.select(id_col, vec_col).orderBy(id_col)
+                           .limit(nlist).collect()]
 
     structs = _pivot_structs(F.col(vec_col), pivots)
     c = corpus.withColumn("pivot", F.array_min(structs)["pid"])

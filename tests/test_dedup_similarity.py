@@ -114,6 +114,45 @@ def test_lsh_topk_recall_on_clustered_vectors(spark):
     assert hits / total >= 0.8, f"LSH recall too low: {hits}/{total}"
 
 
+def test_ivf_recall_and_kmeans_balance(spark):
+    """IVF on planted clusters: pivot-IVF finds neighbors; k-means-trained
+    centroids (spherical Lloyd on a driver sample) give high recall AND a
+    more balanced list histogram than raw data-resident pivots."""
+    rng = np.random.default_rng(7)
+    dim = 32
+    centers = rng.standard_normal((40, dim))
+    vecs = np.repeat(centers, 10, axis=0) + \
+        0.15 * rng.standard_normal((400, dim))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(400),
+        "embedding": [v.astype("float32").tolist() for v in vecs],
+    })
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.filter(F.col("vec_id") % 50 == 0) \
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = similarity.cosine_topk_bruteforce(corpus, queries, k=10).toPandas()
+
+    def recall(approx):
+        hits = total = 0
+        for q in exact.q_id.unique():
+            e = set(exact[exact.q_id == q]["vec_id"])
+            a = set(approx[approx.q_id == q]["vec_id"])
+            hits += len(e & a)
+            total += len(e)
+        return hits / total
+
+    km = similarity.ivf_train_kmeans(corpus, nlist=16, iters=8, sample=400)
+    got_km = similarity.cosine_topk_ivf(corpus, queries, k=10, nlist=16,
+                                        nprobe=4, centroids=km).toPandas()
+    assert recall(got_km) >= 0.8, "k-means IVF recall too low"
+    got_piv = similarity.cosine_topk_ivf(corpus, queries, k=10, nlist=16,
+                                         nprobe=4).toPandas()
+    assert recall(got_piv) >= 0.5
+    # determinism: same seed → identical centroids
+    km2 = similarity.ivf_train_kmeans(corpus, nlist=16, iters=8, sample=400)
+    assert km == km2
+
+
 def test_embedding_near_dups_self_consistency(spark, emb):
     # plant an exact duplicate vector
     dup = emb.filter(F.col("vec_id") == 0) \
