@@ -118,8 +118,8 @@ def scaling_worker(cores: int, sf_dir: str) -> None:
     contaminates the second measurement). Prints one JSON line
     {cores, sec, docs_per_sec, calib_sec}.
 
-    - flagship  = index build + 1000-query NGQ batch + MinHash near-dup
-      sweep over a 16×-headline parquet table (written once, reused) —
+    - flagship  = index build + 20k-query distributed NGQ batch + MinHash
+      near-dup sweep over a 16×-headline parquet table (written once, reused) —
       parquet input, not .cache(): columnar scan is the realistic input
       path and avoids JVM object-cache GC dominating the measurement.
       Dedup text = the concatenated span texts (the interleaved payload).
@@ -148,14 +148,18 @@ def scaling_worker(cores: int, sf_dir: str) -> None:
              .repartition(64).write.mode("overwrite").parquet(path))
         docs = spark.read.parquet(path)
         geo = docs.drop("spans")
-        qpts = query_points(spark, 1000).toPandas()
+        # queries as a DISTRIBUTED DataFrame: planning runs on executors
+        # (plan_cells_distributed) — the pandas mode's driver-side planner
+        # loop is serial and would cap measured scaling at any core count
+        qdf = query_points(spark, 20_000).repartition(4 * cores).cache()
+        qdf.count()
 
         from mbrngq_spark.operators import dedup
 
         t0 = time.time()
         build_index(docs, IndexLayout())[0].write.mode("overwrite") \
             .format("noop").save()
-        nearest_group(spark, geo, qpts, k=10, L=32).count()
+        nearest_group(spark, geo, qdf, k=10, L=32).count()
         # dedup leg: MinHash near-dups over the concatenated span texts of a
         # deterministic 1/8 sample (keeps one flagship run a few minutes at
         # the low core count; the sweep is still >1M docs end-to-end)

@@ -207,14 +207,24 @@ def plan_cells_distributed(spark: SparkSession, stats: pd.DataFrame,
     rows) stats table broadcast to executors. Driver work is O(1) in Q —
     no per-query Python loop on the driver, no driver-side candidate
     materialization. Each batch rebuilds the summed-area grid (O(4^res),
-    amortized over the ~10k queries per Arrow batch)."""
-    bc = spark.sparkContext.broadcast(stats)
+    amortized over the ~10k queries per Arrow batch).
+
+    The broadcast carries ONLY the columns the planner reads, as raw numpy
+    arrays — a full cell_stats pandas pickle (MBR columns included) made
+    every task pay a multi-second unpickle, which showed up as a fixed,
+    core-count-independent term in scaling runs."""
+    cols = [c for c in ("cell", "category", "n") if c in stats.columns]
+    bc = spark.sparkContext.broadcast(
+        {c: stats[c].to_numpy() for c in cols})
     schema = "query_id long, cell long, radius double"
     if per_category:
         schema += ", category int"
 
     def plan_batches(batches):
-        st = bc.value
+        # rebuild the frame from raw arrays ONCE per task — unpickling
+        # numpy arrays is far cheaper than a pandas block pickle, and the
+        # cost must not repeat per Arrow batch
+        st = pd.DataFrame(dict(bc.value))
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -240,10 +250,20 @@ def planner_stats(docs_geo: DataFrame, res: int | None, k_per_group: int,
     aggregate (no separate count() scan), the planner res is chosen from
     it, and the stats are rolled up to that res. Explicit res > base falls
     back to a direct aggregate at that res."""
+    def counts(at_res: int) -> pd.DataFrame:
+        # counts-only aggregate: the planner never reads the MBR columns,
+        # and a slim frame keeps the driver collect + executor broadcast
+        # proportional to what is actually consumed
+        return (docs_geo
+                .withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"),
+                                                     at_res, cfg))
+                .groupBy("cell", "category")
+                .agg(F.count("*").alias("n"))).toPandas()
+
     base = cfg.planner_base_res
     if res is not None and res > base:
-        return cell_stats(docs_geo, res, cfg).toPandas(), res
-    stats = cell_stats(docs_geo, base, cfg).toPandas()
+        return counts(res), res
+    stats = counts(base)
     if res is None:
         n = int(stats["n"].sum())
         res = choose_planner_res(n // max(groups, 1), k_per_group, cfg)
