@@ -320,8 +320,10 @@ def _q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (trigram profiles, vectorized pandas UDF).
-    No SQL oracle — UDF logic; driver records the rows-only check;
-    correctness is pytest-verified on constructed samples."""
+    The oracle recomputes the scorer relationally (length-replace
+    occurrence counts per profile trigram, argmax with first-max ties) —
+    generated from the same _PROFILES constants, so the UDF is
+    value-checked, not rows-only."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id",
                        text.lang_id_udf()(F.col("text")).alias("lang_pred"))
@@ -846,6 +848,44 @@ def oracle_sql() -> dict[str, str]:
           ON a.doc_id < b.doc_id AND a.mk = b.mk
     """
 
+    # text_langid: the trigram-profile scorer is pure counting, so the
+    # oracle recomputes it relationally — per-language score = Σ
+    # non-overlapping occurrence counts of its 10 trigrams (length-replace
+    # trick) on lower(text); winner = FIRST language (profile order)
+    # reaching the max, 'und' when all scores are 0 — exactly
+    # np.argmax's first-max semantics in text.lang_id_udf.
+    from mbrngq_spark.operators.text import _PROFILES as _LP
+
+    def _lang_score(lang: str) -> str:
+        terms = []
+        for tri in _LP[lang]:
+            esc = tri.replace("'", "''")
+            terms.append(f"((length(t) - length(replace(t, '{esc}', '')))"
+                         f" // {len(tri)})")
+        return " + ".join(terms)
+
+    _langs = list(_LP)
+    _score_sel = ", ".join(f"({_lang_score(lg)}) AS s_{lg}" for lg in _langs)
+    _cases = []
+    for i, lg in enumerate(_langs):
+        conds = " AND ".join(f"s_{lg} >= s_{other}"
+                             for other in _langs[i + 1:]) or "TRUE"
+        _cases.append(f"WHEN {conds} THEN '{lg}'")
+    _case_tail = "\n            ".join(_cases[:-1])
+    text_langid = f"""
+        WITH scores AS (
+          SELECT doc_id, {_score_sel}
+          FROM (SELECT doc_id, lower(text) AS t FROM documents))
+        SELECT doc_id,
+          CASE
+            WHEN greatest({', '.join('s_' + lg for lg in _langs)}) = 0
+              THEN 'und'
+            {_case_tail}
+            ELSE '{_langs[-1]}'
+          END AS lang_pred
+        FROM scores
+    """
+
     # ann_lsh_topk: the oracle replays the engine's LSH semantics exactly —
     # same hyperplane float64 literals (similarity._hyperplanes(64, 8, 42)),
     # same sign-bucket encoding, same 37 multiprobe masks (radius 2), same
@@ -989,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_stats": agg_stats,
         "embedding_near_dups": embedding_near_dups,
         "simhash_dups": simhash_dups,
+        "text_langid": text_langid,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "agg_pricing": agg_pricing,
