@@ -1,0 +1,96 @@
+"""Property-based invariants (hypothesis) over the NumPy twins of the grid
+and geometry kernels — no Spark session, so hundreds of random cases are
+cheap. These are the checkConsistency-style structural guarantees
+(RTree.cs:2667-2689) the distributed operators rely on."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mbrngq_spark import grid
+from mbrngq_spark.config import DEFAULT
+from mbrngq_spark.operators.dedup import _family_params
+
+RES = st.integers(min_value=1, max_value=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(res=RES, data=st.data())
+def test_morton_roundtrip(res, data):
+    n = 1 << res
+    ix = data.draw(st.integers(0, n - 1))
+    iy = data.draw(st.integers(0, n - 1))
+    cell = grid.np_spread_bits(np.array([ix])) | \
+        (grid.np_spread_bits(np.array([iy])) << 1)
+    assert int(grid.np_compact_bits(cell)[0]) == ix
+    assert int(grid.np_compact_bits(cell >> 1)[0]) == iy
+    assert 0 <= int(cell[0]) < 4 ** res
+
+
+@settings(max_examples=200, deadline=None)
+@given(res=st.integers(2, 12), data=st.data())
+def test_morton_parent_contains_child(res, data):
+    """cell >> 2 is the parent: the child's box lies inside the parent's."""
+    x = data.draw(st.floats(0.0, 100.0, allow_nan=False))
+    y = data.draw(st.floats(0.0, 100.0, allow_nan=False))
+    child = grid.np_cell_encode(np.array([x]), np.array([y]), res)
+    parent = grid.np_cell_encode(np.array([x]), np.array([y]), res - 1)
+    assert int(child[0]) >> 2 == int(parent[0])
+    cxmin, cymin, cxmax, cymax = grid.np_cell_box(child, res)
+    pxmin, pymin, pxmax, pymax = grid.np_cell_box(parent, res - 1)
+    assert pxmin <= cxmin and pymin <= cymin
+    assert cxmax <= pxmax and cymax <= pymax
+
+
+@settings(max_examples=200, deadline=None)
+@given(res=RES, data=st.data())
+def test_cell_mindist_is_a_lower_bound(res, data):
+    """MINDIST(cell, q) ≤ dist(q, p) for every p that encodes to the cell."""
+    px = data.draw(st.floats(0.0, 100.0, allow_nan=False))
+    py = data.draw(st.floats(0.0, 100.0, allow_nan=False))
+    qx = data.draw(st.floats(-50.0, 150.0, allow_nan=False))
+    qy = data.draw(st.floats(-50.0, 150.0, allow_nan=False))
+    cell = grid.np_cell_encode(np.array([px]), np.array([py]), res)
+    lo = float(grid.np_cell_mindist(cell, qx, qy, res)[0])
+    d = float(np.hypot(px - qx, py - qy))
+    assert lo <= d + 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(res=st.integers(1, 8), ring=st.integers(0, 3), data=st.data())
+def test_ring_cells_have_exact_chebyshev_distance(res, ring, data):
+    qx = data.draw(st.floats(0.0, 100.0, allow_nan=False))
+    qy = data.draw(st.floats(0.0, 100.0, allow_nan=False))
+    n = 1 << res
+    cells = grid.np_ring_cells(qx, qy, ring, res)
+    cx = int(grid.np_quantize(np.array([qx]), 0.0, 100.0, res)[0])
+    cy = int(grid.np_quantize(np.array([qy]), 0.0, 100.0, res)[0])
+    assert len(set(cells.tolist())) == len(cells)     # no duplicates
+    for c in cells:
+        ix = int(grid.np_compact_bits(np.array([c]))[0])
+        iy = int(grid.np_compact_bits(np.array([c]) >> 1)[0])
+        assert max(abs(ix - cx), abs(iy - cy)) == ring
+        assert 0 <= ix < n and 0 <= iy < n
+
+
+@settings(max_examples=100, deadline=None)
+@given(h=st.lists(st.integers(-2**63, 2**63 - 1), min_size=1, max_size=50,
+                  unique=True))
+def test_minhash_families_are_bijective(h):
+    """Odd-multiplier affine maps mod 2^64 are bijections: distinct inputs
+    stay distinct in every family (collision-free mixing)."""
+    a, b = _family_params(16)
+    x = np.array(h, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(16):
+            mixed = a[i] * x + b[i]
+            assert len(np.unique(mixed)) == len(x)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_quantize_clamps_to_grid(data):
+    res = data.draw(RES)
+    x = data.draw(st.floats(-1e6, 1e6, allow_nan=False))
+    ix = int(grid.np_quantize(np.array([x]), 0.0, 100.0, res)[0])
+    assert 0 <= ix < (1 << res)
