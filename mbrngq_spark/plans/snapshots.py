@@ -192,6 +192,16 @@ class SnapshotTable:
             files += self._write_batch(updates, "merge")
         return self._commit(files, "merge")
 
+    def compact(self, target_files: int = 8) -> int:
+        """Rewrite the current snapshot into ``target_files`` files (bin-pack
+        compaction — Iceberg's rewrite_data_files): row-level deletes and
+        small appends accumulate file counts; compaction folds them without
+        changing visible data, and time travel to pre-compaction snapshots
+        still works (old files are referenced by old manifests, never
+        deleted)."""
+        df = self.read().coalesce(target_files)
+        return self._commit(self._write_batch(df, "compact"), "compact")
+
     def rollback(self, snapshot_id: int) -> int:
         """Commit a NEW snapshot that restores an older file set (history is
         never rewritten — Iceberg's rollback_to_snapshot)."""

@@ -114,6 +114,20 @@ def test_index_over_snapshot_table(spark, tmp_path):
     assert t.read(snapshot_id=s1).count() == 300       # history intact
 
 
+def test_compaction_preserves_data_and_history(spark, table):
+    for lo in range(100, 160, 20):
+        table.append(_docs(spark, lo, lo + 20))
+    pre = table.current_snapshot_id()
+    n_files_pre = len(table._manifest(pre)["files"])
+    table.compact(target_files=2)
+    post = table._manifest(table.current_snapshot_id())
+    assert len(post["files"]) <= 2 < n_files_pre
+    got = table.read().toPandas().sort_values("doc_id")
+    assert got.doc_id.tolist() == list(range(160))
+    # time travel to the pre-compaction snapshot still resolves
+    assert table.read(snapshot_id=pre).count() == 160
+
+
 def test_checkpoint_rows_can_carry_snapshot_ids(spark, table, tmp_path):
     """The per-partition lineage protocol keyed on snapshot ids: a unit's
     commit row records the snapshot it produced, and resume reads the last
