@@ -54,6 +54,49 @@ def _batch_sessions(spark, pdf):
                  F.max("te").alias("end_epoch")))
 
 
+def test_streaming_knn_serves_query_batches(spark, tmp_path):
+    """Streaming query serving: a file-stream of query points answered per
+    micro-batch equals the batch knn_join on the union of all queries."""
+    from mbrngq_spark.functions import derive
+    from mbrngq_spark.operators.knn import knn_join
+    from mbrngq_spark.streaming.query_stream import serve_knn_stream
+    from tests.conftest import SF_DIR
+
+    docs_geo = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .transform(derive.with_geometry)
+                .select("doc_id", "x", "y", "category"))
+
+    q_schema = T.StructType([T.StructField("query_id", T.LongType()),
+                             T.StructField("qx", T.DoubleType()),
+                             T.StructField("qy", T.DoubleType())])
+    src_dir = str(tmp_path / "q_src")
+    all_q = pd.DataFrame({
+        "query_id": range(30),
+        "qx": [(i * 37 % 100) + 0.5 for i in range(30)],
+        "qy": [(i * 61 % 100) + 0.25 for i in range(30)],
+    })
+    for b in range(3):
+        chunk = all_q.iloc[b * 10:(b + 1) * 10]
+        spark.createDataFrame(chunk, q_schema).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+
+    stream = (spark.readStream.schema(q_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out_path = str(tmp_path / "knn_out")
+    q = serve_knn_stream(docs_geo, stream, k=5, out_path=out_path,
+                         checkpoint=str(tmp_path / "ckpt"),
+                         trigger={"availableNow": True})
+    q.awaitTermination(180)
+
+    got = (spark.read.parquet(out_path).toPandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    exp = (knn_join(spark, docs_geo, all_q, k=5)
+           .toPandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert len(got) == len(exp)
+
+
 def test_stream_dedup_keeps_first_arrival(spark, tmp_path):
     """Streaming exact dedup: planted duplicate texts across micro-batches
     collapse to one row per digest (within the watermark horizon)."""
