@@ -305,7 +305,8 @@ def knn_join(spark: SparkSession, docs_geo: DataFrame,
     if isinstance(queries, DataFrame):
         cand_df = plan_cells_distributed(spark, stats, queries, k, res, cfg,
                                          max_dist=max_dist)
-        joined = docs_c.join(cand_df, "cell").join(queries, "query_id")
+        joined = (docs_c.join(cand_df, "cell")
+                  .join(queries.select("query_id", "qx", "qy"), "query_id"))
     else:
         cand = plan_candidate_cells(stats, queries, k, res, cfg,
                                     max_dist=max_dist)
