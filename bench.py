@@ -275,11 +275,15 @@ def write_baseline_md(sf_dir: str, times: dict, rates: dict,
             "",
             f"**engine efficiency normalized to the host ceiling: "
             f"{scaling['normalized_efficiency']}** — the fraction of the "
-            f"achievable parallel speedup the engine's partitioning retains.",
+            f"achievable parallel speedup the engine's partitioning retains "
+            f"(values ≥ 1 mean the engine scaled better than the "
+            f"pure-codegen calibration job did in the same window — i.e. "
+            f"the engine is NOT the scaling bottleneck; the host is).",
         ]
     lines += [
         "",
-        "Methodology: flagship = index build + 1000-query NGQ batch + "
+        "Methodology: flagship = index build + 20k-query NGQ batch (DISTRIBUTED "
+        "query DataFrame — planning runs in mapInPandas on executors) + "
         "MinHash near-dup sweep over a 16×-headline parquet table; the two "
         "levels of each pair run INTERLEAVED in fresh processes, min of "
         "SPARK_GRAFT_SCALE_REPS (default 3) per level (this sandbox host "
