@@ -88,6 +88,18 @@ def bench_once(spark, sf_dir: str) -> tuple[dict, dict]:
     run("tile_rollup",
         lambda: tiles.tile_rollup(geo).count(),
         n_docs)
+    # skew leg (north_rule): gaussian-island docs pile ~all mass into a few
+    # cells; the planner's adaptive resolution + radius prune + AQE must
+    # keep NGQ near the uniform-data cost instead of degenerating
+    geo_skew = (with_geometry_spans(documents_spans(spark, n_docs),
+                                    distribution="gaussian_island")
+                .withColumn("doc_id", F.substring("doc_id", 5, 8).cast("long"))
+                .select("doc_id", "x", "y", "category"))
+    geo_skew.cache().count()
+    run("ngq_skew",
+        lambda: nearest_group(spark, geo_skew, qpts, k=10, L=32).count(),
+        n_docs)
+    geo_skew.unpersist()
 
     tdocs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_t = tdocs.count()

@@ -173,13 +173,37 @@ def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
                 sx1, sy1 = min(cx + rx, n - 1), min(cy + ry, n - 1)
                 sub_g = g[sy0:sy1 + 1, sx0:sx1 + 1]
                 yy, xx = np.nonzero(sub_g)
-                gx = np.maximum(np.maximum(
-                    cfg.min_x + (xx + sx0) * wx - qx,
-                    qx - (cfg.min_x + (xx + sx0 + 1) * wx)), 0.0)
-                gy = np.maximum(np.maximum(
-                    cfg.min_y + (yy + sy0) * wy - qy,
-                    qy - (cfg.min_y + (yy + sy0 + 1) * wy)), 0.0)
-                keep = np.sqrt(gx * gx + gy * gy) <= radius
+                x0 = cfg.min_x + (xx + sx0) * wx
+                y0 = cfg.min_y + (yy + sy0) * wy
+                gx = np.maximum(np.maximum(x0 - qx, qx - (x0 + wx)), 0.0)
+                gy = np.maximum(np.maximum(y0 - qy, qy - (y0 + wy)), 0.0)
+                md = np.sqrt(gx * gx + gy * gy)
+                keep = md <= radius
+                # PER-CELL tightening: the box bound is brutally loose on
+                # concentrated data (a far query's box engulfs a whole dense
+                # island — measured 120M joined rows/NGQ batch on
+                # gaussian-island). Sort candidate cells by MINDIST, take
+                # the smallest prefix whose counts cover ≥ k, and shrink the
+                # radius to that prefix's max per-cell MAXDIST: ≥ k docs
+                # provably lie within it, so cells (and rows) beyond it
+                # cannot hold an answer.
+                if keep.any():
+                    cnt = sub_g[yy, xx][keep]
+                    if int(cnt.sum()) >= k:
+                        mdk = md[keep]
+                        fx = np.maximum(np.abs(qx - x0[keep]),
+                                        np.abs(qx - (x0[keep] + wx)))
+                        fy = np.maximum(np.abs(qy - y0[keep]),
+                                        np.abs(qy - (y0[keep] + wy)))
+                        maxd = np.sqrt(fx * fx + fy * fy)
+                        order = np.argsort(mdk, kind="stable")
+                        j = int(np.searchsorted(np.cumsum(cnt[order]), k))
+                        r2 = float(maxd[order[:j + 1]].max())
+                        if r2 < radius:
+                            radius = r2
+                            kk = np.zeros_like(keep)
+                            kk[np.nonzero(keep)[0][mdk <= r2]] = True
+                            keep = kk
                 take = (grid.np_spread_bits((xx[keep] + sx0).astype(np.int64))
                         | (grid.np_spread_bits((yy[keep] + sy0).astype(np.int64)) << 1))
             out_q.extend([qids[qi]] * len(take))
@@ -265,9 +289,53 @@ def planner_stats(docs_geo: DataFrame, res: int | None, k_per_group: int,
         return counts(res), res
     stats = counts(base)
     if res is None:
+        # OCCUPANCY-aware resolution: the finest res (≤ base) at which an
+        # occupied (cell, category) bucket still holds ≥ k docs on average.
+        # A global n/k heuristic mis-sizes skewed data — gaussian-island
+        # corpora concentrate in few cells, and coarse cells there ship
+        # whole islands through the candidate join (measured 18× NGQ cost
+        # at sf0.1); occupancy sizing adapts to where the docs actually are.
         n = int(stats["n"].sum())
-        res = choose_planner_res(n // max(groups, 1), k_per_group, cfg)
+        res, rolled = 3, rollup_stats(stats, base, 3)
+        for r in range(base, 2, -1):
+            cand = stats if r == base else rollup_stats(stats, base, r)
+            if n / max(len(cand), 1) >= k_per_group:
+                res, rolled = r, cand
+                break
+        return rolled, res
     return rollup_stats(stats, base, res), res
+
+
+def certifying_L(stats: pd.DataFrame, bad: pd.DataFrame, res: int,
+                 cfg: EngineConfig = DEFAULT) -> int:
+    """Smallest per-category candidate depth at which NGQ's L-truncation
+    bound COULD certify the queries in ``bad`` (columns query_id, qx, qy,
+    kth): the bound needs d_L ≥ kth, i.e. L > #docs with dq < kth — upper-
+    bounded per (query, category) by the axis-aligned box count from the
+    stats grid. Lets the adaptive loop jump straight to a useful L instead
+    of blind doubling (each blind round is a full candidate join)."""
+    n = 1 << res
+    wx, wy = cfg.width / n, cfg.height / n
+    qx = bad["qx"].to_numpy(np.float64)
+    qy = bad["qy"].to_numpy(np.float64)
+    r = bad["kth"].to_numpy(np.float64)
+    x0 = np.clip(((qx - r - cfg.min_x) / wx).astype(np.int64), 0, n - 1)
+    x1 = np.clip(((qx + r - cfg.min_x) / wx).astype(np.int64), 0, n - 1)
+    y0 = np.clip(((qy - r - cfg.min_y) / wy).astype(np.int64), 0, n - 1)
+    y1 = np.clip(((qy + r - cfg.min_y) / wy).astype(np.int64), 0, n - 1)
+    best = 1
+    for cat in stats["category"].unique():
+        sub = stats[stats["category"] == cat]
+        g = np.zeros((n, n), dtype=np.int64)
+        g[grid.np_compact_bits(sub["cell"].to_numpy() >> 1),
+          grid.np_compact_bits(sub["cell"].to_numpy())] = \
+            sub["n"].to_numpy(np.int64)
+        sat = np.zeros((n + 1, n + 1), dtype=np.int64)
+        sat[1:, 1:] = g.cumsum(0).cumsum(1)
+        cnt = (sat[y1 + 1, x1 + 1] - sat[y0, x1 + 1]
+               - sat[y1 + 1, x0] + sat[y0, x0])
+        best = max(best, int(cnt.max()) + 1)
+    return best
 
 
 def knn_join(spark: SparkSession, docs_geo: DataFrame,

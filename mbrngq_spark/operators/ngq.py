@@ -103,11 +103,13 @@ def _refine_schema(m: int, id_type: T.DataType | None = None) -> T.StructType:
               T.StructField("group_rank", T.IntegerType())]
     fields += [T.StructField(f"c{i}_id", id_type) for i in range(m)]
     fields += [T.StructField("min_dist", T.DoubleType()),
-               T.StructField("exact", T.BooleanType())]
+               T.StructField("exact", T.BooleanType()),
+               T.StructField("capped", T.BooleanType())]
     return T.StructType(fields)
 
 
-def _make_refine(m: int, k: int, L: int, cat_totals: dict[int, int]):
+def _make_refine(m: int, k: int, L: int, cat_totals: dict[int, int],
+                 budget: int = 1 << 22):
     """Build the per-query exact enumeration kernel (vectorized NumPy).
 
     Semantics = the reference oracle's partial-group expansion collapsed to a
@@ -116,8 +118,11 @@ def _make_refine(m: int, k: int, L: int, cat_totals: dict[int, int]):
     (RTree.cs:938-966) and the top-k by (score, id-tuple) are kept."""
 
     def enumerate_topk(xs, ys, ids, dqs):
-        """Dense cross-category enumeration → (top-k order, member_ids,
-        scores) under the deterministic (score, id-tuple) total order."""
+        """Dense cross-category enumeration → (top_ids per category,
+        top_scores) under the deterministic (score, id-tuple) total order.
+        The id gather + lexsort run only on the ≤k-score head selected by
+        an O(N) partition — materializing member-id arrays for the full
+        product was the kernel's dominant cost at large L."""
         sizes = [len(i) for i in ids]
 
         def expand(a: np.ndarray, axis: int) -> np.ndarray:
@@ -138,10 +143,57 @@ def _make_refine(m: int, k: int, L: int, cat_totals: dict[int, int]):
             np.minimum(inter, expand(dqs[i], i), out=inter)
         score = (inner + inter).ravel()
 
-        idx = np.unravel_index(np.arange(score.size), tuple(sizes))
-        member_ids = [ids[c][idx[c]] for c in range(m)]
-        order = np.lexsort(tuple(member_ids[::-1]) + (score,))[:k]
-        return order, member_ids, score
+        if score.size > k:
+            kth = np.partition(score, k - 1)[k - 1]
+            head = np.nonzero(score <= kth)[0]   # ≥ k rows incl. score ties
+        else:
+            head = np.arange(score.size)
+        idx = np.unravel_index(head, tuple(sizes))
+        head_ids = [ids[c][idx[c]] for c in range(m)]
+        order = np.lexsort(tuple(head_ids[::-1]) + (score[head],))[:k]
+        return [hid[order] for hid in head_ids], score[head][order]
+
+    def theta_bounds(xs, ys, dqs):
+        """(T, LBs): T = a kth-best-score upper bound from k distinct
+        greedy anchor groups (anchor in the largest category; other members
+        = its nearest candidate per category — ≡ the reference seeding a
+        theta pool with feasible groups, RTree.cs:1961-1970); LBs[c][i] =
+        max over other categories of the min distance from candidate i to
+        that category's candidate set — a lower bound on innerDist of ANY
+        enumerable group containing i. Prune i when dq_i > T or LB_i > T:
+        score ≥ dq_i (triangle) and score ≥ LB_i, both strict-> safe even
+        under (score, id) tie-breaking."""
+        sizes = [len(d) for d in dqs]
+        pair_min = {}
+        LBs = [np.zeros(s) for s in sizes]
+        for i, j in itertools.combinations(range(m), 2):
+            dx = xs[i][:, None] - xs[j][None, :]
+            dy = ys[i][:, None] - ys[j][None, :]
+            D = np.sqrt(dx * dx + dy * dy)
+            pair_min[(i, j)] = D
+            np.maximum(LBs[i], D.min(axis=1), out=LBs[i])
+            np.maximum(LBs[j], D.min(axis=0), out=LBs[j])
+        a = int(np.argmax(sizes))
+        if sizes[a] < k:
+            return np.inf, LBs
+        # greedy groups anchored at every candidate of category a
+        sel = {}
+        for c in range(m):
+            if c == a:
+                continue
+            D = pair_min[(min(a, c), max(a, c))]
+            D = D if a < c else D.T            # rows = anchor axis
+            sel[c] = np.argmin(D, axis=1)
+        members_x = [xs[a] if c == a else xs[c][sel[c]] for c in range(m)]
+        members_y = [ys[a] if c == a else ys[c][sel[c]] for c in range(m)]
+        members_dq = [dqs[a] if c == a else dqs[c][sel[c]] for c in range(m)]
+        inner = np.zeros(sizes[a])
+        for i, j in itertools.combinations(range(m), 2):
+            dx = members_x[i] - members_x[j]
+            dy = members_y[i] - members_y[j]
+            np.maximum(inner, np.sqrt(dx * dx + dy * dy), out=inner)
+        greedy = inner + np.min(np.stack(members_dq), axis=0)
+        return float(np.partition(greedy, k - 1)[k - 1]), LBs
 
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
@@ -160,46 +212,56 @@ def _make_refine(m: int, k: int, L: int, cat_totals: dict[int, int]):
         dqs = [s["dq"].to_numpy(np.float64) for s in per_cat]
         sizes = [len(i) for i in ids]
 
-        # theta tightening (≡ RTree.cs:1961-1970): a cheap prefix enumeration
-        # yields an upper bound T on the kth-best score; every candidate with
-        # dq > T is provably outside the top-k (score ≥ max member dq), so
-        # the full enumeration runs on the pruned lists — this keeps the
-        # dense product small even at large L
-        pre = [min(s, 12) for s in sizes]
-        if any(p < s for p, s in zip(pre, sizes)):
-            order0, _, score0 = enumerate_topk(
-                [a[:p] for a, p in zip(xs, pre)],
-                [a[:p] for a, p in zip(ys, pre)],
-                [a[:p] for a, p in zip(ids, pre)],
-                [a[:p] for a, p in zip(dqs, pre)])
-            if len(order0) >= k:
-                T = score0[order0[-1]]
-                keep = [dq <= T for dq in dqs]
+        # theta tightening (≡ RTree.cs:1961-1970): prune candidates that
+        # provably cannot appear in any top-k group — see theta_bounds.
+        # Handles clustered data where dq alone prunes nothing (each
+        # category in its own distant blob → every score shares a large
+        # inter-blob innerDist; LB cuts the blob's far side).
+        if int(np.prod(sizes)) > 4096:
+            T, LBs = theta_bounds(xs, ys, dqs)
+            if np.isfinite(T):
+                keep = [(dq <= T) & (lb <= T) for dq, lb in zip(dqs, LBs)]
                 xs = [a[kp] for a, kp in zip(xs, keep)]
                 ys = [a[kp] for a, kp in zip(ys, keep)]
                 ids = [a[kp] for a, kp in zip(ids, keep)]
                 dqs = [a[kp] for a, kp in zip(dqs, keep)]
 
-        order, member_ids, score = enumerate_topk(xs, ys, ids, dqs)
+        # enumeration budget: the dense product is the exact kernel's cost;
+        # past the budget, truncate each list by dq order and SAY SO —
+        # `capped` marks results whose exactness cannot be certified by
+        # escalating L (the adaptive loop stops retrying those queries)
+        capped = False
+        cur = [len(i) for i in ids]
+        if int(np.prod(cur)) > budget:
+            capped = True
+            per_cap = max(int(budget ** (1.0 / m)), k)
+            xs = [a[:per_cap] for a in xs]
+            ys = [a[:per_cap] for a in ys]
+            ids = [a[:per_cap] for a in ids]
+            dqs = [a[:per_cap] for a in dqs]
+
+        top_ids, top_scores = enumerate_topk(xs, ys, ids, dqs)
 
         # exactness: kth best truncated score must not exceed the L-th
         # candidate distance of any truncated category (see module doc).
         # NOTE: uses the ORIGINAL per-category lists' last dq (pre-pruning
         # never drops anything the bound needs — pruning only removed
         # candidates that cannot affect kth)
-        kth = score[order[-1]] if len(order) else np.inf
-        exact = True
+        kth = top_scores[-1] if len(top_scores) else np.inf
+        exact = not capped   # a budget-truncated enumeration can't certify
         for c in range(m):
             truncated = sizes[c] >= L and cat_totals.get(c, 0) > sizes[c]
             if truncated and kth > per_cat[c]["dq"].iloc[-1]:
                 exact = False
 
-        out = {"query_id": np.full(len(order), qid, dtype=np.int64),
-               "group_rank": np.arange(1, len(order) + 1, dtype=np.int32)}
+        n_out = len(top_scores)
+        out = {"query_id": np.full(n_out, qid, dtype=np.int64),
+               "group_rank": np.arange(1, n_out + 1, dtype=np.int32)}
         for c in range(m):
-            out[f"c{c}_id"] = member_ids[c][order]
-        out["min_dist"] = score[order]
-        out["exact"] = np.full(len(order), exact)
+            out[f"c{c}_id"] = top_ids[c]
+        out["min_dist"] = top_scores
+        out["exact"] = np.full(n_out, exact)
+        out["capped"] = np.full(n_out, capped)
         return pd.DataFrame(out)
 
     return refine
@@ -207,13 +269,13 @@ def _make_refine(m: int, k: int, L: int, cat_totals: dict[int, int]):
 
 def _nearest_group_once(spark: SparkSession, docs_geo: DataFrame,
                         queries: pd.DataFrame, k: int, L: int, res: int,
-                        cfg: EngineConfig,
-                        stats: pd.DataFrame) -> DataFrame:
+                        cfg: EngineConfig, stats: pd.DataFrame,
+                        refine_budget: int = 1 << 22) -> DataFrame:
     m = cfg.m
     cat_totals = {int(c): int(v) for c, v in
                   stats.groupby("category")["n"].sum().items()}
     cands = candidate_topL(spark, docs_geo, queries, L, res, cfg, stats=stats)
-    refine = _make_refine(m, k, L, cat_totals)
+    refine = _make_refine(m, k, L, cat_totals, refine_budget)
     id_type = docs_geo.schema["doc_id"].dataType
     return (cands
             .repartition("query_id")
@@ -225,7 +287,8 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
                   queries: pd.DataFrame | DataFrame, k: int | None = None,
                   L: int | None = None, res: int | None = None,
                   cfg: EngineConfig = DEFAULT,
-                  max_rounds: int = 4) -> DataFrame:
+                  max_rounds: int = 4,
+                  refine_budget: int = 1 << 22) -> DataFrame:
     """Top-k nearest groups per query point (SURVEY.md Q4).
 
     ``queries`` may be a small pandas frame (driver-planned, broadcast) or
@@ -237,13 +300,20 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
     group_rank 1..k ordered by (min_dist, id tuple).
 
     ADAPTIVE: queries whose L-truncation bound fails (dense-cluster inputs —
-    the GaussianIsland regime, DataGenerators.cs:30-83) are retried with L
-    doubled, up to ``max_rounds`` times — the distributed analog of the
-    reference widening its search until theta certifies the answer. The
-    in-kernel theta prune keeps large-L refines cheap."""
+    the GaussianIsland regime, DataGenerators.cs:30-83) are retried, up to
+    ``max_rounds`` times, at the CERTIFYING depth — the stats grid bounds
+    how many docs lie within each failed query's kth score, which is
+    exactly the L the bound needs (knn.certifying_L) — instead of blind
+    doubling; ``refine_budget`` caps the exact enumeration, and queries
+    whose refine was budget-capped are terminal (their answers carry
+    exact=false, capped=true — deeper L cannot change them). This is the
+    distributed analog of the reference widening its search until theta
+    certifies the answer."""
+    from mbrngq_spark.operators.knn import certifying_L
     k = k or cfg.k
     L = L or cfg.ngq_candidates
     m = cfg.m
+    per_cap = max(int(refine_budget ** (1.0 / m)), k)
     # ONE corpus scan feeds the res choice, the planner, the per-category
     # totals (exactness flag), and every escalation round
     stats, res = planner_stats(docs_geo, res, L, cfg, groups=m)
@@ -251,10 +321,16 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
 
     remaining = queries
     done: DataFrame | None = None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         out = _nearest_group_once(spark, docs_geo, remaining, k, L, res,
-                                  cfg, stats).localCheckpoint(eager=True)
-        bad_df = out.filter(~F.col("exact")).select("query_id").distinct()
+                                  cfg, stats, refine_budget) \
+            .localCheckpoint(eager=True)
+        # escalate only queries the L-bound failed AND whose refine wasn't
+        # budget-capped: for capped queries a deeper L hits the same cap,
+        # so retrying burns rounds without changing the (flagged-inexact)
+        # answer — clustered-corpus queries land here by geometry
+        bad_df = out.filter(~F.col("exact") & ~F.col("capped")) \
+            .select("query_id").distinct()
         if distributed:
             none_bad = bad_df.isEmpty()
             good = out if none_bad else out.join(bad_df, "query_id",
@@ -267,11 +343,34 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
         done = good if done is None else done.unionByName(good)
         if none_bad:
             return done
+        if rnd == max_rounds - 1:
+            break
         remaining = (remaining.join(bad_df, "query_id", "left_semi")
                      if distributed else
                      remaining[remaining["query_id"].isin(bad)])
-        L *= 2
-    # final round: whatever is left is returned with exact=False visible
-    out = _nearest_group_once(spark, docs_geo, remaining, k, L, res,
-                              cfg, stats)
-    return done.unionByName(out) if done is not None else out
+        # jump to the certifying depth (collect is bounded by the number of
+        # still-inexact queries); clamp at the budget's per-category cap —
+        # past it the kernel would truncate anyway, so deeper retrieval
+        # cannot certify and the round would be pure waste
+        bad_kth = (out.join(bad_df, "query_id", "left_semi")
+                   .groupBy("query_id").agg(F.max("min_dist").alias("kth")))
+        if distributed:
+            bad_pdf = bad_kth.join(
+                remaining.select("query_id", "qx", "qy"), "query_id") \
+                .toPandas()
+        else:
+            bad_pdf = bad_kth.toPandas().merge(
+                remaining[["query_id", "qx", "qy"]], on="query_id")
+        next_L = min(max(certifying_L(stats, bad_pdf, res, cfg), 2 * L),
+                     per_cap)
+        if next_L <= L:
+            # no useful depth left under the budget: results for these
+            # queries are already as good as the budget allows
+            return done.unionByName(
+                out.join(bad_df, "query_id", "left_semi") if distributed
+                else out.filter(F.col("query_id").isin(bad)))
+        L = next_L
+    # rounds exhausted: whatever is left is returned with exact=False visible
+    last = (out.join(bad_df, "query_id", "left_semi") if distributed
+            else out.filter(F.col("query_id").isin(bad)))
+    return done.unionByName(last) if done is not None else last
