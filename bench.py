@@ -323,7 +323,16 @@ def main() -> None:
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        # best-of-N per query: this host drifts ±50-100% over minutes
+        # (CLAUDE.md), so a single shot can misstate every row by the same
+        # factor; the min is the standard noise-robust point estimate
+        reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "2"))
         times, rates = bench_once(spark, SF_DIR)
+        for _ in range(reps - 1):
+            t2, r2 = bench_once(spark, SF_DIR)
+            for q in times:
+                if t2.get(q, float("inf")) < times[q]:
+                    times[q], rates[q] = t2[q], r2[q]
     finally:
         spark.stop()
 
