@@ -358,11 +358,13 @@ def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline plumbing: interleaved spans → media-asset table
-    (binary payload + typed meta) → Arrow-batched decode/featurize
-    (mapInPandas; codecs stubbed — deterministic features). Rows-only
-    check: UDF output has no SQL twin; determinism is pytest-verified
-    across partitionings."""
+    """Multimodal pipeline: interleaved spans → media-asset table (REAL
+    encoded payloads: 24-bit BMP images, PCM WAV audio — synthesized to
+    match the typed meta) → Arrow-batched decode/featurize (mapInPandas;
+    BMP/WAV decoding is real pure-NumPy parsing, only video stays stubbed).
+    Rows-only check: binary payloads have no SQL twin; decode correctness
+    (dims/duration round-trips) and partitioning determinism are
+    pytest-verified (test_multimodal.py)."""
     from mbrngq_spark.operators import multimodal as mm
     from mbrngq_spark.sources.synth import documents_spans
     media = mm.media_table(documents_spans(spark, 300))

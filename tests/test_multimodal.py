@@ -1,7 +1,9 @@
-"""Multimodal plumbing: media table schema, Arrow-batched feature extraction
-(deterministic across partitionings — the stubbed codec is a pure function
-of the payload), resize metadata, frame sampling."""
+"""Multimodal pipeline: real BMP/WAV codecs (pure NumPy — images and audio
+are genuinely decoded; only video remains a stub), media table schema,
+Arrow-batched feature extraction (deterministic across partitionings),
+real pixel resize, frame sampling."""
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from mbrngq_spark.operators import multimodal as mm
@@ -12,15 +14,34 @@ def _media(spark, n=400):
     return mm.media_table(documents_spans(spark, n))
 
 
+def test_bmp_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (21, 37, 3), dtype=np.uint8)  # odd stride pad
+    back = mm.decode_bmp(mm.encode_bmp(img))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(4)
+    s = rng.integers(-32768, 32767, 5000, dtype=np.int16)
+    back, rate = mm.decode_wav(mm.encode_wav(s, rate=8000))
+    assert rate == 8000
+    np.testing.assert_array_equal(back, s)
+
+
 def test_media_table_schema_and_payloads(spark):
     media = _media(spark)
     got = media.limit(50).toPandas()
     assert set(got.columns) == {"doc_id", "kind", "media_ref", "content", "meta"}
     assert set(got["kind"].unique()) <= {"image", "audio"}
-    assert all(isinstance(b, (bytes, bytearray)) and len(b) == 32
-               for b in got["content"])
-    assert all(m["width"] >= 16 and m["height"] >= 16 for m in got["meta"])
-    # audio rows carry duration, image rows don't
+    # payloads are REAL encoded media matching their typed metadata
+    for _, r in got.iterrows():
+        if r["kind"] == "image":
+            img = mm.decode_bmp(bytes(r["content"]))
+            assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
+        elif r["kind"] == "audio":
+            s, rate = mm.decode_wav(bytes(r["content"]))
+            assert len(s) == int(r["meta"]["duration_ms"] * rate / 1000)
     aud = got[got["kind"] == "audio"]
     img = got[got["kind"] == "image"]
     assert (aud["meta"].map(lambda m: m["duration_ms"]) >= 1000).all()
@@ -36,6 +57,32 @@ def test_feature_extraction_deterministic_across_partitioning(spark):
     assert len(a) == len(b) and len(a) > 0
     assert (a == b).all()
     assert all(len(f) == mm.N_FEATURES for f in a)
+
+
+def test_features_reflect_decoded_content(spark):
+    """Image features carry the REAL decoded dimensions; audio features the
+    REAL duration/rate — proof the decode isn't a stub."""
+    media = _media(spark)
+    feats = mm.extract_features(media).join(
+        media.select("media_ref", "meta"), "media_ref").toPandas()
+    for _, r in feats.iterrows():
+        f = r["features"]
+        if r["kind"] == "image":
+            assert f[0] == r["meta"]["width"] and f[1] == r["meta"]["height"]
+            assert 0.0 < f[8] < 1.0                     # global mean
+        elif r["kind"] == "audio":
+            assert abs(f[0] - r["meta"]["duration_ms"] / 1000.0) < 2e-3
+            assert f[1] == mm.WAV_RATE
+            assert 0.0 < f[2] <= 1.0                    # rms of a sine
+
+
+def test_resize_images_reencodes_pixels(spark):
+    media = _media(spark).filter(F.col("kind") == "image")
+    out = mm.resize_images(media, max_side=24).toPandas()
+    for _, r in out.iterrows():
+        img = mm.decode_bmp(bytes(r["content"]))
+        assert max(img.shape[0], img.shape[1]) <= 24
+        assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
 
 
 def test_resize_clamps_aspect(spark):
