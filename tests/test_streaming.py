@@ -97,6 +97,43 @@ def test_streaming_knn_serves_query_batches(spark, tmp_path):
     assert len(got) == len(exp)
 
 
+def test_streaming_ngq_serves_query_batches(spark, tmp_path):
+    from mbrngq_spark.functions import derive
+    from mbrngq_spark.operators.ngq import nearest_group
+    from mbrngq_spark.streaming.query_stream import serve_ngq_stream
+    from tests.conftest import SF_DIR
+
+    docs_geo = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .transform(derive.with_geometry)
+                .filter(F.col("doc_id") < 200)
+                .select("doc_id", "x", "y", "category"))
+    q_schema = T.StructType([T.StructField("query_id", T.LongType()),
+                             T.StructField("qx", T.DoubleType()),
+                             T.StructField("qy", T.DoubleType())])
+    all_q = pd.DataFrame({"query_id": range(8),
+                          "qx": [11.5, 80.25, 50.0, 3.125, 97.5, 25.0,
+                                 66.0, 42.75],
+                          "qy": [23.25, 14.5, 50.0, 96.875, 2.5, 75.0,
+                                 33.5, 58.125]})
+    src_dir = str(tmp_path / "q_src_ngq")
+    for b in range(2):
+        spark.createDataFrame(all_q.iloc[b * 4:(b + 1) * 4], q_schema) \
+            .coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (spark.readStream.schema(q_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out_path = str(tmp_path / "ngq_out")
+    q = serve_ngq_stream(docs_geo, stream, k=5, L=16, out_path=out_path,
+                         checkpoint=str(tmp_path / "ckpt_ngq"),
+                         trigger={"availableNow": True})
+    q.awaitTermination(180)
+    got = (spark.read.parquet(out_path).toPandas()
+           .sort_values(["query_id", "group_rank"]).reset_index(drop=True))
+    exp = (nearest_group(spark, docs_geo, all_q, k=5, L=16).toPandas()
+           .sort_values(["query_id", "group_rank"]).reset_index(drop=True))
+    for c in ("query_id", "group_rank", "c0_id", "c1_id", "c2_id"):
+        assert got[c].tolist() == exp[c].tolist()
+
+
 def test_stream_dedup_keeps_first_arrival(spark, tmp_path):
     """Streaming exact dedup: planted duplicate texts across micro-batches
     collapse to one row per digest (within the watermark horizon)."""
