@@ -23,11 +23,23 @@ re-expression (SURVEY.md §3.1) is two-phase:
            the refine step verifies it and flags each query row `exact`.
 
   phase 2  exact refine — one shuffle keyed by query_id, then
-           groupBy(query_id).applyInPandas: full cross-category enumeration
+           groupBy(query_id).applyInPandas: cross-category enumeration
            with NumPy broadcasting — semantically the reference's ORACLE
            (CheckNearGroup enumeration, RTree.cs:1505-1556), which its own
            search must equal, so it is the unambiguous ground truth
-           (SURVEY.md §7.4).
+           (SURVEY.md §7.4). Before enumerating, the kernel prunes with the
+           theta machinery (greedy-anchor upper bound T + per-candidate
+           innerDist lower bounds — see theta_bounds), selects the top-k by
+           an O(N) partition, and bounds total work by ``refine_budget``
+           cells, flagging budget-capped queries in a ``capped`` column.
+
+Adaptivity (nearest_group): queries whose L-truncation bound fails are
+re-run ONCE per round at the CERTIFYING depth computed from the stats grid
+(knn.certifying_L) — not blind doubling — and budget-capped queries are
+terminal (deeper L provably cannot certify them). This keeps clustered
+corpora (each category its own dense blob — the GaussianIsland regime,
+where the bound is geometrically uncertifiable under any practical L)
+within a small constant of the uniform-data cost, with honesty flags.
 
 Tie-break: (score, member-id tuple) — deterministic total order replacing
 the reference's heap-insertion-order ties (HeapPriorityQueue.cs:193-197).
