@@ -206,3 +206,24 @@ class SnapshotTable:
         """Commit a NEW snapshot that restores an older file set (history is
         never rewritten — Iceberg's rollback_to_snapshot)."""
         return self._commit(self._manifest(snapshot_id)["files"], "rollback")
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg's expire_snapshots + orphan-file vacuum: drop all but the
+        newest ``keep_last`` manifests, then delete data files no kept
+        manifest references. Time travel to expired snapshots stops
+        resolving (by design); the current snapshot is untouched. Returns
+        {"snapshots_removed", "files_removed"}."""
+        ids = self._snapshot_ids()
+        kept, expired = ids[-keep_last:], ids[:-keep_last]
+        live = {f["path"] for s in kept for f in self._manifest(s)["files"]}
+        removed_files = 0
+        for root, _, files in os.walk(self._data_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                if f.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    removed_files += 1
+        for s in expired:
+            os.remove(os.path.join(self._snap_dir, f"snap-{s}.json"))
+        return {"snapshots_removed": len(expired),
+                "files_removed": removed_files}

@@ -128,6 +128,24 @@ def test_compaction_preserves_data_and_history(spark, table):
     assert table.read(snapshot_id=pre).count() == 160
 
 
+def test_expire_snapshots_vacuums_orphans(spark, table):
+    table.append(_docs(spark, 100, 140))
+    table.delete_where(F.col("doc_id") < 20)       # rewrites touched files
+    s_old = table.current_snapshot_id() - 1
+    table.read(snapshot_id=s_old)                  # resolvable pre-expire
+    stats = table.expire_snapshots(keep_last=1)
+    assert stats["snapshots_removed"] == 2
+    assert stats["files_removed"] > 0
+    # current snapshot fully intact
+    got = table.read()
+    assert got.count() == 120
+    assert got.filter(F.col("doc_id") < 20).count() == 0
+    # expired history no longer resolves
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        table._manifest(s_old)
+
+
 def test_checkpoint_rows_can_carry_snapshot_ids(spark, table, tmp_path):
     """The per-partition lineage protocol keyed on snapshot ids: a unit's
     commit row records the snapshot it produced, and resume reads the last
