@@ -41,6 +41,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+
+def _localpath(uri: str) -> str:
+    """file:///x or file:/x → /x (normalized local path — manifest entries
+    must compare equal to os.walk paths for the orphan vacuum)."""
+    if uri.startswith("file:"):
+        uri = uri[5:]
+    return "/" + uri.lstrip("/")
+
+
 class SnapshotTable:
     """A parquet table with Iceberg-style snapshot isolation (see module
     docstring). All mutating ops commit a NEW snapshot; data files are
@@ -106,7 +115,7 @@ class SnapshotTable:
         back = self.spark.read.parquet(batch)
         per_file = (back.groupBy(F.input_file_name().alias("p"))
                     .count().collect())
-        return [{"path": r.p.removeprefix("file:"), "n_rows": r["count"]}
+        return [{"path": _localpath(r.p), "n_rows": r["count"]}
                 for r in per_file]
 
     # -- public operations ----------------------------------------------------
@@ -138,7 +147,7 @@ class SnapshotTable:
         """Split current files into (touched by cond, untouched entries)."""
         cur = self._manifest(self.current_snapshot_id())
         df = self.read().withColumn("_f", F.input_file_name())
-        touched = {r._f.removeprefix("file:") for r in
+        touched = {_localpath(r._f) for r in
                    df.filter(cond).select("_f").distinct().collect()}
         untouched = [f for f in cur["files"] if f["path"] not in touched]
         return sorted(touched), untouched
@@ -161,7 +170,7 @@ class SnapshotTable:
         probe and rewrite both as keyed joins."""
         cur = self._manifest(self.current_snapshot_id())
         df = self.read().withColumn("_f", F.input_file_name())
-        touched = sorted({r._f.removeprefix("file:") for r in
+        touched = sorted({_localpath(r._f) for r in
                           df.join(F.broadcast(keys), key, "left_semi")
                           .select("_f").distinct().collect()})
         files = [f for f in cur["files"] if f["path"] not in touched]
@@ -180,7 +189,7 @@ class SnapshotTable:
         keys = updates.select(key)
         cur = self._manifest(self.current_snapshot_id())
         df = self.read().withColumn("_f", F.input_file_name())
-        touched = sorted({r._f.removeprefix("file:") for r in
+        touched = sorted({_localpath(r._f) for r in
                           df.join(F.broadcast(keys), key, "left_semi")
                           .select("_f").distinct().collect()})
         files = [f for f in cur["files"] if f["path"] not in touched]
