@@ -267,8 +267,7 @@ def plan_cells_distributed(spark: SparkSession, stats: pd.DataFrame,
 
 
 def planner_stats(docs_geo: DataFrame, res: int | None, k_per_group: int,
-                  cfg: EngineConfig = DEFAULT,
-                  groups: int = 1) -> tuple[pd.DataFrame, int]:
+                  cfg: EngineConfig = DEFAULT) -> tuple[pd.DataFrame, int]:
     """ONE corpus scan feeding everything the planner needs: stats are
     aggregated at cfg.planner_base_res, the corpus size is read off the
     aggregate (no separate count() scan), the planner res is chosen from

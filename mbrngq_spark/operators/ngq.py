@@ -328,7 +328,9 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
     per_cap = max(int(refine_budget ** (1.0 / m)), k)
     # ONE corpus scan feeds the res choice, the planner, the per-category
     # totals (exactness flag), and every escalation round
-    stats, res = planner_stats(docs_geo, res, L, cfg, groups=m)
+    # occupancy buckets in planner_stats are (cell, category), so the
+    # L target is already per-group — no separate group knob
+    stats, res = planner_stats(docs_geo, res, L, cfg)
     distributed = isinstance(queries, DataFrame)
 
     remaining = queries

@@ -70,8 +70,13 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray,
     n = len(vx)
     j = n - 1
     for i in range(n):
-        cond = ((vy[i] > py) != (vy[j] > py)) & \
-               (px < (vx[j] - vx[i]) * (py - vy[i]) / (vy[j] - vy[i]) + vx[i])
+        # horizontal edge (vy[j] == vy[i]) can never satisfy the parity
+        # test, so its crossing x is irrelevant — substitute a unit
+        # denominator to keep the suite free of divide-by-zero warnings
+        dy = vy[j] - vy[i]
+        cross_x = (vx[j] - vx[i]) * (py - vy[i]) / (dy if dy != 0 else 1.0) \
+            + vx[i]
+        cond = ((vy[i] > py) != (vy[j] > py)) & (px < cross_x)
         inside ^= cond
         j = i
     return inside

@@ -17,7 +17,8 @@ with an explicit mapping to the Iceberg features it stands in for:
 | ``read(snapshot_id=...)``           | time travel (VERSION AS OF)        |
 | ``delete_where`` / ``merge_upsert`` | copy-on-write DELETE / MERGE INTO  |
 | ``rollback``                        | rollback_to_snapshot               |
-| per-file row counts in manifest     | manifest file stats (pruning)      |
+| per-file row counts + column min/max| manifest file stats; read(where=…) |
+|   bounds in manifest                |   skips provably-excluded files    |
 
 Single-writer is assumed (Iceberg arbitrates concurrent committers through
 the catalog's compare-and-swap; a filesystem sandbox has no catalog).
@@ -36,18 +37,65 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
+from pyspark.sql import types as T
 
 
 def _localpath(uri: str) -> str:
     """file:///x or file:/x → /x (normalized local path — manifest entries
-    must compare equal to os.walk paths for the orphan vacuum)."""
+    must compare equal to os.walk paths for the orphan vacuum).
+    input_file_name() returns a percent-ENCODED URI (space → %20 etc.), so
+    the path is URL-decoded after the scheme strip — otherwise a table root
+    containing encodable characters stores paths that never match os.walk
+    and the vacuum would treat every live file as an orphan."""
     if uri.startswith("file:"):
         uri = uri[5:]
-    return "/" + uri.lstrip("/")
+    return urllib.parse.unquote("/" + uri.lstrip("/"))
+
+
+# per-file min/max stats are recorded for these JSON-representable atomic
+# types only (Iceberg's lower_bounds/upper_bounds analog)
+_STAT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.StringType, T.DateType,
+               T.BooleanType)
+
+
+def _pred_excludes(op: str, value, mn, mx) -> bool:
+    """True iff ``col <op> value`` provably matches NO row of a file with
+    column bounds [mn, mx] (None/None = all-null column, which no
+    comparison matches)."""
+    if mn is None and mx is None:
+        return True
+    if mn is None or mx is None:
+        return False
+    if op == "<":
+        return mn >= value
+    if op == "<=":
+        return mn > value
+    if op == ">":
+        return mx <= value
+    if op == ">=":
+        return mx < value
+    if op in ("=", "=="):
+        return value < mn or value > mx
+    raise ValueError(f"unsupported predicate op: {op}")
+
+
+_OPS = {"<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+        "=": lambda c, v: c == v, "==": lambda c, v: c == v}
+
+
+def _json_val(v):
+    """Bound value → JSON-representable (dates as ISO strings, which keep
+    their sort order for pruning comparisons)."""
+    if v is not None and hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
 
 
 class SnapshotTable:
@@ -83,17 +131,25 @@ class SnapshotTable:
     def history(self) -> list[dict]:
         return [self._manifest(i) for i in self._snapshot_ids()]
 
-    def _commit(self, files: list[dict], operation: str) -> int:
+    def _commit(self, files: list[dict], operation: str,
+                schema: dict | None = None) -> int:
         """Atomically commit a new snapshot naming exactly ``files``.
         Write-temp-then-rename: readers either see the complete manifest or
-        none — the crash window leaves only orphan data files."""
+        none — the crash window leaves only orphan data files. The table
+        schema rides in every manifest (passed for schema-bearing ops,
+        inherited from the current snapshot otherwise) so an emptied table
+        stays readable."""
         os.makedirs(self._snap_dir, exist_ok=True)
-        snap_id = (self.current_snapshot_id() or 0) + 1
+        cur_id = self.current_snapshot_id()
+        if schema is None and cur_id is not None:
+            schema = self._manifest(cur_id).get("schema")
+        snap_id = (cur_id or 0) + 1
         manifest = {
             "snapshot_id": snap_id,
             "ts": time.time(),
             "operation": operation,
-            "files": files,                      # [{path, n_rows}]
+            "schema": schema,
+            "files": files,                # [{path, n_rows, stats}]
             "n_rows": sum(f["n_rows"] for f in files),
         }
         final = os.path.join(self._snap_dir, f"snap-{snap_id}.json")
@@ -107,22 +163,34 @@ class SnapshotTable:
 
     def _write_batch(self, df: DataFrame, tag: str) -> list[dict]:
         """Write ``df`` as a new immutable batch; return per-file manifest
-        entries (path + row count — the stand-in for Iceberg's per-file
-        column stats)."""
-        batch = os.path.join(self._data_dir,
-                             f"batch-{int(time.time() * 1000)}-{tag}")
+        entries (path + row count + per-column min/max bounds — Iceberg's
+        manifest file stats, consumed by read()'s file skipping). The batch
+        dir carries a uuid, not a timestamp: two same-millisecond commits
+        must not collide on the directory name."""
+        batch = os.path.join(self._data_dir, f"batch-{uuid.uuid4().hex}-{tag}")
         df.write.mode("error").parquet(batch)
         back = self.spark.read.parquet(batch)
-        per_file = (back.groupBy(F.input_file_name().alias("p"))
-                    .count().collect())
-        return [{"path": _localpath(r.p), "n_rows": r["count"]}
-                for r in per_file]
+        stat_cols = [f.name for f in back.schema.fields
+                     if isinstance(f.dataType, _STAT_TYPES)]
+        aggs = [F.count("*").alias("__n")]
+        for i, c in enumerate(stat_cols):
+            aggs += [F.min(c).alias(f"__mn{i}"), F.max(c).alias(f"__mx{i}")]
+        per_file = (back.groupBy(F.input_file_name().alias("__p"))
+                    .agg(*aggs).collect())
+        out = []
+        for r in per_file:
+            stats = {c: [_json_val(r[f"__mn{i}"]), _json_val(r[f"__mx{i}"])]
+                     for i, c in enumerate(stat_cols)}
+            out.append({"path": _localpath(r["__p"]), "n_rows": r["__n"],
+                        "stats": stats})
+        return out
 
     # -- public operations ----------------------------------------------------
 
     def create(self, df: DataFrame) -> int:
         assert self.current_snapshot_id() is None, "table already exists"
-        return self._commit(self._write_batch(df, "create"), "create")
+        return self._commit(self._write_batch(df, "create"), "create",
+                            schema=df.schema.jsonValue())
 
     def append(self, df: DataFrame) -> int:
         cur = self._manifest(self.current_snapshot_id())
@@ -130,18 +198,47 @@ class SnapshotTable:
         return self._commit(files, "append")
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit(self._write_batch(df, "overwrite"), "overwrite")
+        return self._commit(self._write_batch(df, "overwrite"), "overwrite",
+                            schema=df.schema.jsonValue())
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def read(self, snapshot_id: int | None = None,
+             where: list[tuple] | tuple | None = None) -> DataFrame:
         """Read the table AS OF a snapshot (default: current). Readers see
-        exactly the manifest's files — never uncommitted writes."""
+        exactly the manifest's files — never uncommitted writes.
+
+        ``where`` — optional pushed predicate as (col, op, value) tuples
+        (AND-combined; op ∈ <, <=, >, >=, =): files whose manifest min/max
+        bounds provably exclude every row are SKIPPED before the scan
+        (Iceberg's manifest-stat pruning), and the predicates are then also
+        applied as real row filters, so results are exact even for files
+        without bounds. ``self.last_scan`` records {files, skipped} for the
+        pruning tests. An emptied table (or fully pruned scan) returns an
+        empty DataFrame with the manifest schema instead of raising — MERGE
+        into an emptied table keeps working."""
         snap_id = snapshot_id or self.current_snapshot_id()
         if snap_id is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
-        files = [f["path"] for f in self._manifest(snap_id)["files"]]
+        man = self._manifest(snap_id)
+        preds = [where] if isinstance(where, tuple) else list(where or [])
+        files = []
+        for f in man["files"]:
+            stats = f.get("stats", {})
+            if any(col in stats and
+                   _pred_excludes(op, _json_val(val), *stats[col])
+                   for col, op, val in preds):
+                continue
+            files.append(f["path"])
+        self.last_scan = {"files": len(man["files"]),
+                          "skipped": len(man["files"]) - len(files)}
         if not files:
-            raise ValueError("empty table snapshot")
-        return self.spark.read.parquet(*files)
+            if man.get("schema") is None:
+                raise ValueError("empty table snapshot (no recorded schema)")
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(man["schema"]))
+        df = self.spark.read.parquet(*files)
+        for col, op, val in preds:
+            df = df.filter(_OPS[op](F.col(col), F.lit(val)))
+        return df
 
     def _touched_files(self, cond) -> tuple[list[str], list[dict]]:
         """Split current files into (touched by cond, untouched entries)."""

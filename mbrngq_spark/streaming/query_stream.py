@@ -32,8 +32,12 @@ def serve_knn_stream(docs_geo: DataFrame, query_stream: DataFrame,
                      max_dist: float | None = None,
                      trigger: dict | None = None) -> StreamingQuery:
     """Answer a stream of (query_id, qx, qy) with top-k joins per
-    micro-batch; results append to ``out_path`` parquet. Exactly-once per
-    micro-batch via the streaming checkpoint."""
+    micro-batch; results land in ``out_path`` parquet partitioned by
+    ``batch_id``. End-to-end EXACTLY-ONCE: the checkpoint deduplicates
+    triggers, and the per-batch dynamic partition overwrite makes a
+    retried micro-batch replace its own partition instead of appending a
+    second copy (a plain append sink under foreachBatch is only
+    at-least-once)."""
     from mbrngq_spark.operators.knn import knn_join
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -41,7 +45,7 @@ def serve_knn_stream(docs_geo: DataFrame, query_stream: DataFrame,
             return
         out = knn_join(batch_df.sparkSession, docs_geo, batch_df, k,
                        cfg=cfg, max_dist=max_dist)
-        out.write.mode("append").parquet(out_path)
+        _write_idempotent(out, batch_id, out_path)
 
     return _start(query_stream, handle, checkpoint, trigger)
 
@@ -59,9 +63,22 @@ def serve_ngq_stream(docs_geo: DataFrame, query_stream: DataFrame,
             return
         out = nearest_group(batch_df.sparkSession, docs_geo, batch_df,
                             k=k, L=L, cfg=cfg)
-        out.write.mode("append").parquet(out_path)
+        _write_idempotent(out, batch_id, out_path)
 
     return _start(query_stream, handle, checkpoint, trigger)
+
+
+def _write_idempotent(out: DataFrame, batch_id: int, out_path: str) -> None:
+    """Idempotent micro-batch sink: each batch owns the partition
+    ``batch_id=<n>`` and dynamic-overwrites exactly that partition, so a
+    replay after a partial write leaves one copy of the batch's rows."""
+    from pyspark.sql import functions as F
+
+    (out.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path))
 
 
 def _start(query_stream: DataFrame,

@@ -146,6 +146,61 @@ def test_expire_snapshots_vacuums_orphans(spark, table):
         table._manifest(s_old)
 
 
+def test_table_root_with_space_survives_vacuum(spark, tmp_path):
+    """input_file_name() percent-encodes URIs: a table root with a space
+    must still vacuum ONLY orphans (regression: encoded manifest paths
+    never matched os.walk paths, so every live file was 'orphan')."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl with space"))
+    t.create(_docs(spark, 0, 50))
+    t.append(_docs(spark, 50, 80))
+    t.expire_snapshots(keep_last=1)
+    got = t.read()
+    assert got.count() == 80                       # live files untouched
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) \
+        == list(range(80))
+
+
+def test_delete_all_then_merge_into_empty_table(spark, table):
+    """Emptying the table must leave it readable (empty DF with the
+    manifest schema), so MERGE can still insert."""
+    table.delete_where(F.col("doc_id") >= 0)
+    empty = table.read()
+    assert empty.count() == 0
+    assert set(empty.columns) == {"doc_id", "text"}
+    import pandas as _pd
+    table.merge_upsert(spark.createDataFrame(
+        _pd.DataFrame({"doc_id": [1, 2], "text": ["x", "y"]})), key="doc_id")
+    assert table.read().count() == 2
+
+
+def test_manifest_stats_skip_files(spark, tmp_path):
+    """read(where=…) prunes files whose min/max bounds exclude the
+    predicate — the Iceberg manifest-stat file-skipping behavior."""
+    t = SnapshotTable(spark, str(tmp_path / "stats_tbl"))
+    t.create(_docs(spark, 0, 100).coalesce(1))
+    t.append(_docs(spark, 100, 200).coalesce(1))
+    t.append(_docs(spark, 200, 300).coalesce(1))
+    got = t.read(where=("doc_id", ">=", 250))
+    assert got.count() == 50
+    assert t.last_scan["files"] == 3 and t.last_scan["skipped"] == 2
+    # conjunction narrows to exactly one file
+    got = t.read(where=[("doc_id", ">=", 120), ("doc_id", "<", 180)])
+    assert got.count() == 60
+    assert t.last_scan["skipped"] == 2
+    # fully pruned scan → empty DF with schema, zero files opened
+    got = t.read(where=("doc_id", ">", 10 ** 9))
+    assert got.count() == 0 and t.last_scan["skipped"] == 3
+    # predicates are also real row filters (exactness within kept files)
+    got = t.read(where=("doc_id", "=", 150))
+    assert [r.doc_id for r in got.collect()] == [150]
+
+
+def test_same_millisecond_commits_do_not_collide(spark, table):
+    for lo in range(100, 160, 20):                  # rapid-fire appends
+        table.append(_docs(spark, lo, lo + 20).coalesce(1))
+    assert table.read().count() == 160
+
+
 def test_checkpoint_rows_can_carry_snapshot_ids(spark, table, tmp_path):
     """The per-partition lineage protocol keyed on snapshot ids: a unit's
     commit row records the snapshot it produced, and resume reads the last

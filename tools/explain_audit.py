@@ -82,7 +82,7 @@ def main() -> int:
     # join/refine plan from inspection
     from mbrngq_spark.operators.knn import planner_stats
     from mbrngq_spark.operators.ngq import _nearest_group_once
-    stats, ngq_res = planner_stats(docs_geo, None, 32, H.CFG, groups=H.CFG.m)
+    stats, ngq_res = planner_stats(docs_geo, None, 32, H.CFG)
     ngq = _nearest_group_once(spark, docs_geo, qpts, 10, 32, ngq_res,
                               H.CFG, stats)
     p = plan_of(ngq)
