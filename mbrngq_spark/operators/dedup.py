@@ -315,24 +315,40 @@ def simhash_col(text: Column) -> Column:
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int = 1000) -> DataFrame:
     """SimHash near-dup pairs: candidates share one of four 16-bit chunks
     (any pair with hamming ≤ 3 must agree on ≥1 chunk — pigeonhole), then
-    exact hamming verify. Returns (id_a, id_b, hamming)."""
+    exact hamming verify. Returns (id_a, id_b, hamming).
+
+    Shape mirrors lsh_candidate_pairs: ONE posexplode pass over the
+    sketches (4 chunk keys/row), a degenerate-bucket count + broadcast
+    filter, one self-join. ``max_bucket`` is the skew guard: a boilerplate
+    cluster — or the all-zero sketch every empty/short text produces —
+    lands thousands of rows on one (chunk_idx, chunk_value) key, and an
+    unguarded self-join goes quadratic on exactly that key at corpus scale
+    (one straggler/OOM task). Dropped buckets are near-identical families
+    better handled by exact dedup first — same contract as the MinHash
+    guard."""
     sk = docs.select(F.col(id_col).alias("id"),
                      simhash_col(F.col(text_col)).alias("sh"))
-    pairs = None
-    for c in range(4):
-        chunk = F.shiftrightunsigned(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
-        a = sk.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                      chunk.alias("ck"))
-        b = sk.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                      chunk.alias("ck"))
-        p = (a.join(b, "ck").filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sh_a", "sh_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
+        for c in range(4)])
+    bucketed = sk.select("id", "sh", F.posexplode(chunks).alias("ci", "ck"))
+    ok = (bucketed.groupBy("ci", "ck").count()
+          .filter(F.col("count") <= max_bucket)
+          .select("ci", "ck"))
+    bucketed = bucketed.join(F.broadcast(ok), ["ci", "ck"])
+    other = bucketed.select(F.col("id").alias("id_b"),
+                            F.col("sh").alias("sh_b"), "ci", "ck")
+    pairs = (bucketed.join(other, ["ci", "ck"])
+             .filter(F.col("id") < F.col("id_b"))
+             .select(F.col("id").alias("id_a"), "id_b",
+                     F.col("sh").alias("sh_a"), "sh_b")
+             .distinct())
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.distinct()
+    return (pairs
             .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

@@ -71,6 +71,59 @@ def test_simhash_near_dups(spark, dup_docs):
     assert (ex["hamming"] == 0).all()
 
 
+def test_simhash_degenerate_bucket_guard(spark):
+    """Planted skew: a boilerplate cluster (hundreds of identical short
+    docs → one (chunk_idx, chunk_value) key) must be dropped by the bucket
+    cap instead of exploding the self-join quadratically, while normal-size
+    buckets keep matching."""
+    n_boiler = 500
+    pdf = pd.DataFrame({
+        "doc_id": list(range(n_boiler)) + [9000, 9001],
+        "text": ["boilerplate header footer"] * n_boiler
+        + ["a genuinely distinct sentence of text"] * 2,
+    })
+    docs = spark.createDataFrame(pdf)
+    got = dedup.simhash_near_dups(docs, max_hamming=0,
+                                  max_bucket=100).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values))
+    assert (9000, 9001) in pairs                  # small bucket still matches
+    assert not any(a < n_boiler and b < n_boiler for a, b in pairs), \
+        "degenerate boilerplate bucket leaked through the cap"
+    # and with the cap lifted the same family IS quadratic — the guard is
+    # what stands between this and a straggler at corpus scale
+    uncapped = dedup.simhash_near_dups(
+        docs.filter(F.col("doc_id") < 40), max_hamming=0,
+        max_bucket=10_000).toPandas()
+    assert len(uncapped) == 40 * 39 // 2
+
+
+def test_embedding_lsh_degenerate_bucket_guard(spark):
+    """Same contract for the banded embedding-LSH: a constant-embedding
+    cluster saturates one bucket per band; the cap drops those buckets and
+    bounds candidate volume, while planted normal dups survive via their
+    own (small) band buckets."""
+    rng = np.random.default_rng(3)
+    dim = 32
+    n_const = 500
+    const = rng.standard_normal(dim)
+    dup = rng.standard_normal(dim)
+    rand = rng.standard_normal((100, dim))
+    pdf = pd.DataFrame({
+        "vec_id": list(range(n_const)) + [600, 601] +
+        list(range(700, 800)),
+        "embedding": [const.astype("float32").tolist()] * n_const
+        + [dup.astype("float32").tolist()] * 2
+        + [v.astype("float32").tolist() for v in rand],
+    })
+    corpus = spark.createDataFrame(pdf)
+    got = similarity.embedding_near_dups(corpus, threshold=0.999, dim=dim,
+                                         max_bucket=100).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values))
+    assert (600, 601) in pairs
+    assert not any(a < n_const and b < n_const for a, b in pairs), \
+        "degenerate constant-vector buckets leaked through the cap"
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
