@@ -337,6 +337,33 @@ def certifying_L(stats: pd.DataFrame, bad: pd.DataFrame, res: int,
     return best
 
 
+def certifying_L_distributed(spark: SparkSession, stats: pd.DataFrame,
+                             bad_q: DataFrame, res: int,
+                             cfg: EngineConfig = DEFAULT) -> int:
+    """certifying_L over a DISTRIBUTED bad-query set: the per-query box
+    counts run in mapInPandas with the (bounded) stats broadcast — the same
+    shape as plan_cells_distributed — and the driver receives ONE scalar
+    via F.max. This keeps the large-Q escalation path free of
+    ``.toPandas()``: an adversarial clustered corpus can leave a huge
+    fraction of a 100k-query batch inexact after round 1, and pulling that
+    frame to the driver was a memory cliff inside the 'no driver loop'
+    mode. ``bad_q``: (query_id, qx, qy, kth)."""
+    cols = [c for c in ("cell", "category", "n") if c in stats.columns]
+    bc = spark.sparkContext.broadcast({c: stats[c].to_numpy() for c in cols})
+
+    def run(batches):
+        st = pd.DataFrame(dict(bc.value))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame({"L": [certifying_L(st, pdf, res, cfg)]})
+
+    out = (bad_q.select("query_id", "qx", "qy", "kth")
+           .mapInPandas(run, schema="L long"))
+    top = out.agg(F.max("L")).first()[0]
+    return int(top) if top is not None else 1
+
+
 def knn_join(spark: SparkSession, docs_geo: DataFrame,
              queries: pd.DataFrame | DataFrame,
              k: int, res: int | None = None, cfg: EngineConfig = DEFAULT,

@@ -321,7 +321,8 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
     exact=false, capped=true — deeper L cannot change them). This is the
     distributed analog of the reference widening its search until theta
     certifies the answer."""
-    from mbrngq_spark.operators.knn import certifying_L
+    from mbrngq_spark.operators.knn import certifying_L, \
+        certifying_L_distributed
     k = k or cfg.k
     L = L or cfg.ngq_candidates
     m = cfg.m
@@ -362,21 +363,23 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
         remaining = (remaining.join(bad_df, "query_id", "left_semi")
                      if distributed else
                      remaining[remaining["query_id"].isin(bad)])
-        # jump to the certifying depth (collect is bounded by the number of
-        # still-inexact queries); clamp at the budget's per-category cap —
-        # past it the kernel would truncate anyway, so deeper retrieval
-        # cannot certify and the round would be pure waste
+        # jump to the certifying depth; clamp at the budget's per-category
+        # cap — past it the kernel would truncate anyway, so deeper
+        # retrieval cannot certify and the round would be pure waste
         bad_kth = (out.join(bad_df, "query_id", "left_semi")
                    .groupBy("query_id").agg(F.max("min_dist").alias("kth")))
         if distributed:
-            bad_pdf = bad_kth.join(
-                remaining.select("query_id", "qx", "qy"), "query_id") \
-                .toPandas()
+            # bookkeeping stays distributed: per-batch certifying_L in
+            # mapInPandas (stats broadcast), driver receives ONE scalar —
+            # no .toPandas() of the (possibly huge) bad-query set
+            bad_q = bad_kth.join(
+                remaining.select("query_id", "qx", "qy"), "query_id")
+            cert = certifying_L_distributed(spark, stats, bad_q, res, cfg)
         else:
             bad_pdf = bad_kth.toPandas().merge(
                 remaining[["query_id", "qx", "qy"]], on="query_id")
-        next_L = min(max(certifying_L(stats, bad_pdf, res, cfg), 2 * L),
-                     per_cap)
+            cert = certifying_L(stats, bad_pdf, res, cfg)
+        next_L = min(max(cert, 2 * L), per_cap)
         if next_L <= L:
             # no useful depth left under the budget: results for these
             # queries are already as good as the budget allows

@@ -66,6 +66,39 @@ def test_ngq_distributed_queries_match_pandas_mode(spark, docs_geo):
                                rtol=0, atol=0)
 
 
+def test_certifying_L_distributed_matches_driver(spark, docs_geo):
+    """The mapInPandas certifying-L (distributed escalation bookkeeping)
+    must equal the driver-side NumPy computation on the same stats + bad
+    set — it is the same kernel, batched behind a broadcast."""
+    from mbrngq_spark.operators.knn import certifying_L, \
+        certifying_L_distributed, planner_stats
+    stats, res = planner_stats(docs_geo, None, 16)
+    bad = pd.DataFrame({"query_id": [0, 1, 2],
+                        "qx": [10.0, 55.0, 90.0],
+                        "qy": [12.0, 48.0, 77.0],
+                        "kth": [8.0, 3.0, 15.0]})
+    exp = certifying_L(stats, bad, res)
+    got = certifying_L_distributed(
+        spark, stats, spark.createDataFrame(bad).repartition(2), res)
+    assert got == exp
+
+
+def test_ngq_distributed_escalation_with_tiny_L(spark, docs_geo):
+    """L=2 forces round-1 bound failures, so the DataFrame-queries run
+    exercises the distributed escalation (semi/anti joins + mapInPandas
+    certifying-L) end-to-end; both modes must converge to the same exact
+    answers."""
+    a = (nearest_group(spark, docs_geo, QUERIES, k=5, L=2)
+         .orderBy("query_id", "group_rank").toPandas())
+    b = (nearest_group(spark, docs_geo,
+                       spark.createDataFrame(QUERIES).repartition(3),
+                       k=5, L=2)
+         .orderBy("query_id", "group_rank").toPandas())
+    assert a["exact"].all() and b["exact"].all()
+    for c in ("query_id", "group_rank", "c0_id", "c1_id", "c2_id"):
+        assert a[c].tolist() == b[c].tolist()
+
+
 @pytest.mark.parametrize("m", [2, 4, 5])
 def test_ngq_parametric_m(spark, m):
     """Config.m is a free parameter in the reference (Config.cs:11) — the
