@@ -358,19 +358,41 @@ def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline: interleaved spans → media-asset table (REAL
-    encoded payloads: 24-bit BMP images, PCM WAV audio — synthesized to
-    match the typed meta) → Arrow-batched decode/featurize (mapInPandas;
-    BMP/WAV decoding is real pure-NumPy parsing, only video stays stubbed).
-    Rows-only check: binary payloads have no SQL twin; decode correctness
-    (dims/duration round-trips) and partitioning determinism are
-    pytest-verified (test_multimodal.py)."""
+    """Multimodal pipeline, VALUE-checked end to end: refs → synthesized
+    REAL payloads (24-bit BMP / PCM WAV / uncompressed-DIB AVI, dims and
+    durations derived from media_ref via md5-hex arithmetic) →
+    Arrow-batched decode/featurize (mapInPandas, pure-NumPy codecs). The
+    emitted width/height/duration come from the DECODED features — i.e.
+    they exist only because encoder and decoder round-trip — while the
+    DuckDB oracle recomputes the same values from the md5 meta formulas
+    (media_meta_col), giving the binary pipeline a full rows+schema+hash
+    oracle."""
     from mbrngq_spark.operators import multimodal as mm
-    from mbrngq_spark.sources.synth import documents_spans
-    media = mm.media_table(documents_spans(spark, 300))
-    feats = mm.extract_features(media)
-    return feats.select("doc_id", "media_ref", "kind",
-                        F.size("features").alias("n_features"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 300)
+    refs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"))
+        .alias("kind"),
+        F.concat(F.lit("ref://"), F.col("doc_id").cast("string"))
+        .alias("media_ref"))
+    feats = mm.extract_features(mm.synthesize_media(refs))
+
+    def fi(i: int):
+        return F.element_at(F.col("features"), i + 1)
+
+    is_vis = F.col("kind").isin("image", "video")
+    return feats.select(
+        "doc_id", "media_ref", "kind",
+        F.when(is_vis, fi(0)).otherwise(F.lit(0.0))
+        .cast("long").alias("width_px"),
+        F.when(is_vis, fi(1)).otherwise(F.lit(0.0))
+        .cast("long").alias("height_px"),
+        F.when(F.col("kind") == "audio", fi(5))
+        .when(F.col("kind") == "video", fi(3))
+        .otherwise(F.lit(0.0)).cast("long").alias("duration_ms"),
+        F.size("features").cast("long").alias("n_features"))
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,6 +1028,39 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
     """
 
+    # media_features: the Spark side emits DECODED dims/durations (they
+    # exist only because the BMP/WAV/AVI encoders and decoders round-trip);
+    # the oracle recomputes the same values from the md5-hex meta formulas
+    # of multimodal.media_meta_col — md5 hex is bit-identical across
+    # engines, so this value-checks the whole binary pipeline.
+    def _seed(salt: str) -> str:
+        return (f"ascii(substr(md5(media_ref || '{salt}'),1,1))*131"
+                f" + ascii(substr(md5(media_ref || '{salt}'),2,1))")
+
+    media_features = f"""
+        WITH refs AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 'ref://' || doc_id AS media_ref
+          FROM documents WHERE doc_id < 300),
+        seeds AS (
+          SELECT doc_id, media_ref, kind,
+                 {_seed('/w')} AS sw, {_seed('/h')} AS sh,
+                 {_seed('/d')} AS sd, {_seed('/v')} AS sv
+          FROM refs)
+        SELECT doc_id, media_ref, kind,
+          CAST(CASE WHEN kind IN ('image','video') THEN 16 + sw % 48
+                    ELSE 0 END AS BIGINT) AS width_px,
+          CAST(CASE WHEN kind IN ('image','video') THEN 16 + sh % 48
+                    ELSE 0 END AS BIGINT) AS height_px,
+          CAST(CASE kind WHEN 'audio' THEN 1000 + sd % 9000
+                         WHEN 'video' THEN 100 * (1 + sv % 30)
+                         ELSE 0 END AS BIGINT) AS duration_ms,
+          CAST(16 AS BIGINT) AS n_features
+        FROM seeds
+    """
+
     return {
         "spatial_range": spatial_range,
         "spatial_knn": spatial_knn,
@@ -1031,6 +1086,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_stats": agg_stats,
         "embedding_near_dups": embedding_near_dups,
         "simhash_dups": simhash_dups,
+        "media_features": media_features,
         "text_langid": text_langid,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,

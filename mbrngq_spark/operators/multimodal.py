@@ -4,19 +4,24 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages.
 
-Codec status (this container has no image/audio libraries — PIL, soundfile
-etc. are absent):
+Codec status (this container has no image/audio/video libraries — PIL,
+soundfile, ffmpeg etc. are absent — so all three codecs are pure
+NumPy/struct over self-describing formats):
 
 - image → REAL 24-bit BMP: synthesis, header parse, pixel decode and
-  nearest-neighbor resize are pure NumPy (BMP is self-describing).
-- audio → REAL 16-bit PCM WAV: RIFF header parse + sample decode, pure
-  NumPy.
-- video → STUB (no container/codec is parseable without libraries);
-  deterministic hash features stand in, clearly marked by kind.
+  nearest-neighbor resize.
+- audio → REAL 16-bit PCM WAV: RIFF header parse + sample decode.
+- video → REAL uncompressed-DIB AVI (RIFF, same container family as WAV):
+  avih/strh/strf headers + '00db' frame chunks of bottom-up 24-bit DIB
+  bitmaps; encode, full-frame decode, and frame sampling all round-trip.
+  (Compressed codecs — MJPEG/H.264 — would need codec libraries; the
+  container layer is the real one and a compressed decoder slots into
+  ``decode_avi``'s frame loop.)
 
-Everything Spark-side — schemas, explode/join plumbing, UDF signatures,
-batch shapes, partitioning — is identical for all three kinds, so swapping
-the video stub for a real decoder changes nothing around it.
+Metadata (width/height/duration) is derived from ``media_ref`` via md5-hex
+arithmetic — identical in Spark and DuckDB — so the media pipeline's decoded
+outputs are value-checkable by the SQL oracle: the decoder must round-trip
+exactly the meta the synthesizer encoded.
 """
 
 from __future__ import annotations
@@ -26,12 +31,13 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 N_FEATURES = 16
 WAV_RATE = 8000
+AVI_FPS = 10                    # frame every 100 ms — durations round-trip
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
@@ -103,30 +109,127 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(content, dtype="<i2", count=n // 2, offset=44), rate
 
 
+def _dib_body(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → bottom-up BGR DIB body with 4-byte row pad
+    (the shared pixel layout of BMP files and AVI '00db' frames)."""
+    h, w, _ = pixels.shape
+    row = w * 3
+    body = np.zeros((h, row + ((-row) % 4)), dtype=np.uint8)
+    body[:, :row] = pixels[::-1, :, ::-1].reshape(h, row)
+    return body.tobytes()
+
+
+def _dib_decode(body: bytes, w: int, h: int) -> np.ndarray:
+    row = w * 3
+    stride = row + ((-row) % 4)
+    px = np.frombuffer(body, dtype=np.uint8, count=stride * h) \
+        .reshape(h, stride)[:, :row].reshape(h, w, 3)
+    return px[::-1, :, ::-1]
+
+
+def encode_avi(frames: np.ndarray, fps: int = AVI_FPS) -> bytes:
+    """(N, H, W, 3) uint8 RGB → AVI (RIFF) bytes with uncompressed 24-bit
+    DIB frames: LIST hdrl (avih + LIST strl (strh 'vids'/'DIB ' + strf
+    BITMAPINFOHEADER)) followed by LIST movi of '00db' chunks."""
+    n, h, w, _ = frames.shape
+    frame_bytes = (w * 3 + ((-w * 3) % 4)) * h
+    movi_items = b"".join(
+        b"00db" + struct.pack("<I", frame_bytes) + _dib_body(f)
+        for f in frames)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" \
+        + movi_items
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # HASINDEX off
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
+    strh = b"strh" + struct.pack("<I", 56) + struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, n, frame_bytes, 0, 0, 0, 0, w, h)
+    strf = b"strf" + struct.pack("<I", 40) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) \
+        + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) \
+        + b"hdrl" + avih + strl
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(buf: bytes, off: int, end: int):
+    """Yield (fourcc, data_offset, size) over a RIFF chunk run (word-
+    aligned, per spec)."""
+    while off + 8 <= end:
+        cc = buf[off:off + 4]
+        sz = struct.unpack_from("<I", buf, off + 4)[0]
+        yield cc, off + 8, sz
+        off += 8 + sz + (sz & 1)
+
+
+def decode_avi(content: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes → ((N, H, W, 3) uint8 RGB frames, fps). Parses the real
+    RIFF structure (hdrl's avih for dims/rate, movi's '00db' chunks for
+    frames) — not a fixed-offset shortcut — so any spec-shaped
+    uncompressed-DIB AVI decodes, not just our encoder's output."""
+    assert content[:4] == b"RIFF" and content[8:12] == b"AVI ", "not AVI"
+    w = h = fps = None
+    payloads: list[tuple[int, int]] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal w, h, fps
+        for cc, data, sz in _riff_chunks(content, off, end):
+            if cc == b"LIST":
+                walk(data + 4, data + sz)          # recurse past list type
+            elif cc == b"avih":
+                us_per_frame, ww, hh = struct.unpack_from("<I", content, data)[0], \
+                    struct.unpack_from("<I", content, data + 32)[0], \
+                    struct.unpack_from("<I", content, data + 36)[0]
+                w, h, fps = ww, hh, round(1_000_000 / us_per_frame)
+            elif cc == b"00db":
+                payloads.append((data, sz))
+
+    walk(12, len(content))
+    assert w is not None and payloads, "missing avih header or frames"
+    frames = np.stack([_dib_decode(content[d:d + s], w, h)
+                       for d, s in payloads])
+    return frames, fps
+
+
 # --- the media-asset table ---------------------------------------------------
 
-def media_table(docs_spans: DataFrame) -> DataFrame:
-    """Explode the interleaved spans into a media-asset table with binary
+def _md5_seed(ref: Column, salt: str) -> Column:
+    """Deterministic small int from a media_ref, via md5-hex character
+    codes — md5 hex is bit-identical in Spark and DuckDB (the proven
+    lsh_candidates_md5 trick), so every meta field derived from this is
+    recomputable by the SQL oracle."""
+    m = F.md5(F.concat(ref, F.lit(salt)))
+    return F.ascii(F.substring(m, 1, 1)) * F.lit(131) \
+        + F.ascii(F.substring(m, 2, 1))
+
+
+def media_meta_col(kind: Column, ref: Column) -> Column:
+    """Typed media metadata from (kind, media_ref): width/height 16..63 px,
+    audio duration 1000..9999 ms, video duration 100·(1..30) ms (a whole
+    number of AVI_FPS frames, so decoded duration round-trips exactly)."""
+    width = (F.lit(16) + _md5_seed(ref, "/w") % F.lit(48)).cast("int")
+    height = (F.lit(16) + _md5_seed(ref, "/h") % F.lit(48)).cast("int")
+    duration = (
+        F.when(kind == "audio",
+               F.lit(1000) + _md5_seed(ref, "/d") % F.lit(9000))
+        .when(kind == "video",
+              F.lit(1000 // AVI_FPS)
+              * (F.lit(1) + _md5_seed(ref, "/v") % F.lit(30)))
+        .otherwise(F.lit(0))).cast("int")
+    return F.struct(width.alias("width"), height.alias("height"),
+                    duration.alias("duration_ms"))
+
+
+def synthesize_media(refs: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, kind) → the media-asset table with binary
     payloads + typed metadata. Payloads are REAL encoded media synthesized
-    deterministically from (media_ref, meta): images are 24-bit BMPs,
-    audio is PCM WAV — exactly what a fetch-from-object-store stage would
-    deliver; video payloads are hash bytes (codec stub)."""
-    sp = F.explode(F.col("spans")).alias("s")
-    media = (docs_spans.select("doc_id", sp)
-             .filter(F.col("s.kind") != "text")
-             .select("doc_id",
-                     F.col("s.kind").alias("kind"),
-                     F.col("s.media_ref").alias("media_ref")))
-    meta = F.struct(
-        (F.lit(16) + F.pmod(F.xxhash64("media_ref", F.lit("w")), F.lit(48)))
-        .cast("int").alias("width"),
-        (F.lit(16) + F.pmod(F.xxhash64("media_ref", F.lit("h")), F.lit(48)))
-        .cast("int").alias("height"),
-        F.when(F.col("kind") == "audio",
-               (F.lit(1000) + F.pmod(F.xxhash64("media_ref", F.lit("d")),
-                                     F.lit(9000))).cast("int"))
-        .otherwise(F.lit(0)).alias("duration_ms"))
-    media = media.withColumn("meta", meta)
+    deterministically from (media_ref, meta) — exactly what a
+    fetch-from-object-store stage would deliver: 24-bit BMP images, PCM WAV
+    audio, uncompressed-DIB AVI video."""
+    media = refs.withColumn("meta", media_meta_col(F.col("kind"),
+                                                   F.col("media_ref")))
 
     def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,9 +249,12 @@ def media_table(docs_spans: DataFrame) -> DataFrame:
                     f = 100.0 + float(rng.integers(0, 900))
                     wave = (np.sin(2 * np.pi * f * t / WAV_RATE) * 12000)
                     out.append(encode_wav(wave.astype(np.int16)))
-                else:                              # video: codec stub
-                    out.append(rng.integers(0, 256, 256,
-                                            dtype=np.uint8).tobytes())
+                else:                              # video: real AVI
+                    n_frames = int(m["duration_ms"] * AVI_FPS / 1000)
+                    px = rng.integers(0, 256,
+                                      (n_frames, m["height"], m["width"], 3),
+                                      dtype=np.uint8)
+                    out.append(encode_avi(px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "media_ref": pdf["media_ref"],
                                 "kind": pdf["kind"],
@@ -158,6 +264,18 @@ def media_table(docs_spans: DataFrame) -> DataFrame:
     return media.select("doc_id", "media_ref", "kind",
                         F.lit(None).cast("binary").alias("content"), "meta") \
         .mapInPandas(synthesize, schema=MEDIA_SCHEMA)
+
+
+def media_table(docs_spans: DataFrame) -> DataFrame:
+    """Explode the interleaved spans into the media-asset table (media
+    spans only; see synthesize_media for the payload contract)."""
+    sp = F.explode(F.col("spans")).alias("s")
+    refs = (docs_spans.select("doc_id", sp)
+            .filter(F.col("s.kind") != "text")
+            .select("doc_id",
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.media_ref").alias("media_ref")))
+    return synthesize_media(refs)
 
 
 def hash_ref(ref: str) -> int:
@@ -172,7 +290,11 @@ def hash_ref(ref: str) -> int:
 # --- decode + featurize -------------------------------------------------------
 
 def _features(content: bytes, kind: str) -> np.ndarray:
-    """REAL decode for self-describing formats; stub for video."""
+    """REAL decode + featurize for all three kinds (BMP / WAV / AVI).
+    Integer-valued slots (dims, duration_ms, frame count) are exact in
+    float32, so the SQL oracle can value-check the decode round-trip.
+    Unrecognized payloads featurize to zeros with out[15] = -1 (an
+    honest 'unknown codec' flag, not fake features)."""
     out = np.zeros(N_FEATURES, dtype=np.float32)
     if kind == "image" and content[:2] == b"BM":
         img = decode_bmp(content).astype(np.float32)
@@ -180,7 +302,8 @@ def _features(content: bytes, kind: str) -> np.ndarray:
         out[2:5] = img.mean(axis=(0, 1)) / 255.0             # channel means
         out[5:8] = img.std(axis=(0, 1)) / 255.0
         out[8] = float(img.mean()) / 255.0
-    elif kind == "audio" and content[:4] == b"RIFF":
+    elif kind == "audio" and content[:4] == b"RIFF" \
+            and content[8:12] == b"WAVE":
         s, rate = decode_wav(content)
         x = s.astype(np.float32) / 32768.0
         out[0] = len(s) / rate                               # duration s
@@ -188,13 +311,20 @@ def _features(content: bytes, kind: str) -> np.ndarray:
         out[2] = float(np.sqrt(np.mean(x * x)))              # rms
         out[3] = float(np.abs(x).max(initial=0.0))
         out[4] = float(np.mean(np.abs(np.diff(np.signbit(x)))))  # zcr
+        out[5] = len(s) * 1000.0 / rate                      # duration_ms
+    elif kind == "video" and content[:4] == b"RIFF" \
+            and content[8:12] == b"AVI ":
+        frames, fps = decode_avi(content)
+        n, h, w, _ = frames.shape
+        out[0], out[1] = w, h
+        out[2] = n                                           # frame count
+        out[3] = n * 1000.0 / fps                            # duration_ms
+        out[4] = fps
+        f0 = frames[0].astype(np.float32)
+        out[5:8] = f0.mean(axis=(0, 1)) / 255.0              # frame-0 means
+        out[8] = float(frames.astype(np.float32).mean()) / 255.0
     else:
-        # STUB (video): deterministic function of the payload bytes —
-        # stable across runs and partitionings; swap for a real decoder
-        # when codec libraries exist
-        h = np.frombuffer(content[:32].ljust(32, b"\0"), dtype=np.uint8)
-        rng = np.random.default_rng(int(h.sum()) * 131 + len(content))
-        out[:] = rng.standard_normal(N_FEATURES).astype(np.float32)
+        out[15] = -1.0
     return out
 
 
@@ -262,10 +392,9 @@ def resize_meta(media: DataFrame, max_side: int) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling for time-based media: one output row per sampled
-    timestamp (audio/video only; images pass through with ts 0). Real
-    decoding of video frame bytes is the stubbed codec layer; the row
-    explosion, schema, and timestamps are the real plumbing."""
+    """Metadata-tier frame sampling for time-based media: one output row
+    per sampled timestamp (audio/video only; images pass through with
+    ts 0) — the cheap planning twin of frame_sample_decoded."""
     n_frames = F.when(F.col("meta.duration_ms") > 0,
                       F.floor(F.col("meta.duration_ms") / F.lit(every_ms)) + 1) \
                 .otherwise(F.lit(1)).cast("int")
@@ -274,3 +403,49 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             .select("doc_id", "media_ref", "kind", "meta",
                     ts.alias("frame_idx"))
             .withColumn("frame_ts_ms", F.col("frame_idx") * F.lit(every_ms)))
+
+
+def frame_sample_decoded(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: decode each AVI payload, take the frame
+    nearest every ``every_ms`` timestamp, re-encode each sampled frame as a
+    BMP — sampled frames become IMAGE rows (kind='image') that feed
+    directly into resize_images / extract_features. Non-video rows are
+    dropped. mapInPandas: one Arrow batch in → ≥0 frame rows out."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in ("doc_id", "media_ref", "frame_idx",
+                                    "frame_ts_ms", "content", "meta")}
+            for did, ref, kind, c in zip(pdf["doc_id"], pdf["media_ref"],
+                                         pdf["kind"], pdf["content"]):
+                if kind != "video" or c[:4] != b"RIFF":
+                    continue
+                frames, fps = decode_avi(bytes(c))
+                n, h, w, _ = frames.shape
+                dur_ms = n * 1000 // fps
+                for i, ts in enumerate(range(0, dur_ms, every_ms)):
+                    fi = min(ts * fps // 1000, n - 1)
+                    rows["doc_id"].append(did)
+                    rows["media_ref"].append(f"{ref}#f{fi}")
+                    rows["frame_idx"].append(fi)
+                    rows["frame_ts_ms"].append(ts)
+                    rows["content"].append(encode_bmp(frames[fi]))
+                    rows["meta"].append({"width": w, "height": h,
+                                         "duration_ms": 0})
+            yield pd.DataFrame({
+                "doc_id": rows["doc_id"], "media_ref": rows["media_ref"],
+                "kind": ["image"] * len(rows["doc_id"]),
+                "frame_idx": rows["frame_idx"],
+                "frame_ts_ms": rows["frame_ts_ms"],
+                "content": rows["content"], "meta": rows["meta"]})
+
+    return media.mapInPandas(run, schema=schema)

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from mbrngq_spark.config import DEFAULT, EngineConfig
 
-SPAN_KINDS = ("text", "image", "audio")
+SPAN_KINDS = ("text", "image", "audio", "video")
 
 
 def _u(col: Column, salt: str, mod: int = 1_000_000) -> Column:
@@ -46,7 +46,8 @@ def documents_spans(spark: SparkSession, n: int) -> DataFrame:
     def span(j: Column) -> Column:
         kind = F.element_at(
             F.array(*[F.lit(k) for k in SPAN_KINDS]),
-            (F.lit(1) + F.pmod(F.xxhash64(did, F.lit("kind"), j), F.lit(3))).cast("int"))
+            (F.lit(1) + F.pmod(F.xxhash64(did, F.lit("kind"), j),
+                               F.lit(len(SPAN_KINDS)))).cast("int"))
         is_text = kind == F.lit("text")
         return F.struct(
             kind.alias("kind"),

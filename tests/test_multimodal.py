@@ -1,7 +1,7 @@
-"""Multimodal pipeline: real BMP/WAV codecs (pure NumPy — images and audio
-are genuinely decoded; only video remains a stub), media table schema,
-Arrow-batched feature extraction (deterministic across partitionings),
-real pixel resize, frame sampling."""
+"""Multimodal pipeline: real BMP/WAV/AVI codecs (pure NumPy — images,
+audio AND video are genuinely decoded), media table schema, Arrow-batched
+feature extraction (deterministic across partitionings), real pixel
+resize, real video frame sampling."""
 
 import numpy as np
 from pyspark.sql import functions as F
@@ -29,11 +29,19 @@ def test_wav_roundtrip():
     np.testing.assert_array_equal(back, s)
 
 
+def test_avi_roundtrip():
+    rng = np.random.default_rng(5)
+    vid = rng.integers(0, 256, (7, 19, 33, 3), dtype=np.uint8)  # odd stride
+    back, fps = mm.decode_avi(mm.encode_avi(vid, fps=10))
+    assert fps == 10
+    np.testing.assert_array_equal(back, vid)
+
+
 def test_media_table_schema_and_payloads(spark):
     media = _media(spark)
-    got = media.limit(50).toPandas()
+    got = media.limit(80).toPandas()
     assert set(got.columns) == {"doc_id", "kind", "media_ref", "content", "meta"}
-    assert set(got["kind"].unique()) <= {"image", "audio"}
+    assert set(got["kind"].unique()) <= {"image", "audio", "video"}
     # payloads are REAL encoded media matching their typed metadata
     for _, r in got.iterrows():
         if r["kind"] == "image":
@@ -42,10 +50,18 @@ def test_media_table_schema_and_payloads(spark):
         elif r["kind"] == "audio":
             s, rate = mm.decode_wav(bytes(r["content"]))
             assert len(s) == int(r["meta"]["duration_ms"] * rate / 1000)
+        else:
+            frames, fps = mm.decode_avi(bytes(r["content"]))
+            assert frames.shape[1:] == (r["meta"]["height"],
+                                        r["meta"]["width"], 3)
+            assert frames.shape[0] * 1000 // fps == r["meta"]["duration_ms"]
     aud = got[got["kind"] == "audio"]
     img = got[got["kind"] == "image"]
+    vid = got[got["kind"] == "video"]
     assert (aud["meta"].map(lambda m: m["duration_ms"]) >= 1000).all()
     assert (img["meta"].map(lambda m: m["duration_ms"]) == 0).all()
+    assert (vid["meta"].map(lambda m: m["duration_ms"] % 100) == 0).all()
+    assert len(vid) > 0
 
 
 def test_feature_extraction_deterministic_across_partitioning(spark):
@@ -74,6 +90,12 @@ def test_features_reflect_decoded_content(spark):
             assert abs(f[0] - r["meta"]["duration_ms"] / 1000.0) < 2e-3
             assert f[1] == mm.WAV_RATE
             assert 0.0 < f[2] <= 1.0                    # rms of a sine
+            assert f[5] == r["meta"]["duration_ms"]     # exact round-trip
+        elif r["kind"] == "video":
+            assert f[0] == r["meta"]["width"] and f[1] == r["meta"]["height"]
+            assert f[3] == r["meta"]["duration_ms"]     # exact round-trip
+            assert f[2] == r["meta"]["duration_ms"] * mm.AVI_FPS / 1000
+            assert f[4] == mm.AVI_FPS
 
 
 def test_resize_images_reencodes_pixels(spark):
@@ -104,3 +126,27 @@ def test_frame_sampling(spark):
     assert got.loc["audio", "max_ts"] >= 1000
     one = frames.filter(F.col("kind") == "audio").limit(20).toPandas()
     assert (one["frame_ts_ms"] == one["frame_idx"] * 1000).all()
+
+
+def test_frame_sample_decoded_yields_real_images(spark):
+    """REAL video frame sampling: sampled AVI frames re-encode as BMP
+    image rows whose pixels equal the source video's frames, and feed the
+    image pipeline (extract_features sees real dims)."""
+    media = _media(spark, n=120)
+    vids = media.filter(F.col("kind") == "video")
+    sampled = mm.frame_sample_decoded(vids, every_ms=200)
+    got = sampled.toPandas()
+    assert len(got) > 0 and (got["kind"] == "image").all()
+    src = {r["media_ref"]: bytes(r["content"])
+           for _, r in vids.toPandas().iterrows()}
+    for _, r in got.head(10).iterrows():
+        ref = r["media_ref"].rsplit("#", 1)[0]
+        frames, fps = mm.decode_avi(src[ref])
+        np.testing.assert_array_equal(
+            mm.decode_bmp(bytes(r["content"])), frames[r["frame_idx"]])
+    feats = mm.extract_features(
+        sampled.select("doc_id", "media_ref", "kind", "content")).toPandas()
+    assert len(feats) == len(got)
+    w = {r["media_ref"]: r["meta"]["width"] for _, r in got.iterrows()}
+    assert all(f[0] == w[ref] for ref, f
+               in zip(feats["media_ref"], feats["features"]))
