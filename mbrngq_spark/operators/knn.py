@@ -391,8 +391,27 @@ def knn_join(spark: SparkSession, docs_geo: DataFrame,
     (≈ k docs per cell, read off the ONE stats aggregate — no extra count
     scan), and every row entering the rank shuffle is pre-filtered by the
     per-query radius bound — the shuffle carries O(k·Q) rows regardless of
-    corpus size.
+    corpus size (tools/explain_audit.py measures the constant).
     """
+    joined = knn_candidates(spark, docs_geo, queries, k, res, cfg, max_dist)
+    rank_fn = F.rank() if keep_ties else F.row_number()
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col(id_col).asc())
+    return (joined
+            .withColumn("rank", rank_fn.over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "dist", "rank"))
+
+
+def knn_candidates(spark: SparkSession, docs_geo: DataFrame,
+                   queries: pd.DataFrame | DataFrame,
+                   k: int, res: int | None = None,
+                   cfg: EngineConfig = DEFAULT,
+                   max_dist: float | None = None) -> DataFrame:
+    """The radius-filtered candidate frame knn_join ranks — exactly the
+    rows entering the query_id rank shuffle. Exposed so the plan audit can
+    MEASURE shuffle volume (assert ≤ O(k·Q)) instead of only reading plan
+    shapes."""
     stats, res = planner_stats(docs_geo, res, k, cfg)
     docs_c = with_cell(docs_geo, res, cfg)
 
@@ -408,14 +427,7 @@ def knn_join(spark: SparkSession, docs_geo: DataFrame,
                   .join(F.broadcast(spark.createDataFrame(cand)), "cell")
                   .join(F.broadcast(spark.createDataFrame(queries)),
                         "query_id"))
-    joined = (joined
-              .withColumn("dist", geom.dist_point(F.col("x"), F.col("y"),
-                                                  F.col("qx"), F.col("qy")))
-              .filter(F.col("dist") <= F.col("radius")))
-    rank_fn = F.rank() if keep_ties else F.row_number()
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
-                                               F.col(id_col).asc())
     return (joined
-            .withColumn("rank", rank_fn.over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", id_col, "dist", "rank"))
+            .withColumn("dist", geom.dist_point(F.col("x"), F.col("y"),
+                                                F.col("qx"), F.col("qy")))
+            .filter(F.col("dist") <= F.col("radius")))

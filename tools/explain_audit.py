@@ -66,6 +66,24 @@ def main() -> int:
     check("knn: codegen on the distance math", "*(" in p)
     check("knn: map-side partial top-k before the shuffle",
           p.count("WindowGroupLimit") >= 2)
+    # shuffle-volume bounds, not just plan shapes: the ONLY row shuffle is
+    # the query_id rank exchange (doc side reaches the candidate join via
+    # BroadcastExchange, never a hash repartition), and the rows entering
+    # it are radius-pre-filtered to O(k·Q) regardless of corpus size
+    check("knn: every row shuffle is the query_id rank exchange (doc side "
+          "never hash-repartitioned)",
+          len(exchanges) >= 1 and all("query_id" in e for e in exchanges),
+          f"exchanges={exchanges}")
+    from mbrngq_spark.operators.knn import knn_candidates
+    n_cand = knn_candidates(spark, docs_geo, qpts, k=10).count()
+    kq = 10 * len(qpts)
+    check(f"knn: rank-shuffle input ≤ 64·k·Q (measured {n_cand} rows "
+          f"= {n_cand / kq:.1f}·k·Q)", n_cand <= 64 * kq)
+    sections.append(("kNN shuffle volume",
+                     f"candidate rows into rank shuffle: {n_cand} "
+                     f"(k·Q = {kq}, factor {n_cand / kq:.2f}; map-side "
+                     f"WindowGroupLimit then cuts per-partition input to "
+                     f"≤ k rows/query before the wire)"))
 
     # --- parquet pushdown ----------------------------------------------------
     filtered = (spark.read.parquet(f"{SF}/documents.parquet")
@@ -91,6 +109,12 @@ def main() -> int:
     check("ngq: refine runs in Arrow (FlatMapGroupsInPandas)",
           "FlatMapGroupsInPandas" in p)
     check("ngq: no doc-side sort-merge", "SortMergeJoin" not in p)
+    ngq_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", p)
+    check("ngq: every row shuffle is keyed by query_id (doc side never "
+          "hash-repartitioned)",
+          len(ngq_exchanges) >= 1
+          and all("query_id" in e for e in ngq_exchanges),
+          f"exchanges={ngq_exchanges}")
 
     # --- kNN, large-Q distributed mode ---------------------------------------
     # queries as a Spark DataFrame: the planner itself must be distributed
