@@ -19,6 +19,10 @@ with an explicit mapping to the Iceberg features it stands in for:
 | ``rollback``                        | rollback_to_snapshot               |
 | per-file row counts + column min/max| manifest file stats; read(where=…) |
 |   bounds in manifest                |   skips provably-excluded files    |
+| manifest ``schema`` + add-column    | schema evolution (safe subset);    |
+|   merge on append                   |   old files read nulls there       |
+| ``cluster_by=`` range+sort on write | write.distribution-mode=range +    |
+|                                     |   sort order (tight file bounds)   |
 
 Single-writer is assumed (Iceberg arbitrates concurrent committers through
 the catalog's compare-and-swap; a filesystem sandbox has no catalog).
@@ -96,6 +100,36 @@ def _json_val(v):
     if v is not None and hasattr(v, "isoformat"):
         return v.isoformat()
     return v
+
+
+def _merge_schema(old: dict, new: T.StructType) -> dict:
+    """ADD-COLUMN schema evolution (Iceberg's safe subset): fields new to
+    the table are appended; a type change on an existing field raises —
+    silent widening/narrowing corrupts old-file reads."""
+    merged = T.StructType.fromJson(old)
+    have = {f.name: f.dataType for f in merged.fields}
+    for f in new.fields:
+        if f.name not in have:
+            merged = merged.add(f)
+        elif have[f.name] != f.dataType:
+            raise ValueError(
+                f"type evolution not supported: {f.name} "
+                f"{have[f.name]} → {f.dataType}")
+    return merged.jsonValue()
+
+
+def _clustered(df: DataFrame, cluster_by: str | None,
+               target_files: int | None) -> DataFrame:
+    """Range-partition + sort by ``cluster_by`` before writing, so per-file
+    min/max bounds are TIGHT and read(where=…) pruning actually skips files
+    (Iceberg's write.distribution-mode=range + sort order). Without
+    clustering, every file's bounds span the whole domain and stats prune
+    nothing."""
+    if cluster_by is None:
+        return df
+    n = target_files or df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartitionByRange(n, F.col(cluster_by))
+            .sortWithinPartitions(cluster_by))
 
 
 class SnapshotTable:
@@ -187,17 +221,29 @@ class SnapshotTable:
 
     # -- public operations ----------------------------------------------------
 
-    def create(self, df: DataFrame) -> int:
+    def create(self, df: DataFrame, cluster_by: str | None = None,
+               target_files: int | None = None) -> int:
         assert self.current_snapshot_id() is None, "table already exists"
+        df = _clustered(df, cluster_by, target_files)
         return self._commit(self._write_batch(df, "create"), "create",
                             schema=df.schema.jsonValue())
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, cluster_by: str | None = None,
+               target_files: int | None = None) -> int:
+        """Append; columns new to the table are ADD-COLUMN schema evolution
+        (old files read back with nulls there — the manifest schema is the
+        read contract); a type change on an existing column raises."""
         cur = self._manifest(self.current_snapshot_id())
+        schema = cur.get("schema")
+        if schema is not None:
+            schema = _merge_schema(schema, df.schema)
+        df = _clustered(df, cluster_by, target_files)
         files = cur["files"] + self._write_batch(df, "append")
-        return self._commit(files, "append")
+        return self._commit(files, "append", schema=schema)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, cluster_by: str | None = None,
+                  target_files: int | None = None) -> int:
+        df = _clustered(df, cluster_by, target_files)
         return self._commit(self._write_batch(df, "overwrite"), "overwrite",
                             schema=df.schema.jsonValue())
 
@@ -235,7 +281,14 @@ class SnapshotTable:
                 raise ValueError("empty table snapshot (no recorded schema)")
             return self.spark.createDataFrame(
                 [], T.StructType.fromJson(man["schema"]))
-        df = self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if man.get("schema") is not None:
+            # the manifest schema is the read contract: files written
+            # before an add-column evolution surface the new columns as
+            # nulls (explicit-schema parquet read), and column order is
+            # stable across the table's life
+            reader = reader.schema(T.StructType.fromJson(man["schema"]))
+        df = reader.parquet(*files)
         for col, op, val in preds:
             df = df.filter(_OPS[op](F.col(col), F.lit(val)))
         return df

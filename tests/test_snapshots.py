@@ -195,6 +195,38 @@ def test_manifest_stats_skip_files(spark, tmp_path):
     assert [r.doc_id for r in got.collect()] == [150]
 
 
+def test_add_column_schema_evolution(spark, table):
+    """Append with a new column = add-column evolution: the manifest schema
+    grows, old files read back nulls in the new column, time travel shows
+    the old schema, and a type change raises."""
+    s1 = table.current_snapshot_id()
+    with_lang = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [200, 201], "text": ["x", "y"], "lang": ["en", "de"]}))
+    table.append(with_lang)
+    got = table.read()
+    assert got.columns == ["doc_id", "text", "lang"]
+    assert got.filter(F.col("doc_id") == 200).first().lang == "en"
+    assert got.filter(F.col("lang").isNull()).count() == 100  # old files
+    assert table.read(snapshot_id=s1).columns == ["doc_id", "text"]
+    bad = spark.createDataFrame(pd.DataFrame({"doc_id": [1]})) \
+        .withColumn("text", F.lit(7))              # text: string → int
+    import pytest as _pt
+    with _pt.raises(ValueError, match="type evolution"):
+        table.append(bad)
+
+
+def test_cluster_by_write_tightens_pruning(spark, tmp_path):
+    """cluster_by range-partitions + sorts the write, so per-file bounds
+    are tight and a point/range predicate prunes most files — the
+    write-side half of the file-skipping story."""
+    t = SnapshotTable(spark, str(tmp_path / "clustered"))
+    t.create(_docs(spark, 0, 300), cluster_by="doc_id", target_files=3)
+    assert len(t._manifest(t.current_snapshot_id())["files"]) == 3
+    got = t.read(where=("doc_id", ">=", 250))
+    assert got.count() == 50
+    assert t.last_scan["skipped"] >= 2
+
+
 def test_same_millisecond_commits_do_not_collide(spark, table):
     for lo in range(100, 160, 20):                  # rapid-fire appends
         table.append(_docs(spark, lo, lo + 20).coalesce(1))
