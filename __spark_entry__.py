@@ -469,6 +469,54 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("value_c")))
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (asof.asof_join): every click matched to the user's most
+    recent prior view — union + ONE keyed window, shuffle volume |l|+|r|
+    (a range join would be quadratic per key). Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from mbrngq_spark.operators.asof import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts",
+                     F.col("event_id").alias("view_id"), "value"))
+    out = asof_join(clicks, views, on="user_id", tiebreak="view_id")
+    return out.select(
+        "click_id", "user_id", F.col("view_id_r").alias("view_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts_r").cast("timestamp"))).alias("lag_us"),
+        F.round(F.col("value_r") * 100).cast("long").alias("value_c"))
+
+
+def _q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counts over a corpus with PLANTED pii (emails / intl
+    phones / IPv4) — the patterns live in the ASCII subset where Java
+    regex and RE2 agree, so DuckDB recounts them with
+    regexp_extract_all."""
+    from mbrngq_spark.operators.text import with_pii_counts
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.pmod(did, 3) == 0,
+                   F.concat(F.lit(" contact doc"), did.cast("string"),
+                            F.lit("@example.com now")))
+            .otherwise(F.lit("")),
+            F.when(F.pmod(did, 5) == 0,
+                   F.concat(F.lit(" call +12-555-"),
+                            (F.lit(1000) + F.pmod(did, 9000)).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(F.pmod(did, 7) == 0,
+                   F.concat(F.lit(" from 10.0."),
+                            F.pmod(did, 256).cast("string"), F.lit(".7")))
+            .otherwise(F.lit(""))))
+    return (with_pii_counts(planted)
+            .select("doc_id", "n_email", "n_phone", "n_ipv4"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_range": _q_spatial_range,
@@ -503,6 +551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_orders_nation": _q_join_orders_nation,
         "window_top_orders": _q_window_top_orders,
         "events_hourly": _q_events_hourly,
+        "events_asof": _q_events_asof,
+        "text_pii": _q_text_pii,
     }
 
 
@@ -1028,6 +1078,52 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
     """
 
+    # events_asof: DuckDB's native ASOF LEFT JOIN is the canonical oracle
+    # for the union+window as-of implementation (event timestamps are
+    # unique per user, so no tiebreak ambiguity crosses engines)
+    events_asof = """
+        WITH clicks AS (
+          SELECT event_id AS click_id, user_id, ts
+          FROM events WHERE event_type = 'click'),
+        views AS (
+          SELECT event_id AS view_id, user_id, ts, value
+          FROM events WHERE event_type = 'view')
+        SELECT c.click_id, c.user_id, v.view_id,
+               CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us,
+               CAST(round(v.value * 100) AS BIGINT) AS value_c
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """
+
+    # text_pii: RE2 recount of the planted-PII corpus (patterns restricted
+    # to the Java-regex ∩ RE2 common subset — see text.PII_PATTERNS)
+    from mbrngq_spark.operators.text import PII_PATTERNS as _PII
+
+    def _pii_count(pat: str) -> str:
+        esc = pat.replace("'", "''")
+        return f"CAST(length(regexp_extract_all(text, '{esc}')) AS BIGINT)"
+
+    text_pii = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN ' contact doc' || doc_id || '@example.com now'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                    THEN ' call +12-555-' || (1000 + doc_id % 9000)
+                    ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN ' from 10.0.' || (doc_id % 256) || '.7'
+                    ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               {_pii_count(_PII['email'])} AS n_email,
+               {_pii_count(_PII['phone'])} AS n_phone,
+               {_pii_count(_PII['ipv4'])} AS n_ipv4
+        FROM planted
+    """
+
     # media_features: the Spark side emits DECODED dims/durations (they
     # exist only because the BMP/WAV/AVI encoders and decoders round-trip);
     # the oracle recomputes the same values from the md5-hex meta formulas
@@ -1094,4 +1190,6 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_nation": join_orders_nation,
         "window_top_orders": window_top_orders,
         "events_hourly": events_hourly,
+        "events_asof": events_asof,
+        "text_pii": text_pii,
     }

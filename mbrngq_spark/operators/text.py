@@ -77,6 +77,41 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("fingerprint", fingerprint_col(t)))
 
 
+# --- PII detection (training-data scrubbing tier) ----------------------------
+
+# ASCII-only, no lookaround, no \b: the subset where Java regex (Spark) and
+# RE2 (DuckDB) agree token-for-token, so counts are cross-engine checkable.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "phone": "[+][0-9]{2}[- ][0-9]{3}[- ][0-9]{4,8}",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+}
+
+
+def with_pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (emails / intl phone numbers / IPv4
+    literals) — the detection half of a scrub stage, pure ``regexp_count``
+    Column math (codegen'd, map-only; at 100 TB this is a projection, no
+    shuffle)."""
+    t = F.col(text_col)
+    out = docs
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(t, F.lit(pat)).cast("long"))
+    return out
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text",
+              replacement: str = "<PII>") -> DataFrame:
+    """Redact every PII match in place (the scrub half). Patterns are
+    applied longest-entity-first so an email's host part is not first
+    mangled by the IPv4 rule."""
+    t = F.col(text_col)
+    for name in ("email", "phone", "ipv4"):
+        t = F.regexp_replace(t, PII_PATTERNS[name], replacement)
+    return docs.withColumn(text_col, t)
+
+
 # --- language ID: char-trigram profile scoring (vectorized pandas UDF) ------
 
 _PROFILES = {

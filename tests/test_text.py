@@ -44,3 +44,24 @@ def test_lang_id_on_marker_text(spark):
     assert langs[2] == "de"
     assert langs[3] == "es"
     assert langs[4] == "und"
+
+
+def test_pii_counts_and_scrub(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["mail me at a.user+x@sub.example.org or b@x.io thanks",
+                 "call +49-170-55512345 tomorrow",
+                 "server at 192.168.0.17 and 10.0.0.1 are up",
+                 "nothing to see here at all"],
+    }))
+    got = text.with_pii_counts(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_email"] == 2
+    assert got.loc[2, "n_phone"] == 1
+    assert got.loc[3, "n_ipv4"] == 2
+    assert (got.loc[4, ["n_email", "n_phone", "n_ipv4"]] == 0).all()
+    scrubbed = text.scrub_pii(df).toPandas().set_index("doc_id")
+    redacted = text.with_pii_counts(
+        text.scrub_pii(df)).toPandas().set_index("doc_id")
+    assert (redacted[["n_email", "n_phone", "n_ipv4"]] == 0).all().all()
+    assert "<PII>" in scrubbed.loc[1, "text"]
+    assert "a.user" not in scrubbed.loc[1, "text"]
