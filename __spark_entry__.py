@@ -133,6 +133,13 @@ def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tile_id", "n_docs", "catmask", "xmin", "ymin", "xmax", "ymax")
 
 
+def _q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster rasterization: every tile each CLOSED query rect
+    overlaps (tiles.tile_cover) — corner-bin quantize + bounded JVM-side
+    explode, no shuffle."""
+    return tiles.tile_cover(spark, H.rects_pdf())
+
+
 def _q_cell_catmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton-cell rollup at MASK_RES — CalculateBitArray parity
     (RTree.cs:209-247): per-cell category bitmask + count."""
@@ -527,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_ngq_m5": _q_spatial_ngq_m5,
         "tile_assign": _q_tile_assign,
         "tile_rollup": _q_tile_rollup,
+        "tile_cover": _q_tile_cover,
         "cell_catmask": _q_cell_catmask,
         "cell_pyramid": _q_cell_pyramid,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -677,6 +685,28 @@ def oracle_sql() -> dict[str, str]:
                bit_or(CAST(1 << category AS BIGINT)) AS catmask,
                min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax
         FROM g GROUP BY 1
+    """
+
+    # tile_cover: corner bins via the same clamped quantize, tile product
+    # via two LATERAL generate_series — bit-identical bin arithmetic
+    tile_cover = f"""
+        WITH b AS (
+          SELECT rect_id,
+                 {H.quantize_sql('xmin', H.CFG.min_x, H.CFG.width, H.TILE_RES)} AS ix0,
+                 {H.quantize_sql('xmax', H.CFG.min_x, H.CFG.width, H.TILE_RES)} AS ix1,
+                 {H.quantize_sql('ymin', H.CFG.min_y, H.CFG.height, H.TILE_RES)} AS iy0,
+                 {H.quantize_sql('ymax', H.CFG.min_y, H.CFG.height, H.TILE_RES)} AS iy1
+          FROM {H.rect_values_sql()}),
+        bx AS (
+          SELECT rect_id, iy0, iy1,
+                 unnest(generate_series(ix0, ix1)) AS ix
+          FROM b)
+        SELECT rect_id,
+               CAST(iy * {1 << H.TILE_RES} + ix AS BIGINT) AS tile_id,
+               CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
+        FROM (SELECT rect_id, ix,
+                     unnest(generate_series(iy0, iy1)) AS iy
+              FROM bx)
     """
 
     qx_mask = H.quantize_sql("g.x", H.CFG.min_x, H.CFG.width, H.MASK_RES)
@@ -1166,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_ngq_m5": spatial_ngq_m5,
         "tile_assign": tile_assign,
         "tile_rollup": tile_rollup,
+        "tile_cover": tile_cover,
         "cell_catmask": cell_catmask,
         "cell_pyramid": cell_pyramid,
         "minhash_near_dups": minhash_near_dups,

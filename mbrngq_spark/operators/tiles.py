@@ -42,6 +42,31 @@ def tile_rollup(docs_geo: DataFrame, res: int | None = None,
                  F.max("x").alias("xmax"), F.max("y").alias("ymax")))
 
 
+def tile_cover(spark: SparkSession, rects: pd.DataFrame,
+               res: int | None = None,
+               cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Vector→raster coverage: one row per (rect, tile) for every tile the
+    CLOSED rect overlaps — the rasterization half of raster↔vector
+    assignment (tile_vector_assignment is the point-aggregation half).
+    Corner bins come from grid.quantize (clamped, identical arithmetic to
+    the SQL oracle); the explode is bounded by the coverage area, stays
+    JVM-side, and shuffles nothing."""
+    res = res or cfg.tile_res
+    r = spark.createDataFrame(rects)
+    out = (r.select(
+        "rect_id",
+        grid.quantize(F.col("xmin"), cfg.min_x, cfg.width, res).alias("ix0"),
+        grid.quantize(F.col("xmax"), cfg.min_x, cfg.width, res).alias("ix1"),
+        grid.quantize(F.col("ymin"), cfg.min_y, cfg.height, res).alias("iy0"),
+        grid.quantize(F.col("ymax"), cfg.min_y, cfg.height, res).alias("iy1"))
+        .select("rect_id", "iy0", "iy1",
+                F.explode(F.sequence("ix0", "ix1")).alias("ix"))
+        .select("rect_id", "ix",
+                F.explode(F.sequence("iy0", "iy1")).alias("iy")))
+    tile = F.shiftleft(F.col("iy"), res).bitwiseOR(F.col("ix")).cast("long")
+    return out.select("rect_id", tile.alias("tile_id"), "ix", "iy")
+
+
 def tile_vector_assignment(spark: SparkSession, docs_geo: DataFrame,
                            polygons: pd.DataFrame, res: int | None = None,
                            cfg: EngineConfig = DEFAULT) -> DataFrame:

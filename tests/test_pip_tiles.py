@@ -70,3 +70,43 @@ def test_tile_assignment_deterministic_total(spark, docs_geo):
     # every tile id within range
     mx = out.agg(F.max("tile_id")).collect()[0][0]
     assert 0 <= mx < 4096
+
+
+def test_tile_cover_matches_halfopen_bruteforce(spark):
+    """tile_cover's quantized corner-bin ranges must equal the geometric
+    truth: tile [x0, x0+w) × [y0, y0+w) overlaps the closed rect."""
+    from mbrngq_spark import harness as H
+    from mbrngq_spark.config import DEFAULT as cfg
+    from mbrngq_spark.operators.tiles import tile_cover
+
+    got = tile_cover(spark, H.rects_pdf()).toPandas()
+    n = 1 << cfg.tile_res
+    wx, wy = cfg.width / n, cfg.height / n
+    for _, r in H.rects_pdf().iterrows():
+        exp = set()
+        for iy in range(n):
+            y0 = cfg.min_y + iy * wy
+            if not (y0 <= r.ymax and y0 + wy > r.ymin):
+                continue
+            for ix in range(n):
+                x0 = cfg.min_x + ix * wx
+                if x0 <= r.xmax and x0 + wx > r.xmin:
+                    exp.add(iy * n + ix)
+        sub = set(got[got.rect_id == r.rect_id]["tile_id"])
+        assert sub == exp, f"rect {r.rect_id}"
+
+
+def test_tile_cover_contains_member_doc_tiles(spark):
+    """Consistency across the raster↔vector pair: every doc inside a rect
+    is assigned (assign_tiles) a tile that tile_cover lists for the rect."""
+    from mbrngq_spark import harness as H
+    from mbrngq_spark.operators.tiles import tile_cover
+
+    docs_geo = H.load_docs_geo(spark, SF_DIR)
+    assigned = assign_tiles(docs_geo).toPandas()
+    cover = tile_cover(spark, H.rects_pdf()).toPandas()
+    for _, r in H.rects_pdf().iterrows():
+        inside = assigned[(assigned.x >= r.xmin) & (assigned.x <= r.xmax)
+                          & (assigned.y >= r.ymin) & (assigned.y <= r.ymax)]
+        covered = set(cover[cover.rect_id == r.rect_id]["tile_id"])
+        assert set(inside["tile_id"]) <= covered
