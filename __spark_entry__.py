@@ -239,6 +239,22 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed exact→near-dup pipeline on the planted-dup corpus: the
+    oracle recomputes BOTH stages independently (md5 min-id groups, then
+    full quadratic Jaccard over the survivors) — the engine's LSH shortcut
+    must reproduce the exhaustive keep-list exactly."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 60).select("doc_id", "text")
+    exact = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.lit("zzz"), F.substring("text", 4, 1000000)).alias("text"))
+    corpus = base.unionByName(exact).unionByName(near)
+    return dedup.dedup_pipeline(corpus, threshold=0.6,
+                                num_hashes=16, bands=8)
+
+
 def _q_minhash_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH candidate STAGE with the md5 hash family — bit-reproducible
     in DuckDB (dedup.lsh_candidates_md5), so the banding/bucketing/join
@@ -539,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_pyramid": _q_cell_pyramid,
         "minhash_near_dups": _q_minhash_near_dups,
         "minhash_lsh_bands": _q_minhash_lsh_bands,
+        "dedup_pipeline": _q_dedup_pipeline,
         "spatial_pip": _q_spatial_pip,
         "spatial_bounds": _q_spatial_bounds,
         "spatial_rect_join": _q_spatial_rect_join,
@@ -753,6 +770,33 @@ def oracle_sql() -> dict[str, str]:
                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         WHERE j >= 0.6
+    """
+
+    # dedup_pipeline: both stages recomputed independently — exact keepers
+    # by md5 min-id, then EXHAUSTIVE quadratic Jaccard over the survivors
+    # (the engine's LSH candidate shortcut must reproduce this keep-list)
+    dedup_pipeline = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 10000, text FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 20000, 'zzz' || substr(text, 4)
+          FROM documents WHERE doc_id < 60),
+        s1 AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        surv AS (SELECT c.doc_id, c.text FROM corpus c JOIN s1 USING (doc_id)),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM surv)),
+        dropped AS (
+          SELECT DISTINCT b.doc_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6)
+        SELECT doc_id FROM s1
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
     """
 
     minhash_lsh_bands = """
@@ -1201,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_pyramid": cell_pyramid,
         "minhash_near_dups": minhash_near_dups,
         "minhash_lsh_bands": minhash_lsh_bands,
+        "dedup_pipeline": dedup_pipeline,
         "spatial_pip": spatial_pip,
         "spatial_bounds": spatial_bounds,
         "spatial_rect_join": spatial_rect_join,

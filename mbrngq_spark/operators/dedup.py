@@ -272,6 +272,31 @@ def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7,
     return out
 
 
+def dedup_pipeline(docs: DataFrame, threshold: float = 0.6,
+                   num_hashes: int = 16, bands: int = 4,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The composed production dedup a training pipeline runs: EXACT stage
+    first (md5 group, keeper = min id — this is also what makes the LSH
+    bucket caps safe: identical-text families collapse to one row before
+    any candidate join), then MinHash-LSH near-dup on the exact survivors.
+    Returns the KEEP-list (one ``id_col`` row per surviving document).
+
+    Near-dup drop rule: a survivor is dropped iff it is the LARGER id of
+    any verified pair (greedy keep-smallest). This is deterministic and
+    one anti-join — full transitive clustering would need connected
+    components (an iterative job) for semantics that rarely differ on
+    real corpora, where near-dup families share a common template and the
+    pairset already links every member to the family minimum."""
+    keepers = exact_duplicates(docs, text_col, id_col) \
+        .select(F.col("keeper_id").alias(id_col))
+    survivors = docs.join(keepers, id_col, "left_semi")
+    pairs = near_duplicates_minhash(survivors, threshold, num_hashes,
+                                    bands, text_col, id_col)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return survivors.select(id_col).join(dropped, id_col, "left_anti")
+
+
 def simhash_sketch_udf():
     """Vectorized Arrow UDF: array<long> token hashes → 64-bit SimHash.
     Bit b of the sketch is 1 iff more than half the token hashes have bit b

@@ -142,6 +142,7 @@ class SnapshotTable:
         self.path = path
         self._snap_dir = os.path.join(path, "snapshots")
         self._data_dir = os.path.join(path, "data")
+        self._pending_extra: dict = {}
 
     # -- snapshot bookkeeping -------------------------------------------------
 
@@ -186,6 +187,9 @@ class SnapshotTable:
             "files": files,                # [{path, n_rows, stats}]
             "n_rows": sum(f["n_rows"] for f in files),
         }
+        if self._pending_extra:
+            manifest.update(self._pending_extra)
+            self._pending_extra = {}
         final = os.path.join(self._snap_dir, f"snap-{snap_id}.json")
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
@@ -246,6 +250,24 @@ class SnapshotTable:
         df = _clustered(df, cluster_by, target_files)
         return self._commit(self._write_batch(df, "overwrite"), "overwrite",
                             schema=df.schema.jsonValue())
+
+    def append_batch(self, df: DataFrame, batch_id: int) -> int:
+        """Idempotent micro-batch append (the streaming-ingest commit
+        path, ≡ Iceberg's exactly-once Structured Streaming sink): the
+        committing manifest records ``batch_id``, and a REPLAYED batch —
+        foreachBatch is at-least-once on retry — finds its id already in
+        the snapshot history and no-ops instead of appending a second
+        copy. Creates the table on the first batch."""
+        for snap in reversed(self._snapshot_ids()):
+            if self._manifest(snap).get("batch_id") == batch_id:
+                return snap
+        self._pending_extra = {"batch_id": batch_id}
+        try:
+            if self.current_snapshot_id() is None:
+                return self.create(df)
+            return self.append(df)
+        finally:
+            self._pending_extra = {}
 
     def read(self, snapshot_id: int | None = None,
              where: list[tuple] | tuple | None = None) -> DataFrame:

@@ -233,6 +233,50 @@ def test_same_millisecond_commits_do_not_collide(spark, table):
     assert table.read().count() == 160
 
 
+def test_streaming_ingest_commits_batches_exactly_once(spark, tmp_path):
+    """Streaming → snapshot table: one snapshot per micro-batch, replayed
+    batches no-op (manifest batch_id), restart resumes both cursors."""
+    from pyspark.sql import types as T
+
+    from mbrngq_spark.streaming.snapshot_stream import ingest_snapshot_stream
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    src = str(tmp_path / "src")
+    for b in range(3):
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(b * 10, b * 10 + 10),
+                          "text": [f"s-{i}" for i in range(10)]}),
+            schema).coalesce(1).write.mode("append").parquet(src)
+    t = SnapshotTable(spark, str(tmp_path / "ingested"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = ingest_snapshot_stream(stream, t, str(tmp_path / "ckpt"),
+                               trigger={"availableNow": True})
+    q.awaitTermination(180)
+    assert t.read().count() == 30
+    history = t.history()
+    batch_ids = [h.get("batch_id") for h in history]
+    assert sorted(b for b in batch_ids if b is not None) == [0, 1, 2]
+    # replay of an already-committed batch (at-least-once retry) no-ops
+    replay = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [999], "text": ["dup"]}), schema)
+    snap_before = t.current_snapshot_id()
+    assert t.append_batch(replay, batch_id=1) <= snap_before
+    assert t.read().count() == 30
+    # restart with the same checkpoint + one NEW source file → only the
+    # new rows commit (both cursors resume consistently)
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(30, 35), "text": ["n"] * 5}),
+        schema).coalesce(1).write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = ingest_snapshot_stream(stream2, t, str(tmp_path / "ckpt"),
+                                trigger={"availableNow": True})
+    q2.awaitTermination(180)
+    assert t.read().count() == 35
+
+
 def test_checkpoint_rows_can_carry_snapshot_ids(spark, table, tmp_path):
     """The per-partition lineage protocol keyed on snapshot ids: a unit's
     commit row records the snapshot it produced, and resume reads the last
