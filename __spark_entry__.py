@@ -380,6 +380,26 @@ def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("hamming").cast("long").alias("hamming"))
 
 
+def _q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketch+banding oracle at NONZERO hamming: the md5 hash
+    family (simhash_md5_col) is bit-reproducible in DuckDB, so the oracle
+    rebuilds every 60-bit sketch from md5 hex nibbles (sign of Σ±1 per
+    bit), replays the shared-16-bit-chunk candidate rule, and verifies
+    hamming — value-checking the sketch math itself, which the
+    production simhash_dups gate (identical-text multiset) can only see
+    at hamming 0."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 60).select("doc_id", "text")
+    exact = base.select((F.col("doc_id") + 30000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 40000).alias("doc_id"),
+        F.concat(F.lit("zzz"), F.substring("text", 4, 1000000)).alias("text"))
+    corpus = base.unionByName(exact).unionByName(near)
+    out = dedup.simhash_near_dups_md5(corpus, max_hamming=6)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, VALUE-checked end to end: refs → synthesized
     REAL payloads (24-bit BMP / PCM WAV / uncompressed-DIB AVI, dims and
@@ -569,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "embedding_near_dups": _q_embedding_near_dups,
         "simhash_dups": _q_simhash_dups,
+        "simhash_md5_pairs": _q_simhash_md5_pairs,
         "media_features": _q_media_features,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -996,6 +1017,37 @@ def oracle_sql() -> dict[str, str]:
           ON a.doc_id < b.doc_id AND a.mk = b.mk
     """
 
+    # simhash_md5_pairs: rebuild each 60-bit md5-family sketch bit-by-bit
+    # from the md5 hex nibbles (bit b ← hex position 15 - b//4, bit b%4 of
+    # the nibble; set iff Σ±1 over tokens > 0 — ties → 0, exactly the
+    # sketch UDF's sign rule), then replay the shared-chunk candidate rule
+    # and the hamming verify.
+    _hex = "strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1"
+    _bits = " + ".join(
+        "CASE WHEN SUM((((" + _hex.format(pos=15 - b // 4)
+        + f") // {1 << (b % 4)}) % 2) * 2 - 1) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(60))
+    _chunk_shared = " OR ".join(
+        f"((xor(a.s, b.s) // {1 << (16 * c)}) % 65536 = 0)" for c in range(4))
+    simhash_md5_pairs = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 30000, text FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + 40000, 'zzz' || substr(text, 4)
+          FROM documents WHERE doc_id < 60),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+        h AS (SELECT doc_id, md5(t) AS m FROM tok),
+        sk AS (SELECT doc_id, {_bits} AS s FROM h GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 6 AND ({_chunk_shared})
+    """
+
     # text_langid: the trigram-profile scorer is pure counting, so the
     # oracle recomputes it relationally — per-language score = Σ
     # non-overlapping occurrence counts of its 10 trigrams (length-replace
@@ -1258,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_stats": agg_stats,
         "embedding_near_dups": embedding_near_dups,
         "simhash_dups": simhash_dups,
+        "simhash_md5_pairs": simhash_md5_pairs,
         "media_features": media_features,
         "text_langid": text_langid,
         "ann_lsh_topk": ann_lsh_topk,

@@ -357,6 +357,14 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     guard."""
     sk = docs.select(F.col(id_col).alias("id"),
                      simhash_col(F.col(text_col)).alias("sh"))
+    return _simhash_pairs(sk, max_hamming, max_bucket)
+
+
+def _simhash_pairs(sk: DataFrame, max_hamming: int,
+                   max_bucket: int) -> DataFrame:
+    """Chunk-banded candidate join + exact hamming verify over a sketch
+    table (id, sh) — shared by the xxhash64 production family and the
+    md5 oracle family."""
     chunks = F.array(*[
         F.shiftrightunsigned(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
         for c in range(4)])
@@ -377,3 +385,30 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
             .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_md5_col(text: Column) -> Column:
+    """Cross-engine-checkable SimHash twin: the per-token hash family is
+    the low 60 bits of md5 (15 hex chars via conv-base-16) instead of
+    xxhash64, everything else identical — md5 hex is bit-identical in
+    Spark and DuckDB, and the oracle can rebuild each sketch bit from the
+    hex nibbles (sign of Σ±1 per bit). This is the SimHash sibling of
+    lsh_candidates_md5: it gives the sketch+candidate stage itself a
+    value-checked oracle at NONZERO hamming, where the production gate's
+    identical-text multiset oracle can only see hamming 0. Bits 60..63
+    are zero on every token hash, so the sign-of-sum there is the
+    deterministic tie→0 on both sides."""
+    hashes = F.transform(
+        F.split(text, " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    return simhash_sketch_udf()(hashes)
+
+
+def simhash_near_dups_md5(docs: DataFrame, max_hamming: int = 3,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          max_bucket: int = 1000) -> DataFrame:
+    """simhash_near_dups with the md5 oracle family (see simhash_md5_col):
+    same banding, caps, and verify — hash family swapped."""
+    sk = docs.select(F.col(id_col).alias("id"),
+                     simhash_md5_col(F.col(text_col)).alias("sh"))
+    return _simhash_pairs(sk, max_hamming, max_bucket)
