@@ -423,8 +423,12 @@ def knn_candidates(spark: SparkSession, docs_geo: DataFrame,
     else:
         cand = plan_candidate_cells(stats, queries, k, res, cfg,
                                     max_dist=max_dist)
+        # explicit schema: an empty-corpus plan yields an empty frame,
+        # where pandas schema inference would fail
+        cand_df = spark.createDataFrame(
+            cand, "query_id long, cell long, radius double")
         joined = (docs_c
-                  .join(F.broadcast(spark.createDataFrame(cand)), "cell")
+                  .join(F.broadcast(cand_df), "cell")
                   .join(F.broadcast(spark.createDataFrame(queries)),
                         "query_id"))
     return (joined

@@ -87,9 +87,12 @@ def candidate_topL(spark: SparkSession, docs_geo: DataFrame,
     else:
         cand = plan_candidate_cells(stats, queries, L, res, cfg,
                                     per_category=True)
+        # explicit schema: an empty-corpus plan yields an empty frame,
+        # where pandas schema inference would fail
+        cand_df = spark.createDataFrame(
+            cand, "query_id long, cell long, radius double, category int")
         joined = (docs_c
-                  .join(F.broadcast(spark.createDataFrame(cand)),
-                        ["cell", "category"])
+                  .join(F.broadcast(cand_df), ["cell", "category"])
                   .join(F.broadcast(spark.createDataFrame(queries)),
                         "query_id"))
     joined = (joined

@@ -156,3 +156,18 @@ def test_knn_more_than_population(spark, docs_geo, docs_pdf):
     n = len(docs_pdf)
     got = knn_op.knn_join(spark, docs_geo, QUERIES.head(1), k=n + 10).toPandas()
     assert len(got) == n
+
+
+def test_operators_accept_empty_corpus(spark):
+    """A partition-pruned-to-nothing (or truly empty) corpus must yield
+    empty results, not a planner crash (empty-pandas schema inference)."""
+    import pandas as pd
+
+    from mbrngq_spark.operators.knn import knn_join
+    from mbrngq_spark.operators.ngq import nearest_group
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, x double, y double, category int")
+    q = pd.DataFrame({"query_id": [0], "qx": [10.0], "qy": [10.0]})
+    assert knn_join(spark, empty, q, k=5).count() == 0
+    assert nearest_group(spark, empty, q, k=3, L=8).count() == 0
