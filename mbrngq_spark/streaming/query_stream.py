@@ -68,6 +68,30 @@ def serve_ngq_stream(docs_geo: DataFrame, query_stream: DataFrame,
     return _start(query_stream, handle, checkpoint, trigger)
 
 
+def enrich_asof_stream(left_stream: DataFrame, right_static: DataFrame,
+                       on: str, out_path: str, checkpoint: str,
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       tolerance_us: int | None = None,
+                       trigger: dict | None = None) -> StreamingQuery:
+    """Point-in-time enrichment of a stream against a STATIC right side
+    (e.g. a dimension snapshot resolved from a snapshot table): each
+    micro-batch runs the batch as-of join — correct because the right
+    side is fixed, so a row's match never depends on which micro-batch
+    carried it. (Stream-×-stream as-of would need event-time state and
+    watermark reasoning — deliberately not claimed here.) Same idempotent
+    batch_id-partitioned sink as the kNN/NGQ serving."""
+    from mbrngq_spark.operators.asof import asof_join
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        out = asof_join(batch_df, right_static, on, left_ts, right_ts,
+                        tolerance_us)
+        _write_idempotent(out, batch_id, out_path)
+
+    return _start(left_stream, handle, checkpoint, trigger)
+
+
 def _write_idempotent(out: DataFrame, batch_id: int, out_path: str) -> None:
     """Idempotent micro-batch sink: each batch owns the partition
     ``batch_id=<n>`` and dynamic-overwrites exactly that partition, so a

@@ -171,3 +171,25 @@ def test_operators_accept_empty_corpus(spark):
     q = pd.DataFrame({"query_id": [0], "qx": [10.0], "qy": [10.0]})
     assert knn_join(spark, empty, q, k=5).count() == 0
     assert nearest_group(spark, empty, q, k=3, L=8).count() == 0
+
+
+def test_knn_distributed_mode_honors_radius_cap_and_ties(spark, docs_geo):
+    """DataFrame-queries (distributed planner) must reproduce pandas-mode
+    output under max_dist and keep_ties — the cap is applied inside the
+    mapInPandas planner, not just the driver path."""
+    import pandas as pd
+
+    from mbrngq_spark.operators.knn import knn_join
+
+    q = pd.DataFrame({"query_id": range(12),
+                      "qx": [(i * 29 % 100) + 0.5 for i in range(12)],
+                      "qy": [(i * 43 % 100) + 0.25 for i in range(12)]})
+    for kw in ({"max_dist": 6.0}, {"keep_ties": True, "k": 1}):
+        kw.setdefault("k", 5)
+        a = (knn_join(spark, docs_geo, q, **kw)
+             .orderBy("query_id", "rank", "doc_id").toPandas())
+        b = (knn_join(spark, docs_geo, spark.createDataFrame(q).repartition(3),
+                      **kw)
+             .orderBy("query_id", "rank", "doc_id").toPandas())
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert len(a) == len(b)

@@ -272,3 +272,45 @@ def test_stream_matches_batch_cells(spark, tmp_path):
     assert (got["catmask"] < 8).all() and (got["catmask"] > 0).all()
     # window bounds are aligned minutes
     assert ((got["win_end"] - got["win_start"]).dt.total_seconds() == 60).all()
+
+
+def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
+    """Per-micro-batch as-of enrichment against a static right side must
+    equal the batch as-of join on the union of all left batches."""
+    from mbrngq_spark.operators.asof import asof_join
+    from mbrngq_spark.streaming.query_stream import enrich_asof_stream
+
+    l_schema = T.StructType([T.StructField("lid", T.LongType()),
+                             T.StructField("key", T.LongType()),
+                             T.StructField("ts", T.TimestampType())])
+    base = pd.Timestamp("2024-03-01")
+    left = pd.DataFrame({
+        "lid": range(40),
+        "key": [i % 5 for i in range(40)],
+        "ts": [base + pd.Timedelta(seconds=37 * i % 1000) for i in range(40)],
+    })
+    right = spark.createDataFrame(pd.DataFrame({
+        "key": [i % 5 for i in range(25)],
+        "ts": [base + pd.Timedelta(seconds=91 * i % 1000) for i in range(25)],
+        "rid": range(25),
+    }))
+    src = str(tmp_path / "asof_src")
+    for b in range(2):
+        spark.createDataFrame(left.iloc[b * 20:(b + 1) * 20], l_schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(l_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out_path = str(tmp_path / "asof_out")
+    q = enrich_asof_stream(stream, right, on="key", out_path=out_path,
+                           checkpoint=str(tmp_path / "asof_ckpt"),
+                           trigger={"availableNow": True})
+    q.awaitTermination(180)
+    got = (spark.read.parquet(out_path).toPandas()
+           .sort_values("lid").reset_index(drop=True))
+    exp = (asof_join(spark.createDataFrame(left, l_schema), right, on="key",
+                     tiebreak="rid")
+           .toPandas().sort_values("lid").reset_index(drop=True))
+    assert (got["rid_r"].isna() == exp["rid_r"].isna()).all()
+    m = ~exp["rid_r"].isna()
+    assert (got["rid_r"][m].astype("int64")
+            == exp["rid_r"][m].astype("int64")).all()
