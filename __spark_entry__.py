@@ -1028,8 +1028,14 @@ def oracle_sql() -> dict[str, str]:
         + f") // {1 << (b % 4)}) % 2) * 2 - 1) > 0 "
         f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for b in range(60))
+    # replay the engine's adaptive chunk boundaries (max_hamming=6 → 7
+    # chunks): chunk c shared ⇔ those xor bits are all zero
+    from mbrngq_spark.operators.dedup import simhash_chunk_bounds
+    _sb = simhash_chunk_bounds(6)
     _chunk_shared = " OR ".join(
-        f"((xor(a.s, b.s) // {1 << (16 * c)}) % 65536 = 0)" for c in range(4))
+        f"((xor(a.s, b.s) // {1 << _sb[c]}) % {1 << (_sb[c + 1] - _sb[c])}"
+        f" = 0)"
+        for c in range(len(_sb) - 1))
     simhash_md5_pairs = f"""
         WITH corpus AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 60

@@ -339,15 +339,26 @@ def simhash_col(text: Column) -> Column:
     return simhash_sketch_udf()(hashes)
 
 
+def simhash_chunk_bounds(max_hamming: int) -> list[int]:
+    """Bit boundaries of the ``max_hamming + 1`` candidate chunks: a pair
+    at hamming ≤ h differs in ≤ h of h+1 disjoint chunks, so it MATCHES on
+    at least one (pigeonhole) — the chunk count must scale with the
+    threshold or recall silently drops (4 fixed chunks only cover h ≤ 3).
+    Shared with the SQL oracle so both engines band identically."""
+    n = min(max_hamming + 1, 64)           # ≤ 64 one-bit chunks
+    return [round(64 * i / n) for i in range(n + 1)]
+
+
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
                       max_bucket: int = 1000) -> DataFrame:
-    """SimHash near-dup pairs: candidates share one of four 16-bit chunks
-    (any pair with hamming ≤ 3 must agree on ≥1 chunk — pigeonhole), then
-    exact hamming verify. Returns (id_a, id_b, hamming).
+    """SimHash near-dup pairs: candidates share one of ``max_hamming + 1``
+    sketch chunks (pigeonhole — guaranteed recall at ANY threshold, see
+    simhash_chunk_bounds), then exact hamming verify. Returns
+    (id_a, id_b, hamming).
 
     Shape mirrors lsh_candidate_pairs: ONE posexplode pass over the
-    sketches (4 chunk keys/row), a degenerate-bucket count + broadcast
+    sketches (h+1 chunk keys/row), a degenerate-bucket count + broadcast
     filter, one self-join. ``max_bucket`` is the skew guard: a boilerplate
     cluster — or the all-zero sketch every empty/short text produces —
     lands thousands of rows on one (chunk_idx, chunk_value) key, and an
@@ -365,9 +376,16 @@ def _simhash_pairs(sk: DataFrame, max_hamming: int,
     """Chunk-banded candidate join + exact hamming verify over a sketch
     table (id, sh) — shared by the xxhash64 production family and the
     md5 oracle family."""
-    chunks = F.array(*[
-        F.shiftrightunsigned(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
-        for c in range(4)])
+    bounds = simhash_chunk_bounds(max_hamming)
+
+    def chunk(c: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("sh"), bounds[c])
+        width = bounds[c + 1] - bounds[c]
+        if width >= 64:                    # single whole-sketch chunk
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    chunks = F.array(*[chunk(c) for c in range(len(bounds) - 1)])
     bucketed = sk.select("id", "sh", F.posexplode(chunks).alias("ci", "ck"))
     ok = (bucketed.groupBy("ci", "ck").count()
           .filter(F.col("count") <= max_bucket)

@@ -234,3 +234,34 @@ def test_embedding_near_dups_self_consistency(spark, emb):
     got = similarity.embedding_near_dups(corpus, threshold=0.999, dim=dim) \
         .toPandas()
     assert (0, 10000) in set(map(tuple, got[["id_a", "id_b"]].values))
+
+
+def test_simhash_banding_full_recall_at_large_hamming(spark):
+    """The candidate chunk count scales with max_hamming (pigeonhole), so
+    the operator must return EXACTLY the brute-force pair set at any
+    threshold — 4 fixed chunks would silently miss hamming-4..10 pairs."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .filter(F.col("doc_id") < 50).select("doc_id", "text")
+    near = base.select((F.col("doc_id") + 5000).alias("doc_id"),
+                       F.concat(F.lit("qqq xx"),
+                                F.substring("text", 8, 10**6)).alias("text"))
+    docs = base.unionByName(near)
+    sk = docs.select("doc_id", dedup.simhash_col(F.col("text")).alias("sh")) \
+        .toPandas()
+    ids = sk["doc_id"].to_numpy()
+    sh = sk["sh"].to_numpy().astype(np.uint64)
+    xor = sh[:, None] ^ sh[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for b in range(64):
+        ham += ((xor >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    H = 10
+    iu, ju = np.nonzero(np.triu(ham <= H, k=1))
+    exp = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))): int(ham[i, j])
+           for i, j in zip(iu, ju)}
+    got = dedup.simhash_near_dups(docs, max_hamming=H,
+                                  max_bucket=10_000).toPandas()
+    got_d = {(int(r.id_a), int(r.id_b)): int(r.hamming)
+             for r in got.itertuples()}
+    assert got_d == exp
+    assert any(v > 3 for v in exp.values()), \
+        "fixture too easy: no pair beyond the old 4-chunk guarantee"
