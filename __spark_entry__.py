@@ -512,6 +512,20 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("value_c")))
 
 
+def _q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per event type (ordered-statistic
+    aggregation coverage): Spark `percentile` and DuckDB `quantile_cont`
+    share the linear-interpolation definition, so values match at 6 dp."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(pct[0], 6).alias("p25"),
+                 F.round(pct[1], 6).alias("p50"),
+                 F.round(pct[2], 6).alias("p90"),
+                 F.round(pct[3], 6).alias("p99")))
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (asof.asof_join): every click matched to the user's most
     recent prior view — union + ONE keyed window, shuffle volume |l|+|r|
@@ -599,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_asof": _q_events_asof,
         "text_pii": _q_text_pii,
+        "agg_quantiles": _q_agg_quantiles,
     }
 
 
@@ -1210,6 +1225,15 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
     """
 
+    agg_quantiles = """
+        SELECT event_type, count(*) AS n,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """
+
     # events_asof: DuckDB's native ASOF LEFT JOIN is the canonical oracle
     # for the union+window as-of implementation (event timestamps are
     # unique per user, so no tiebreak ambiguity crosses engines)
@@ -1327,4 +1351,5 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": events_hourly,
         "events_asof": events_asof,
         "text_pii": text_pii,
+        "agg_quantiles": agg_quantiles,
     }
