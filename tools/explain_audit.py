@@ -137,6 +137,27 @@ def main() -> int:
           p.count("Join") >= 1 and "BroadcastNestedLoopJoin" not in p)
     check("distance-join: codegen on the distance predicate", "*(" in p)
 
+    # --- as-of join -----------------------------------------------------------
+    # the union+window shape's whole point: NO join operator at all, ONE
+    # row shuffle keyed by the as-of key — shuffle volume |l| + |r|
+    from mbrngq_spark.operators.asof import asof_join
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("cid"), "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", F.col("event_id").alias("vid"))
+    aj = asof_join(clicks, views, on="user_id", tiebreak="vid")
+    p = plan_of(aj, execute=True)
+    sections.append(("as-of join", p))
+    check("asof: no join operator anywhere (union + window)",
+          "Join" not in p)
+    # (the AQE plan string repeats the tree as Final + Initial plan, so
+    # count per occurrence is 2× — assert every exchange is the key one)
+    asof_ex = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", p)
+    check("asof: the only row shuffle is keyed by the as-of key",
+          len(asof_ex) >= 1 and all("__k" in e for e in asof_ex),
+          f"exchanges={asof_ex}")
+
     # --- dedup sketch path ----------------------------------------------------
     from mbrngq_spark.operators.dedup import minhash_signatures
     docs_t = spark.read.parquet(f"{SF}/documents.parquet")
