@@ -258,8 +258,20 @@ class SnapshotTable:
         foreachBatch is at-least-once on retry — finds its id already in
         the snapshot history and no-ops instead of appending a second
         copy. Creates the table on the first batch."""
+        # streaming batch ids are monotonic, so the newest manifest that
+        # carries one bounds the committed range: a fresh batch is decided
+        # in O(1) manifest reads; only a genuine replay (rare) scans on
+        # to find its exact snapshot
+        latest = None
         for snap in reversed(self._snapshot_ids()):
-            if self._manifest(snap).get("batch_id") == batch_id:
+            b = self._manifest(snap).get("batch_id")
+            if b is None:
+                continue
+            if latest is None:
+                latest = b
+                if batch_id > latest:
+                    break                      # fresh batch — commit it
+            if b == batch_id:
                 return snap
         self._pending_extra = {"batch_id": batch_id}
         try:
