@@ -86,3 +86,27 @@ def test_asof_exact_timestamp_is_inclusive(spark):
     for direction in ("backward", "forward"):
         got = _got(spark, left, right, direction=direction)
         assert got["rid_r"].iloc[0] == 7
+
+
+def test_asof_empty_right_side_yields_all_nulls(spark):
+    left, right = _frames(seed=20, n_left=30)
+    empty_right = right.iloc[0:0]
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(empty_right,
+                                          schema="key long, ts timestamp,"
+                                          " rid long, val double"),
+                    on="key", tiebreak="rid").toPandas()
+    assert len(got) == 30
+    assert got["rid_r"].isna().all()
+
+
+def test_asof_duplicate_right_timestamps_pick_max_tiebreak(spark):
+    left = pd.DataFrame({"key": [1], "ts": [pd.Timestamp("2024-01-02")],
+                         "lid": [0]})
+    right = pd.DataFrame({"key": [1, 1, 1],
+                          "ts": [pd.Timestamp("2024-01-01")] * 3,
+                          "rid": [5, 9, 2], "val": [0.1, 0.2, 0.3]})
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="key", tiebreak="rid").toPandas()
+    assert got["rid_r"].iloc[0] == 9          # deterministic: max tiebreak
