@@ -324,9 +324,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         # best-of-N per query: this host drifts ±50-100% over minutes
-        # (CLAUDE.md), so a single shot can misstate every row by the same
+        # (CLAUDE.md; same code measured 29s and 61s headline an hour
+        # apart), so a single shot can misstate every row by the same
         # factor; the min is the standard noise-robust point estimate
-        reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "2"))
+        reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3"))
         times, rates = bench_once(spark, SF_DIR)
         for _ in range(reps - 1):
             t2, r2 = bench_once(spark, SF_DIR)
