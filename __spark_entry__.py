@@ -512,6 +512,17 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("value_c")))
 
 
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (training-mix weights):
+    hash-based keep decision, map-only, reproducible across partition
+    layouts/retries — the oracle recomputes the exact kept set from the
+    same md5 formula."""
+    from mbrngq_spark.operators.sampling import stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, {"src0": 0.0, "src1": 0.25, "src2": 0.5})
+    return out.select("doc_id", "source")
+
+
 def _q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per event type (ordered-statistic
     aggregation coverage): Spark `percentile` and DuckDB `quantile_cont`
@@ -614,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "text_pii": _q_text_pii,
         "agg_quantiles": _q_agg_quantiles,
+        "corpus_sample": _q_corpus_sample,
     }
 
 
@@ -1225,6 +1237,18 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
     """
 
+    # corpus_sample: identical md5 unit + per-stratum thresholds
+    _su = ("(ascii(substr(md5(doc_id || '/s1'), 1, 1)) * 17161"
+           " + ascii(substr(md5(doc_id || '/s1'), 2, 1)) * 131"
+           " + ascii(substr(md5(doc_id || '/s1'), 3, 1))) % 1000")
+    corpus_sample = f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_su} < CASE source WHEN 'src0' THEN 0
+                                  WHEN 'src1' THEN 250
+                                  WHEN 'src2' THEN 500
+                                  ELSE 1000 END
+    """
+
     agg_quantiles = """
         SELECT event_type, count(*) AS n,
                round(quantile_cont(value, 0.25), 6) AS p25,
@@ -1352,4 +1376,5 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": events_asof,
         "text_pii": text_pii,
         "agg_quantiles": agg_quantiles,
+        "corpus_sample": corpus_sample,
     }

@@ -65,3 +65,31 @@ def test_pii_counts_and_scrub(spark):
     assert (redacted[["n_email", "n_phone", "n_ipv4"]] == 0).all().all()
     assert "<PII>" in scrubbed.loc[1, "text"]
     assert "a.user" not in scrubbed.loc[1, "text"]
+
+
+def test_deterministic_sampling_rates_and_stability(spark):
+    """Hash sampling: kept set is exactly reproducible, rates land near
+    target, strata honor their weights, and different salts draw
+    (near-)independent samples."""
+    from mbrngq_spark.operators.sampling import sample_uniform, \
+        stratified_sample
+
+    docs = spark.range(20_000).select(F.col("id").alias("doc_id"),
+                                      F.concat(F.lit("src"),
+                                               (F.col("id") % 4)
+                                               .cast("string"))
+                                      .alias("source"))
+    a = sample_uniform(docs, 0.3)
+    n = a.count()
+    assert abs(n / 20_000 - 0.3) < 0.02
+    assert a.exceptAll(sample_uniform(docs, 0.3)).count() == 0  # stable
+    b = set(r.doc_id for r in sample_uniform(docs, 0.3, salt="s2")
+            .select("doc_id").collect())
+    a_ids = set(r.doc_id for r in a.select("doc_id").collect())
+    overlap = len(a_ids & b) / 20_000
+    assert abs(overlap - 0.09) < 0.02            # ≈ rate² → independent
+    s = stratified_sample(docs, {"src0": 0.0, "src1": 0.5}).groupBy(
+        "source").count().toPandas().set_index("source")["count"]
+    assert "src0" not in s.index
+    assert abs(s["src1"] / 5000 - 0.5) < 0.05
+    assert s["src2"] == 5000 and s["src3"] == 5000
