@@ -761,7 +761,9 @@ def oracle_sql() -> dict[str, str]:
                  {H.quantize_sql('xmax', H.CFG.min_x, H.CFG.width, H.TILE_RES)} AS ix1,
                  {H.quantize_sql('ymin', H.CFG.min_y, H.CFG.height, H.TILE_RES)} AS iy0,
                  {H.quantize_sql('ymax', H.CFG.min_y, H.CFG.height, H.TILE_RES)} AS iy1
-          FROM {H.rect_values_sql()}),
+          FROM {H.rect_values_sql()}
+          WHERE xmax >= {H.CFG.min_x} AND xmin <= {H.CFG.min_x + H.CFG.width}
+            AND ymax >= {H.CFG.min_y} AND ymin <= {H.CFG.min_y + H.CFG.height}),
         bx AS (
           SELECT rect_id, iy0, iy1,
                  unnest(generate_series(ix0, ix1)) AS ix

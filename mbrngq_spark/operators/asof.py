@@ -13,8 +13,10 @@ trick:
   2. ONE shuffle keyed by ``on`` and an in-partition sort by
      (ts, side, right-row order) — right rows sort before left rows at
      equal timestamps, so backward semantics are ``right.ts <= left.ts``;
-  3. ``last(right payload, ignoreNulls)`` over rows UNBOUNDED PRECEDING →
-     CURRENT ROW carries the most recent right row onto every left row;
+  3. ``last(right-row STRUCT, ignoreNulls)`` over rows UNBOUNDED
+     PRECEDING → CURRENT ROW carries the most recent right row — as one
+     atomic struct, so nullable right payload columns never splice fields
+     from different rows — onto every left row;
   4. keep side=1 rows; optionally null out matches older than
      ``tolerance``.
 
@@ -35,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -66,18 +69,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     rcols = [c for c in right.columns if c != on]
     payload = [c for c in rcols if c != right_ts]
 
+    # All right columns ride in ONE struct so the match is atomic: a right
+    # row with NULLs in some payload columns still carries as a unit (a
+    # struct with null fields is itself non-null), instead of each column
+    # back-filling from a DIFFERENT older row (merge_asof/DuckDB semantics).
+    r_struct_t = T.StructType([right.schema[c] for c in rcols])
     lt = left.select(
         F.col(on).alias("__k"), F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in rcols])
+        F.lit(None).cast(r_struct_t).alias("__r"))
     rt = right.select(
         F.col(on).alias("__k"), F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
           for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in rcols])
+        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__r"))
     u = lt.unionByName(rt)
 
     # backward: ascending ts, right (side=0) before left at equal ts →
@@ -88,15 +95,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         else F.col("__ts").desc()
     order = [ts_order, F.col("__side").asc()]
     if tiebreak is not None:
-        order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
+        order.append(F.col("__r")[tiebreak].asc_nulls_first())
     w = (Window.partitionBy("__k")
          .orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(f"__r_{c}", ignorenulls=True).over(w)
-               .alias(f"__m_{c}") for c in rcols]
-    u = u.select("*", *carried).filter(F.col("__side") == 1)
+    u = (u.select("*", F.last("__r", ignorenulls=True).over(w).alias("__m"))
+         .filter(F.col("__side") == 1))
 
-    matched_ts = F.col(f"__m_{right_ts}")
+    matched_ts = F.col("__m")[right_ts]
     if tolerance_us is not None:
         # cast: unix_micros rejects TIMESTAMP_NTZ (common for parquet ts);
         # the gap is a difference, so the epoch interpretation cancels
@@ -105,11 +111,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         if direction == "forward":
             gap = -gap
         ok = matched_ts.isNotNull() & (gap <= F.lit(tolerance_us))
-        out_match = [F.when(ok, F.col(f"__m_{c}"))
+        out_match = [F.when(ok, F.col("__m")[c])
                      .otherwise(F.lit(None)).alias(f"{c}{suffix}")
                      for c in [right_ts] + payload]
     else:
-        out_match = [F.col(f"__m_{c}").alias(f"{c}{suffix}")
+        out_match = [F.col("__m")[c].alias(f"{c}{suffix}")
                      for c in [right_ts] + payload]
 
     return u.select(*[F.col(f"__l_{c}").alias(c) for c in lcols],

@@ -12,7 +12,9 @@ pushdown-friendly.
 The per-document uniform comes from md5 (bit-identical in Spark and
 DuckDB), so the exact kept set is value-checkable by the SQL oracle —
 same family as multimodal.media_meta_col. Granularity is 1/1000 (rates
-round down to 0.1%), plenty for mix weights.
+round to the NEAREST 0.1% — int(round(...)), not truncation, so binary
+float error in e.g. rate=0.3 cannot shave a grain), plenty for mix
+weights.
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ def sample_uniform(docs: DataFrame, rate: float, id_col: str = "doc_id",
                    salt: str = "s1") -> DataFrame:
     """Keep ≈``rate`` of rows, deterministically."""
     return docs.filter(sample_unit(F.col(id_col), salt)
-                       < F.lit(int(rate * GRAIN)))
+                       < F.lit(int(round(rate * GRAIN))))
 
 
 def stratified_sample(docs: DataFrame, rates: dict[str, float],
@@ -48,8 +50,8 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     """Per-stratum keep rates (the corpus-mix weights): strata named in
     ``rates`` keep that fraction, everything else keeps ``default_rate``.
     One codegen'd CASE — no shuffle, no per-stratum pass."""
-    thresh = F.lit(int(default_rate * GRAIN))
+    thresh = F.lit(int(round(default_rate * GRAIN)))
     for name, rate in sorted(rates.items()):
         thresh = F.when(F.col(strat_col) == name,
-                        F.lit(int(rate * GRAIN))).otherwise(thresh)
+                        F.lit(int(round(rate * GRAIN)))).otherwise(thresh)
     return docs.filter(sample_unit(F.col(id_col), salt) < thresh)

@@ -60,7 +60,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
     """Random-hyperplane sign bucket, computed JVM-side: bit b set iff
-    Σ vec_i·plane[b,i] > 0 (plane rows inlined as literal arrays)."""
+    Σ vec_i·plane[b,i] > 0 (plane rows inlined as literal arrays).
+
+    Capped at 16 planes: each plane adds a nested fold expression, and
+    big nested HOF trees hit a multi-minute one-time codegen/JIT cliff
+    (see CLAUDE.md). Wider sketches belong in the banded NumPy pandas-UDF
+    kernel (embedding_near_duplicates / _band_signs), which computes all
+    planes in one matmul."""
+    if planes.shape[0] > 16:
+        raise ValueError(
+            f"n_planes={planes.shape[0]} > 16 would build a codegen-cliff "
+            "expression tree; use the banded NumPy kernel "
+            "(embedding_near_duplicates) for wide sketches")
     out = F.lit(0).cast("long")
     for b in range(planes.shape[0]):
         lits = F.array(*[F.lit(float(v)) for v in planes[b]])

@@ -50,9 +50,18 @@ def tile_cover(spark: SparkSession, rects: pd.DataFrame,
     assignment (tile_vector_assignment is the point-aggregation half).
     Corner bins come from grid.quantize (clamped, identical arithmetic to
     the SQL oracle); the explode is bounded by the coverage area, stays
-    JVM-side, and shuffles nothing."""
+    JVM-side, and shuffles nothing.
+
+    Rects that do not intersect the configured domain
+    [min_x, min_x+width] × [min_y, min_y+height] emit ZERO rows (the
+    quantize clamp would otherwise pin them to boundary tiles — false
+    coverage); the oracle SQL mirrors the same WHERE."""
     res = res or cfg.tile_res
-    r = spark.createDataFrame(rects)
+    r = spark.createDataFrame(rects).filter(
+        (F.col("xmax") >= F.lit(cfg.min_x))
+        & (F.col("xmin") <= F.lit(cfg.min_x + cfg.width))
+        & (F.col("ymax") >= F.lit(cfg.min_y))
+        & (F.col("ymin") <= F.lit(cfg.min_y + cfg.height)))
     out = (r.select(
         "rect_id",
         grid.quantize(F.col("xmin"), cfg.min_x, cfg.width, res).alias("ix0"),

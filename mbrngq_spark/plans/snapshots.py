@@ -251,29 +251,36 @@ class SnapshotTable:
         return self._commit(self._write_batch(df, "overwrite"), "overwrite",
                             schema=df.schema.jsonValue())
 
-    def append_batch(self, df: DataFrame, batch_id: int) -> int:
+    def append_batch(self, df: DataFrame, batch_id: int,
+                     run_id: str | None = None) -> int:
         """Idempotent micro-batch append (the streaming-ingest commit
         path, ≡ Iceberg's exactly-once Structured Streaming sink): the
-        committing manifest records ``batch_id``, and a REPLAYED batch —
-        foreachBatch is at-least-once on retry — finds its id already in
-        the snapshot history and no-ops instead of appending a second
-        copy. Creates the table on the first batch."""
-        # streaming batch ids are monotonic, so the newest manifest that
-        # carries one bounds the committed range: a fresh batch is decided
-        # in O(1) manifest reads; only a genuine replay (rare) scans on
-        # to find its exact snapshot
-        latest = None
+        committing manifest records ``(run_id, batch_id)``, and a
+        REPLAYED batch — foreachBatch is at-least-once on retry — finds
+        its id already in the snapshot history and no-ops instead of
+        appending a second copy. Creates the table on the first batch.
+
+        ``run_id`` names the ingestion run (e.g. a hash of the streaming
+        checkpoint path): a RESTART against a FRESH checkpoint restarts
+        batch ids at 0, and without the run identity those new batches
+        would collide with old manifest ids and be silently dropped as
+        replays. Manifests written before this field existed have no
+        run_id and match only ``run_id=None`` callers (legacy
+        behavior)."""
+        # batch ids are monotonic WITHIN a run, so scanning newest-first
+        # the first same-run manifest decides: equal id → replay, smaller
+        # id → fresh. Other runs' manifests never match or terminate the
+        # scan, so a fresh checkpoint restarting at 0 commits normally.
         for snap in reversed(self._snapshot_ids()):
-            b = self._manifest(snap).get("batch_id")
-            if b is None:
+            m = self._manifest(snap)
+            b = m.get("batch_id")
+            if b is None or m.get("run_id") != run_id:
                 continue
-            if latest is None:
-                latest = b
-                if batch_id > latest:
-                    break                      # fresh batch — commit it
             if b == batch_id:
-                return snap
-        self._pending_extra = {"batch_id": batch_id}
+                return snap                    # genuine replay — no-op
+            if b < batch_id:
+                break                          # fresh batch — commit it
+        self._pending_extra = {"batch_id": batch_id, "run_id": run_id}
         try:
             if self.current_snapshot_id() is None:
                 return self.create(df)

@@ -23,14 +23,31 @@ from pyspark.sql.streaming import StreamingQuery
 from mbrngq_spark.plans.snapshots import SnapshotTable
 
 
+def run_id_for_checkpoint(checkpoint: str) -> str:
+    """Stable ingestion-run identity: same checkpoint → same run (replays
+    dedup), fresh checkpoint → new run (restarted batch ids commit)."""
+    import hashlib
+    import os
+
+    return hashlib.sha1(
+        os.path.abspath(checkpoint).encode()).hexdigest()[:16]
+
+
 def ingest_snapshot_stream(stream_df: DataFrame, table: SnapshotTable,
                            checkpoint: str,
                            trigger: dict | None = None) -> StreamingQuery:
-    """Commit each micro-batch of ``stream_df`` as one table snapshot."""
+    """Commit each micro-batch of ``stream_df`` as one table snapshot.
+
+    The replay-dedup key is ``(run_id, batch_id)`` where run_id hashes the
+    checkpoint path: restarting against a FRESH checkpoint (batch ids back
+    to 0) commits normally instead of colliding with a previous run's
+    manifest ids and being dropped as replays."""
+    run_id = run_id_for_checkpoint(checkpoint)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        table.append_batch(batch_df, batch_id)
+        table.append_batch(batch_df, batch_id, run_id=run_id)
 
     writer = (stream_df.writeStream
               .foreachBatch(handle)

@@ -110,3 +110,25 @@ def test_asof_duplicate_right_timestamps_pick_max_tiebreak(spark):
                     spark.createDataFrame(right),
                     on="key", tiebreak="rid").toPandas()
     assert got["rid_r"].iloc[0] == 9          # deterministic: max tiebreak
+
+
+def test_asof_nullable_right_payload_is_atomic(spark):
+    """A NULL in one right payload column must ride with ITS row — not be
+    back-filled from an older right row (merge_asof semantics). Regression
+    for the per-column last(ignorenulls) splice bug."""
+    left = pd.DataFrame({
+        "key": [1, 1],
+        "ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:30"]),
+        "lid": [0, 1],
+    })
+    right = pd.DataFrame({
+        "key": [1, 1],
+        "ts": pd.to_datetime(["2024-01-01 00:05", "2024-01-01 00:20"]),
+        "rid": [0, 1],
+        "val": [7.0, None],   # newest right row has a NULL payload field
+    })
+    got = _got(spark, left, right)
+    # lid=0 matches rid=0 (val 7.0); lid=1 matches rid=1 whose val is NULL
+    assert got.loc[got.lid == 0, "val_r"].iloc[0] == 7.0
+    assert got.loc[got.lid == 1, "rid_r"].iloc[0] == 1
+    assert pd.isna(got.loc[got.lid == 1, "val_r"].iloc[0])

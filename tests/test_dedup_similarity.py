@@ -265,3 +265,14 @@ def test_simhash_banding_full_recall_at_large_hamming(spark):
     assert got_d == exp
     assert any(v > 3 for v in exp.values()), \
         "fixture too easy: no pair beyond the old 4-chunk guarantee"
+
+
+def test_flat_lsh_rejects_codegen_cliff_widths(spark):
+    """cosine_topk_lsh's JVM fold kernel is capped at 16 planes — wider
+    sketches must be rejected with a pointer to the banded NumPy kernel."""
+    import pytest
+
+    from mbrngq_spark.operators.similarity import _bucket_col, _hyperplanes
+
+    with pytest.raises(ValueError, match="banded NumPy"):
+        _bucket_col(F.col("embedding"), _hyperplanes(16, 17))

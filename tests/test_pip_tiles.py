@@ -110,3 +110,26 @@ def test_tile_cover_contains_member_doc_tiles(spark):
                           & (assigned.y >= r.ymin) & (assigned.y <= r.ymax)]
         covered = set(cover[cover.rect_id == r.rect_id]["tile_id"])
         assert set(inside["tile_id"]) <= covered
+
+
+def test_tile_cover_out_of_domain_rect_emits_zero_rows(spark):
+    """A rect fully outside the configured domain must contribute NO tiles
+    (the quantize clamp would otherwise pin it to boundary tiles)."""
+    from mbrngq_spark.config import DEFAULT as cfg
+    from mbrngq_spark.operators.tiles import tile_cover
+
+    far = cfg.min_x + cfg.width
+    rects = pd.DataFrame({
+        "rect_id": [0, 1, 2],
+        "xmin": [far + 10.0, cfg.min_x - 50.0, cfg.min_x + 1.0],
+        "xmax": [far + 20.0, cfg.min_x - 40.0, cfg.min_x + 2.0],
+        "ymin": [cfg.min_y + 1.0, cfg.min_y - 30.0, cfg.min_y + 1.0],
+        "ymax": [cfg.min_y + 2.0, cfg.min_y - 20.0, cfg.min_y + 2.0],
+    })
+    got = tile_cover(spark, rects).toPandas()
+    assert set(got["rect_id"]) == {2}          # only the in-domain rect
+    # a rect STRADDLING the boundary still clamps to its in-domain part
+    straddle = pd.DataFrame({
+        "rect_id": [9], "xmin": [cfg.min_x - 5.0], "xmax": [cfg.min_x + 1.0],
+        "ymin": [cfg.min_y + 1.0], "ymax": [cfg.min_y + 2.0]})
+    assert len(tile_cover(spark, straddle).toPandas()) > 0

@@ -238,7 +238,8 @@ def test_streaming_ingest_commits_batches_exactly_once(spark, tmp_path):
     batches no-op (manifest batch_id), restart resumes both cursors."""
     from pyspark.sql import types as T
 
-    from mbrngq_spark.streaming.snapshot_stream import ingest_snapshot_stream
+    from mbrngq_spark.streaming.snapshot_stream import (
+        ingest_snapshot_stream, run_id_for_checkpoint)
 
     schema = T.StructType([T.StructField("doc_id", T.LongType()),
                            T.StructField("text", T.StringType())])
@@ -262,8 +263,18 @@ def test_streaming_ingest_commits_batches_exactly_once(spark, tmp_path):
     replay = spark.createDataFrame(
         pd.DataFrame({"doc_id": [999], "text": ["dup"]}), schema)
     snap_before = t.current_snapshot_id()
-    assert t.append_batch(replay, batch_id=1) <= snap_before
+    rid = run_id_for_checkpoint(str(tmp_path / "ckpt"))
+    assert t.append_batch(replay, batch_id=1, run_id=rid) <= snap_before
     assert t.read().count() == 30
+    # a DIFFERENT run (fresh checkpoint → batch ids restart at 0) must NOT
+    # be swallowed as a replay of this run's batch ids
+    other = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1000], "text": ["other-run"]}), schema)
+    assert t.append_batch(other, batch_id=1,
+                          run_id=run_id_for_checkpoint(
+                              str(tmp_path / "ckpt-fresh"))) > snap_before
+    assert t.read().count() == 31
+    t.delete_where(F.col("doc_id") == 1000)   # restore for the restart leg
     # restart with the same checkpoint + one NEW source file → only the
     # new rows commit (both cursors resume consistently)
     spark.createDataFrame(

@@ -93,3 +93,16 @@ def test_deterministic_sampling_rates_and_stability(spark):
     assert "src0" not in s.index
     assert abs(s["src1"] / 5000 - 0.5) < 0.05
     assert s["src2"] == 5000 and s["src3"] == 5000
+
+
+def test_sampling_threshold_rounds_to_nearest_grain(spark):
+    """rate=0.3 must give threshold 300/1000 exactly (int(round(...))),
+    not 299 from binary float truncation: the kept set equals an explicit
+    sample_unit < 300 filter."""
+    from mbrngq_spark.operators.sampling import sample_uniform, sample_unit
+
+    docs = spark.range(5_000).select(F.col("id").alias("doc_id"))
+    kept = sample_uniform(docs, 0.3)
+    exact = docs.filter(sample_unit(F.col("doc_id")) < F.lit(300))
+    assert kept.exceptAll(exact).count() == 0
+    assert exact.exceptAll(kept).count() == 0
