@@ -255,6 +255,42 @@ def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 num_hashes=16, bands=8)
 
 
+def _q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup closure: V-shaped planted families (two mutually
+    dissimilar perturbations of one base doc, base id LARGEST) where
+    greedy keep-smallest would keep TWO docs per family — connected
+    components (operators/graph.py, alternating star) keeps exactly the
+    component-minimum. The oracle recomputes the exhaustive pair graph
+    and closes it with a recursive CTE.
+
+    Family for base doc x: {x: half-length-prefixed copy A,
+    x+20000: differently-prefixed copy B, x+40000: the base}. Jaccard
+    (copy, base) ≈ 2/3 ≥ 0.55 → edges (x, x+40000), (x+20000, x+40000);
+    Jaccard(A, B) ≈ 1/2 < 0.55 → no edge. Component min = x."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 40).select("doc_id", "text")
+    nw = F.size(F.split(F.col("text"), " "))
+    m = F.greatest(F.floor(nw / 2).cast("int"), F.lit(2))
+
+    def prefixed(tag: str, id_shift: int) -> DataFrame:
+        pref = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.concat(F.lit(tag),
+                                   F.col("doc_id").cast("string"),
+                                   F.lit("x"), i.cast("string"))), " ")
+        return base.select(
+            (F.col("doc_id") + id_shift).alias("doc_id"),
+            F.concat(pref, F.lit(" "), F.col("text")).alias("text"))
+
+    corpus = (prefixed("qa", 0)
+              .unionByName(prefixed("qb", 20000))
+              .unionByName(base.select((F.col("doc_id") + 40000)
+                                       .alias("doc_id"), "text")))
+    return dedup.dedup_pipeline(corpus, threshold=0.55, num_hashes=16,
+                                bands=16, clustering="cc")
+
+
 def _q_minhash_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH candidate STAGE with the md5 hash family — bit-reproducible
     in DuckDB (dedup.lsh_candidates_md5), so the banding/bucketing/join
@@ -601,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "minhash_lsh_bands": _q_minhash_lsh_bands,
         "dedup_pipeline": _q_dedup_pipeline,
+        "dedup_cc": _q_dedup_cc,
         "spatial_pip": _q_spatial_pip,
         "spatial_bounds": _q_spatial_bounds,
         "spatial_rect_join": _q_spatial_rect_join,
@@ -847,6 +884,45 @@ def oracle_sql() -> dict[str, str]:
                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6)
         SELECT doc_id FROM s1
         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+    # dedup_cc: exhaustive pair graph + RECURSIVE-CTE transitive closure —
+    # the keep-list is one component-minimum per connected family (the
+    # engine's alternating-star CC must reproduce it exactly)
+    _pref = ("array_to_string([{tag} || CAST(doc_id AS VARCHAR) || 'x' || "
+             "CAST(i AS VARCHAR) FOR i IN range(1, greatest(CAST(floor("
+             "len(string_split(text, ' ')) / 2) AS INT), 2) + 1)], ' ')")
+    dedup_cc = f"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, {_pref.format(tag="'qa'")} || ' ' || text AS text
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT doc_id + 20000, {_pref.format(tag="'qb'")} || ' ' || text
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT doc_id + 40000, text FROM documents WHERE doc_id < 40),
+        s1 AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        surv AS (SELECT c.doc_id, c.text FROM corpus c JOIN s1 USING (doc_id)),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM surv)),
+        pairs AS (
+          SELECT a.doc_id AS pa, b.doc_id AS pb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= 0.55),
+        edges AS (SELECT pa AS u, pb AS v FROM pairs
+                  UNION SELECT pb, pa FROM pairs),
+        reach(id, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON reach.id = e.u),
+        comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        SELECT doc_id FROM surv
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
     """
 
     minhash_lsh_bands = """
@@ -1354,6 +1430,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": minhash_near_dups,
         "minhash_lsh_bands": minhash_lsh_bands,
         "dedup_pipeline": dedup_pipeline,
+        "dedup_cc": dedup_cc,
         "spatial_pip": spatial_pip,
         "spatial_bounds": spatial_bounds,
         "spatial_rect_join": spatial_rect_join,

@@ -275,25 +275,42 @@ def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7,
 def dedup_pipeline(docs: DataFrame, threshold: float = 0.6,
                    num_hashes: int = 16, bands: int = 4,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   clustering: str = "greedy") -> DataFrame:
     """The composed production dedup a training pipeline runs: EXACT stage
     first (md5 group, keeper = min id — this is also what makes the LSH
     bucket caps safe: identical-text families collapse to one row before
     any candidate join), then MinHash-LSH near-dup on the exact survivors.
     Returns the KEEP-list (one ``id_col`` row per surviving document).
 
-    Near-dup drop rule: a survivor is dropped iff it is the LARGER id of
-    any verified pair (greedy keep-smallest). This is deterministic and
-    one anti-join — full transitive clustering would need connected
-    components (an iterative job) for semantics that rarely differ on
-    real corpora, where near-dup families share a common template and the
-    pairset already links every member to the family minimum."""
+    Near-dup drop rule (``clustering``):
+
+    - ``"greedy"``: a survivor is dropped iff it is the LARGER id of any
+      verified pair — deterministic, one anti-join, zero iterations. On
+      template-shaped families whose pairset links every member to the
+      family minimum this equals full clustering, but a member that is
+      smaller than all ITS neighbors yet not the component minimum
+      survives (two keepers in one family).
+    - ``"cc"``: TRANSITIVE closure — connected components over the
+      verified pair graph (operators/graph.py, alternating star, O(log²)
+      rounds), keeper = component-minimum id. One keeper per family, the
+      production family-level semantics.
+    """
+    if clustering not in ("greedy", "cc"):
+        raise ValueError(f"unknown clustering: {clustering!r}")
     keepers = exact_duplicates(docs, text_col, id_col) \
         .select(F.col("keeper_id").alias(id_col))
     survivors = docs.join(keepers, id_col, "left_semi")
     pairs = near_duplicates_minhash(survivors, threshold, num_hashes,
                                     bands, text_col, id_col)
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if clustering == "cc":
+        from mbrngq_spark.operators.graph import connected_components
+
+        comp = connected_components(pairs, "id_a", "id_b")
+        dropped = comp.filter(F.col("id") != F.col("component")) \
+            .select(F.col("id").alias(id_col))
+    else:
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return survivors.select(id_col).join(dropped, id_col, "left_anti")
 
 

@@ -1,0 +1,87 @@
+"""Connected components (operators/graph.py): alternating-star iteration
+vs a Python union-find oracle, on planted shapes (chain, star, V) and
+random graphs, plus the cc-vs-greedy dedup_pipeline semantics split."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mbrngq_spark.operators.graph import connected_components
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue            # self-loop-only nodes are isolated → absent
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]),
+                               "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
+
+
+def test_cc_chain(spark):
+    # worst case for label propagation: a long path
+    _check(spark, [(i, i + 1) for i in range(60)])
+
+
+def test_cc_star_and_v(spark):
+    # star family + the V shape where greedy keep-smallest differs
+    _check(spark, [(100, 1), (100, 2), (100, 3), (200, 150), (50, 200)])
+
+
+def test_cc_multiple_components_and_dup_edges(spark):
+    _check(spark, [(1, 2), (2, 1), (1, 2), (7, 8), (8, 9), (9, 7),
+                   (20, 21), (5, 5)])
+
+
+def test_cc_random_graphs(spark):
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        n = 120
+        edges = [(int(a), int(b))
+                 for a, b in rng.integers(0, n, size=(150, 2))
+                 if a != b]
+        _check(spark, edges)
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_cc_differs_from_greedy_on_v_family(spark):
+    """V-shaped family (two perturbed copies of one base, mutually
+    dissimilar, base has the LARGEST id): greedy keeps both local minima,
+    cc keeps only the component minimum."""
+    from mbrngq_spark.operators.dedup import dedup_pipeline
+
+    base = " ".join(f"w{i}" for i in range(40))
+    pert_a = " ".join(f"pa{i}" for i in range(20)) + " " + base
+    pert_b = " ".join(f"pb{i}" for i in range(20)) + " " + base
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [pert_a, pert_b, base]}),
+        "doc_id long, text string")
+    kw = dict(threshold=0.55, num_hashes=16, bands=16)
+    greedy = {r.doc_id for r in dedup_pipeline(corpus, **kw).collect()}
+    cc = {r.doc_id
+          for r in dedup_pipeline(corpus, clustering="cc", **kw).collect()}
+    # pairs: (1,3) and (2,3); J(1,2) ≈ 0.49 < 0.55
+    assert greedy == {1, 2}
+    assert cc == {1}
