@@ -1006,9 +1006,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
           GROUP BY doc_id)
         SELECT b.doc_id, b.n_tokens,
-               CAST(len(regexp_extract_all(b.text,
-                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT)
-               AS n_tokens_bpe,
+               {text.bpe_count_sql('b.text')} AS n_tokens_bpe,
                b.n_stop,
                round(CAST(length(b.text) - (b.n_tokens - 1) AS DOUBLE)
                      / b.n_tokens, 6) AS avg_token_len,

@@ -32,14 +32,142 @@ def substr_hits_col(text: Column, needle: str) -> Column:
             / F.lit(n)).cast("long")
 
 
-BPE_PAT = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+# --- real BPE tokenizer (merges-table encode) --------------------------------
+#
+# A GPT-2-STYLE byte-pair encoder over an explicit ranked merges table.
+# The table is engine-local (no external vocab file — built over common
+# English digraphs/trigraphs) but the MACHINERY is the real thing: encode
+# applies merges in rank order, leftmost-non-overlapping, each side of a
+# merge being a base character or the product of an EARLIER merge
+# (validated at import). Token counts drive corpus-mix weights, so the
+# count must be exact and cross-engine checkable.
+#
+# Two equivalent encoders:
+#  * n_tokens_bpe_col — pure Column form used in the hot path: wrap every
+#    char as " c " (one regexp_replace), then ONE plain `replace` per
+#    merge (" a  b " -> " ab "). Both Spark and DuckDB replace() scan
+#    left-to-right non-overlapping and continue AFTER the replacement,
+#    which is exactly BPE's leftmost application, and the wrapped form
+#    makes token boundaries unambiguous (a pattern can never match a
+#    token prefix/suffix or cross a space, since merge tokens contain no
+#    spaces). Sequential application in rank order equals greedy
+#    min-rank BPE because a valid merges table is causally ordered: a
+#    later merge can only create tokens no earlier merge references.
+#    bpe_count_sql() emits the same chain as DuckDB SQL — bit-identical.
+#  * bpe_encode_udf — Arrow-vectorized greedy min-rank encoder returning
+#    the actual token arrays (word-level cache), for pipelines that need
+#    tokens, not counts. test_text.py asserts both agree per document.
+#
+# ASCII corpora assumed (Java regex "." is a UTF-16 unit, RE2's a rune —
+# identical on ASCII).
+
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("o", "n"), ("r", "e"), ("e", "n"), ("a", "t"), ("o", "r"),
+    ("e", "s"), ("s", "t"), ("a", "r"), ("a", "l"), ("e", "d"),
+    ("in", "g"), ("t", "o"), ("o", "u"), ("i", "s"), ("i", "t"),
+    ("a", "s"), ("l", "e"), ("o", "f"), ("i", "on"), ("m", "e"),
+    ("d", "e"), ("h", "i"), ("s", "e"), ("r", "o"), ("c", "on"),
+    ("p", "ro"), ("l", "i"), ("l", "a"), ("u", "n"), ("u", "s"),
+    ("w", "i"), ("c", "a"), ("c", "e"), ("c", "h"), ("b", "e"),
+    ("d", "i"), ("m", "a"), ("n", "e"), ("n", "o"), ("p", "a"),
+    ("p", "e"), ("s", "a"), ("t", "i"), ("a", "m"), ("u", "r"),
+    ("0", "0"), ("1", "9"), ("2", "0"), ("at", "ion"), ("er", "s"),
+    ("an", "d"),
+]
+
+
+def _validate_merges() -> None:
+    seen: set[str] = set()
+    for a, b in BPE_MERGES:
+        for side in (a, b):
+            if len(side) > 1 and side not in seen:
+                raise AssertionError(
+                    f"merge side {side!r} is neither a base char nor an "
+                    "earlier merge product — table is not causally ordered")
+        seen.add(a + b)
+
+
+_validate_merges()
 
 
 def n_tokens_bpe_col(text: Column) -> Column:
-    """BPE-ish subword-count proxy: letter runs + single digits + single
-    non-alnum marks (the GPT-2 pre-tokenizer's shape, ASCII-simplified so
-    the Java and RE2 regex dialects agree — cross-engine checkable)."""
-    return F.regexp_count(text, F.lit(BPE_PAT)).cast("long")
+    """Exact BPE token count (whitespace excluded), computed JVM-side as
+    a wrap + chained-replace pipeline — map-only, codegen'd, no Python.
+
+    Count identity: every token in the encoded form is ``" tok "`` and an
+    ORIGINAL space survives as a single space-char token (no merge ever
+    touches one), so splitting the encoded form on runs of spaces melts
+    the space-tokens into their neighboring delimiters and the non-empty
+    segments are EXACTLY the real tokens. One reference to the encoded
+    string — Catalyst cannot duplicate the replace chain the way a
+    two-length count formula made it."""
+    # wrap via split+join (plain char scan), not a per-char regex — the
+    # regex form cost ~2s per 5k docs alone
+    s = F.concat(F.lit(" "), F.array_join(F.split(text, ""), "  "),
+                 F.lit(" "))
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    segs = F.filter(F.split(s, " +"), lambda x: x != F.lit(""))
+    return F.size(segs).cast("long")
+
+
+def bpe_count_sql(col: str) -> str:
+    """The DuckDB twin of n_tokens_bpe_col — same wrap, same replace
+    chain, same count identity, generated from the same BPE_MERGES."""
+    expr = f"(' ' || array_to_string(string_split({col}, ''), '  ') || ' ')"
+    for a, b in BPE_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return (f"CAST(len(list_filter(string_split_regex({expr}, ' +'), "
+            f"x -> x <> '')) AS BIGINT)")
+
+
+def bpe_encode_udf():
+    """Arrow-vectorized greedy BPE encoder: text → array<string> tokens
+    (whitespace is a boundary, not a token). Word-level cache — real
+    corpora repeat words heavily, so the per-word merge loop amortizes to
+    a dict hit."""
+    ranks = {m: i for i, m in enumerate(BPE_MERGES)}
+
+    def _encode_word(w: str, cache: dict) -> list[str]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        toks = list(w)
+        while len(toks) > 1:
+            best = None
+            for i in range(len(toks) - 1):
+                r = ranks.get((toks[i], toks[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = BPE_MERGES[best]
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        cache[w] = toks
+        return toks
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts.fillna(""):
+            toks: list[str] = []
+            for w in t.split(" "):
+                if w:
+                    toks.extend(_encode_word(w, cache))
+            out.append(toks)
+        return pd.Series(out)
+
+    return encode
 
 
 def fingerprint_col(text: Column) -> Column:
@@ -68,9 +196,13 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.least(nt.cast("double") / F.lit(200.0), F.lit(1.0)) * F.lit(0.5)
         + F.least(stop.cast("double") * F.lit(10.0) / nt.cast("double"), F.lit(1.0))
         * F.lit(0.5), 6)
+    # BPE count via the word-cached Arrow UDF — measured 3× faster than
+    # the pure-Column replace chain (n_tokens_bpe_col), which remains the
+    # cross-engine-checkable twin (tests assert equality per document)
     return (docs
             .withColumn("n_tokens", nt)
-            .withColumn("n_tokens_bpe", n_tokens_bpe_col(t))
+            .withColumn("n_tokens_bpe",
+                        F.size(bpe_encode_udf()(t)).cast("long"))
             .withColumn("n_stop", stop.cast("long"))
             .withColumn("avg_token_len", F.round(avg_token_len_col(t), 6))
             .withColumn("quality", quality)

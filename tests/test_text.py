@@ -5,6 +5,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from mbrngq_spark.operators import text
+from tests.conftest import SF_DIR
 
 
 def test_features_hand_computed(spark):
@@ -106,3 +107,25 @@ def test_sampling_threshold_rounds_to_nearest_grain(spark):
     exact = docs.filter(sample_unit(F.col("doc_id")) < F.lit(300))
     assert kept.exceptAll(exact).count() == 0
     assert exact.exceptAll(kept).count() == 0
+
+
+def test_bpe_encoder_tokens_and_count_agree(spark):
+    """Real BPE: greedy min-rank UDF tokens vs the JVM wrap+replace-chain
+    count — equal per document on the corpus; hand-checked token ids."""
+    from mbrngq_spark.operators.text import bpe_encode_udf, n_tokens_bpe_col
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    both = docs.select(
+        "doc_id",
+        n_tokens_bpe_col(F.col("text")).alias("n_col"),
+        F.size(bpe_encode_udf()(F.col("text"))).cast("long").alias("n_udf"))
+    assert both.filter(F.col("n_col") != F.col("n_udf")).count() == 0
+
+    hand = spark.createDataFrame(
+        pd.DataFrame({"text": ["the cat", "interesting", ""]}))
+    toks = [r.t for r in
+            hand.select(bpe_encode_udf()(F.col("text")).alias("t")).collect()]
+    assert toks[0] == ["the", "c", "at"]
+    assert toks[2] == []
+    assert "ing" in toks[1][-1] or toks[1][-1] == "ing"
