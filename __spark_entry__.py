@@ -474,6 +474,35 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").cast("long").alias("n_features"))
 
 
+def _q_media_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video pipeline, value-checked: refs → MJPEG AVIs (one
+    baseline JPEG per frame via the from-scratch pure-NumPy T.81 codec,
+    4:2:0) → decode/featurize. The emitted dims / frame count / duration
+    exist only because the JPEG entropy coder, DCT and container layers
+    all round-trip; the oracle recomputes them from the md5 meta
+    formulas."""
+    from mbrngq_spark.operators import multimodal as mm
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 60)
+    refs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("video").alias("kind"),
+        F.concat(F.lit("ref://mj"), F.col("doc_id").cast("string"))
+        .alias("media_ref"))
+    feats = mm.extract_features(mm.synthesize_media(refs,
+                                                    video_codec="MJPG"))
+
+    def fi(i: int):
+        return F.element_at(F.col("features"), i + 1)
+
+    return feats.select(
+        "doc_id", "media_ref",
+        fi(0).cast("long").alias("width_px"),
+        fi(1).cast("long").alias("height_px"),
+        fi(2).cast("long").alias("n_frames"),
+        fi(3).cast("long").alias("duration_ms"))
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH multiprobe (the 100 TB
     scale path next to the exact baseline). The hyperplanes are plain
@@ -653,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": _q_simhash_dups,
         "simhash_md5_pairs": _q_simhash_md5_pairs,
         "media_features": _q_media_features,
+        "media_mjpeg": _q_media_mjpeg,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "agg_pricing": _q_agg_pricing,
@@ -1413,6 +1443,27 @@ def oracle_sql() -> dict[str, str]:
         FROM seeds
     """
 
+    # media_mjpeg: same md5-meta oracle family, video-only MJPEG corpus —
+    # decoded dims / frame count / duration must survive the compressed
+    # codec exactly (they are integers; JPEG loss touches only pixels)
+    media_mjpeg = f"""
+        WITH refs AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 'ref://mj' || doc_id AS media_ref
+          FROM documents WHERE doc_id < 60),
+        seeds AS (
+          SELECT doc_id, media_ref,
+                 {_seed('/w')} AS sw, {_seed('/h')} AS sh,
+                 {_seed('/v')} AS sv
+          FROM refs)
+        SELECT doc_id, media_ref,
+               CAST(16 + sw % 48 AS BIGINT) AS width_px,
+               CAST(16 + sh % 48 AS BIGINT) AS height_px,
+               CAST(1 + sv % 30 AS BIGINT) AS n_frames,
+               CAST(100 * (1 + sv % 30) AS BIGINT) AS duration_ms
+        FROM seeds
+    """
+
     return {
         "spatial_range": spatial_range,
         "spatial_knn": spatial_knn,
@@ -1443,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": simhash_dups,
         "simhash_md5_pairs": simhash_md5_pairs,
         "media_features": media_features,
+        "media_mjpeg": media_mjpeg,
         "text_langid": text_langid,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,

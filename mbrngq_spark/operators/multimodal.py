@@ -11,12 +11,13 @@ NumPy/struct over self-describing formats):
 - image → REAL 24-bit BMP: synthesis, header parse, pixel decode and
   nearest-neighbor resize.
 - audio → REAL 16-bit PCM WAV: RIFF header parse + sample decode.
-- video → REAL uncompressed-DIB AVI (RIFF, same container family as WAV):
-  avih/strh/strf headers + '00db' frame chunks of bottom-up 24-bit DIB
-  bitmaps; encode, full-frame decode, and frame sampling all round-trip.
-  (Compressed codecs — MJPEG/H.264 — would need codec libraries; the
-  container layer is the real one and a compressed decoder slots into
-  ``decode_avi``'s frame loop.)
+- video → REAL AVI (RIFF, same container family as WAV): avih/strh/strf
+  headers; frames either as uncompressed bottom-up 24-bit DIB '00db'
+  chunks or as COMPRESSED MJPEG '00dc' chunks — one baseline JPEG per
+  frame, encoded/decoded by the from-scratch pure-NumPy T.81 codec
+  (operators/jpeg.py: DCT, Annex-K quant + Huffman tables, 4:4:4 and
+  4:2:0). Encode, full-frame decode, and frame sampling all round-trip
+  for both codecs. (H.264-class inter-frame codecs remain out of scope.)
 
 Metadata (width/height/duration) is derived from ``media_ref`` via md5-hex
 arithmetic — identical in Spark and DuckDB — so the media pipeline's decoded
@@ -127,25 +128,44 @@ def _dib_decode(body: bytes, w: int, h: int) -> np.ndarray:
     return px[::-1, :, ::-1]
 
 
-def encode_avi(frames: np.ndarray, fps: int = AVI_FPS) -> bytes:
-    """(N, H, W, 3) uint8 RGB → AVI (RIFF) bytes with uncompressed 24-bit
-    DIB frames: LIST hdrl (avih + LIST strl (strh 'vids'/'DIB ' + strf
-    BITMAPINFOHEADER)) followed by LIST movi of '00db' chunks."""
+def encode_avi(frames: np.ndarray, fps: int = AVI_FPS,
+               codec: str = "DIB", quality: int = 85) -> bytes:
+    """(N, H, W, 3) uint8 RGB → AVI (RIFF) bytes: LIST hdrl (avih + LIST
+    strl (strh 'vids' + strf BITMAPINFOHEADER)) followed by LIST movi.
+
+    ``codec``: 'DIB' writes uncompressed bottom-up 24-bit '00db' chunks;
+    'MJPG' writes one baseline JPEG per frame in '00dc' chunks (fourcc
+    MJPG in strh + strf.biCompression) — the compressed shape real
+    MJPEG corpora have, via the from-scratch jpeg.py codec."""
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unknown AVI codec: {codec}")
     n, h, w, _ = frames.shape
-    frame_bytes = (w * 3 + ((-w * 3) % 4)) * h
+    if codec == "MJPG":
+        from mbrngq_spark.operators.jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(f, quality=quality, subsampling="420")
+                    for f in frames]
+        cc, handler, compression = b"00dc", b"MJPG", \
+            struct.unpack("<I", b"MJPG")[0]
+        frame_bytes = max(len(p) for p in payloads)
+    else:
+        payloads = [_dib_body(f) for f in frames]
+        cc, handler, compression = b"00db", b"DIB ", 0
+        frame_bytes = (w * 3 + ((-w * 3) % 4)) * h
     movi_items = b"".join(
-        b"00db" + struct.pack("<I", frame_bytes) + _dib_body(f)
-        for f in frames)
+        cc + struct.pack("<I", len(p)) + p + (b"\x00" if len(p) & 1 else b"")
+        for p in payloads)
     movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" \
         + movi_items
     avih = b"avih" + struct.pack("<I", 56) + struct.pack(
         "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # HASINDEX off
         n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
     strh = b"strh" + struct.pack("<I", 56) + struct.pack(
-        "<4s4sIHHIIIIIIII4h", b"vids", b"DIB ", 0, 0, 0, 0,
+        "<4s4sIHHIIIIIIII4h", b"vids", handler, 0, 0, 0, 0,
         1, fps, 0, n, frame_bytes, 0, 0, 0, 0, w, h)
     strf = b"strf" + struct.pack("<I", 40) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0)
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_bytes,
+        2835, 2835, 0, 0)
     strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) \
         + b"strl" + strh + strf
     hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) \
@@ -166,12 +186,14 @@ def _riff_chunks(buf: bytes, off: int, end: int):
 
 def decode_avi(content: bytes) -> tuple[np.ndarray, int]:
     """AVI bytes → ((N, H, W, 3) uint8 RGB frames, fps). Parses the real
-    RIFF structure (hdrl's avih for dims/rate, movi's '00db' chunks for
-    frames) — not a fixed-offset shortcut — so any spec-shaped
-    uncompressed-DIB AVI decodes, not just our encoder's output."""
+    RIFF structure (hdrl's avih for dims/rate, movi's frame chunks) — not
+    a fixed-offset shortcut — so any spec-shaped AVI decodes, not just
+    our encoder's output. '00db' chunks decode as uncompressed bottom-up
+    DIB; '00dc' chunks whose payload is a JPEG stream decode through the
+    pure-NumPy baseline JPEG decoder (MJPEG)."""
     assert content[:4] == b"RIFF" and content[8:12] == b"AVI ", "not AVI"
     w = h = fps = None
-    payloads: list[tuple[int, int]] = []
+    payloads: list[tuple[bytes, int, int]] = []
 
     def walk(off: int, end: int) -> None:
         nonlocal w, h, fps
@@ -183,13 +205,24 @@ def decode_avi(content: bytes) -> tuple[np.ndarray, int]:
                     struct.unpack_from("<I", content, data + 32)[0], \
                     struct.unpack_from("<I", content, data + 36)[0]
                 w, h, fps = ww, hh, round(1_000_000 / us_per_frame)
-            elif cc == b"00db":
-                payloads.append((data, sz))
+            elif cc in (b"00db", b"00dc"):
+                payloads.append((cc, data, sz))
 
     walk(12, len(content))
     assert w is not None and payloads, "missing avih header or frames"
-    frames = np.stack([_dib_decode(content[d:d + s], w, h)
-                       for d, s in payloads])
+
+    def frame(cc: bytes, d: int, s: int) -> np.ndarray:
+        buf = content[d:d + s]
+        if cc == b"00dc" or buf[:2] == b"\xFF\xD8":
+            assert buf[:2] == b"\xFF\xD8", "compressed chunk is not MJPEG"
+            from mbrngq_spark.operators.jpeg import decode_jpeg
+
+            img = decode_jpeg(buf)
+            assert img.shape[:2] == (h, w), "frame dims disagree with avih"
+            return img
+        return _dib_decode(buf, w, h)
+
+    frames = np.stack([frame(cc, d, s) for cc, d, s in payloads])
     return frames, fps
 
 
@@ -222,12 +255,14 @@ def media_meta_col(kind: Column, ref: Column) -> Column:
                     duration.alias("duration_ms"))
 
 
-def synthesize_media(refs: DataFrame) -> DataFrame:
+def synthesize_media(refs: DataFrame,
+                     video_codec: str = "DIB") -> DataFrame:
     """(doc_id, media_ref, kind) → the media-asset table with binary
     payloads + typed metadata. Payloads are REAL encoded media synthesized
     deterministically from (media_ref, meta) — exactly what a
     fetch-from-object-store stage would deliver: 24-bit BMP images, PCM WAV
-    audio, uncompressed-DIB AVI video."""
+    audio, AVI video (``video_codec``: uncompressed 'DIB' or compressed
+    'MJPG' via the pure-NumPy baseline JPEG encoder)."""
     media = refs.withColumn("meta", media_meta_col(F.col("kind"),
                                                    F.col("media_ref")))
 
@@ -254,7 +289,7 @@ def synthesize_media(refs: DataFrame) -> DataFrame:
                     px = rng.integers(0, 256,
                                       (n_frames, m["height"], m["width"], 3),
                                       dtype=np.uint8)
-                    out.append(encode_avi(px))
+                    out.append(encode_avi(px, codec=video_codec))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "media_ref": pdf["media_ref"],
                                 "kind": pdf["kind"],

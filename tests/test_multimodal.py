@@ -150,3 +150,75 @@ def test_frame_sample_decoded_yields_real_images(spark):
     w = {r["media_ref"]: r["meta"]["width"] for _, r in got.iterrows()}
     assert all(f[0] == w[ref] for ref, f
                in zip(feats["media_ref"], feats["features"]))
+
+
+def test_jpeg_roundtrip_smooth_psnr():
+    """Baseline JPEG codec: smooth content must round-trip at high
+    fidelity in both subsampling modes; dims exact for awkward sizes."""
+    from mbrngq_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack([(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    for ss in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling=ss))
+        assert dec.shape == img.shape
+        mse = np.mean((dec.astype(np.float64) - img) ** 2)
+        psnr = 10 * np.log10(255 * 255 / mse)
+        assert psnr > 35, (ss, psnr)
+
+
+def test_jpeg_rejects_progressive():
+    from mbrngq_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    import pytest
+    import struct as st
+
+    buf = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = bytes(buf).find(b"\xFF\xC0")
+    buf[i + 1] = 0xC2                       # flip SOF0 -> SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(buf))
+
+
+def test_mjpeg_avi_roundtrip_and_frame_sample():
+    """MJPEG AVI: '00dc' JPEG chunks decode to the right dims/frame
+    count, frames visually match (smooth content), and odd-sized JPEG
+    payloads keep RIFF word alignment."""
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:21, 0:33]
+    base = np.stack([(yy * 5) % 256, (xx * 3) % 256, ((xx + yy) * 4) % 256],
+                    axis=-1).astype(np.uint8)
+    frames = np.stack([(base.astype(np.int64) + 17 * i) % 256
+                       for i in range(7)]).astype(np.uint8)
+    avi = mm.encode_avi(frames, fps=10, codec="MJPG", quality=92)
+    dec, fps = mm.decode_avi(avi)
+    assert fps == 10 and dec.shape == frames.shape
+    err = np.abs(dec.astype(np.float64) - frames).mean()
+    assert err < 12.0, err                  # lossy but close (4:2:0)
+    # compressed AVI is smaller than the DIB form of the same frames
+    assert len(avi) < len(mm.encode_avi(frames, fps=10))
+
+
+def test_mixed_codec_media_pipeline(spark):
+    """synthesize_media(video_codec='MJPG') feeds the SAME featurize and
+    frame-sample stages: integer slots (dims, frame count, duration)
+    stay exact through the lossy codec."""
+    import pandas as pd
+
+    refs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [str(i) for i in range(6)],
+        "kind": ["video"] * 6,
+        "media_ref": [f"ref://v{i}" for i in range(6)],
+    }))
+    media = mm.synthesize_media(refs, video_codec="MJPG")
+    feats = {r["doc_id"]: r for r in mm.extract_features(media).collect()}
+    metas = {r["doc_id"]: r["meta"] for r in media.collect()}
+    for did, m in metas.items():
+        f = feats[did]["features"]
+        assert int(f[0]) == m["width"] and int(f[1]) == m["height"]
+        assert int(f[3]) == m["duration_ms"]
+    sampled = mm.frame_sample_decoded(media, every_ms=500).collect()
+    assert sampled and all(r["kind"] == "image" for r in sampled)
+    for r in sampled:                       # sampled frames are real BMPs
+        img = mm.decode_bmp(bytes(r["content"]))
+        assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
