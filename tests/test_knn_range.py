@@ -193,3 +193,37 @@ def test_knn_distributed_mode_honors_radius_cap_and_ties(spark, docs_geo):
              .orderBy("query_id", "rank", "doc_id").toPandas())
         assert a["doc_id"].tolist() == b["doc_id"].tolist()
         assert len(a) == len(b)
+
+
+def test_vectorized_planner_equals_scalar_search(spark):
+    """The batched lock-step binary search must produce the identical
+    (query_id, cell, radius) plan as the per-query scalar search, across
+    resolutions, k values, and a max_dist cap."""
+    import numpy as np
+    import pandas as pd
+
+    from mbrngq_spark.config import DEFAULT as cfg
+    from mbrngq_spark.operators.knn import plan_candidate_cells
+
+    rng = np.random.default_rng(17)
+    for res, k, cap in [(4, 5, None), (5, 12, None), (6, 3, 7.5),
+                        (3, 50, None)]:
+        n = 1 << res
+        n_cells = rng.integers(10, n * n // 2)
+        cells = rng.choice(n * n, size=n_cells, replace=False)
+        # spread_bits-free synthetic cells: any int64 < 4^res is a valid
+        # morton cell at this res
+        stats = pd.DataFrame({"cell": cells.astype(np.int64),
+                              "n": rng.integers(1, 9, n_cells)})
+        queries = pd.DataFrame({
+            "query_id": np.arange(40),
+            "qx": rng.uniform(cfg.min_x - 5, cfg.min_x + cfg.width + 5, 40),
+            "qy": rng.uniform(cfg.min_y - 5, cfg.min_y + cfg.height + 5, 40),
+        })
+        vec = plan_candidate_cells(stats, queries, k, res, cfg,
+                                   max_dist=cap)
+        ref = plan_candidate_cells(stats, queries, k, res, cfg,
+                                   max_dist=cap, use_scalar_search=True)
+        pd.testing.assert_frame_equal(
+            vec.sort_values(["query_id", "cell"]).reset_index(drop=True),
+            ref.sort_values(["query_id", "cell"]).reset_index(drop=True))
