@@ -314,3 +314,93 @@ def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
     m = ~exp["rid_r"].isna()
     assert (got["rid_r"][m].astype("int64")
             == exp["rid_r"][m].astype("int64")).all()
+
+
+def test_failure_injection_sink_exactly_once(spark, tmp_path):
+    """Kill a foreachBatch query mid-batch — AFTER the batch's rows hit
+    storage, BEFORE the checkpoint commits — then restart on the same
+    checkpoint. The replay must leave exactly ONE copy of every row.
+    This test fails if _write_idempotent's dynamic partition overwrite is
+    replaced by a plain append (the replayed batch would double)."""
+    import pyspark.errors
+
+    import pytest
+
+    from mbrngq_spark.streaming.query_stream import _write_idempotent
+
+    src = str(tmp_path / "src")
+    for b in range(3):
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [f"d{b}-{i}" for i in range(10)],
+                          "ts": pd.Timestamp("2024-01-01")}),
+            SRC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed-once"
+
+    def handle(df, bid):
+        _write_idempotent(df.withColumn("n", F.lit(1)), bid, outp)
+        if bid == 1 and not marker.exists():
+            marker.write_text("x")        # injected mid-batch crash:
+            raise RuntimeError("injected") # rows written, commit never made
+
+    def run():
+        q = (spark.readStream.schema(SRC_SCHEMA)
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .writeStream.foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        run()
+    assert marker.exists()                # the crash really happened
+    run()                                 # restart: replays batch 1
+    got = spark.read.parquet(outp)
+    assert got.count() == 30              # one copy of every source row
+    assert got.select("doc_id").distinct().count() == 30
+
+
+def test_failure_injection_snapshot_exactly_once(spark, tmp_path):
+    """Same injection against the snapshot-table ingest path: the crash
+    lands AFTER append_batch committed its snapshot, so the replayed
+    batch must be recognized by its (run_id, batch_id) manifest and
+    no-op. Fails if the manifest replay guard is removed."""
+    import pyspark.errors
+
+    import pytest
+
+    from mbrngq_spark.plans.snapshots import SnapshotTable
+    from mbrngq_spark.streaming.snapshot_stream import run_id_for_checkpoint
+
+    src = str(tmp_path / "src")
+    for b in range(3):
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [f"d{b}-{i}" for i in range(10)],
+                          "ts": pd.Timestamp("2024-01-01")}),
+            SRC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+    rid = run_id_for_checkpoint(ckpt)
+    marker = tmp_path / "crashed-once"
+
+    def handle(df, bid):
+        table.append_batch(df, bid, run_id=rid)
+        if bid == 1 and not marker.exists():
+            marker.write_text("x")
+            raise RuntimeError("injected")
+
+    def run():
+        q = (spark.readStream.schema(SRC_SCHEMA)
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .writeStream.foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        run()
+    run()
+    assert table.read().count() == 30
+    batch_ids = [h.get("batch_id") for h in table.history()
+                 if h.get("batch_id") is not None]
+    assert sorted(batch_ids) == [0, 1, 2]  # batch 1 committed exactly once
