@@ -474,6 +474,38 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").cast("long").alias("n_features"))
 
 
+def _q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval tier: BM25 top-10 per query over the documents
+    table (queries = the first-5-token prefixes of docs 0..3). Scores
+    round idf and the final sum to 6 dp so both engines rank
+    identically; ties break by doc_id."""
+    from mbrngq_spark.operators.search import bm25_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    q = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+        .alias("q_text"))
+    return bm25_topk(docs, q, k=10)
+
+
+def _q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking + sequence packing, value-checked to the token: sliding
+    64-token windows (overlap 8) over every document, packed into
+    256-token training sequences by the deterministic global prefix sum.
+    chunk_md5 verifies the exact window text; seq_id/seq_offset verify
+    the packing arithmetic (the oracle recomputes the prefix sum with a
+    window over the same (doc_id, chunk_idx) order)."""
+    from mbrngq_spark.operators.chunking import chunk_documents, \
+        pack_sequences
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    packed = pack_sequences(chunk_documents(docs, 64, 8), budget=256)
+    return packed.select(
+        "doc_id", "chunk_idx", "tok_start", "tok_len",
+        F.md5("chunk_text").alias("chunk_md5"), "seq_id", "seq_offset")
+
+
 def _q_media_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED video pipeline, value-checked: refs → MJPEG AVIs (one
     baseline JPEG per frame via the from-scratch pure-NumPy T.81 codec,
@@ -683,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5_pairs": _q_simhash_md5_pairs,
         "media_features": _q_media_features,
         "media_mjpeg": _q_media_mjpeg,
+        "text_bm25": _q_text_bm25,
+        "corpus_chunks": _q_corpus_chunks,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "agg_pricing": _q_agg_pricing,
@@ -1443,6 +1477,87 @@ def oracle_sql() -> dict[str, str]:
         FROM seeds
     """
 
+    # text_bm25: full relational BM25 recomputation — token tf, per-term
+    # df, dl/avgdl, the 6dp-rounded idf, the same k1/b constants, ranked
+    # with the same (score desc, doc_id) tiebreak
+    text_bm25 = """
+        WITH dls AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+          FROM documents),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tfs AS (SELECT term, doc_id, count(*) AS tf FROM toks
+                WHERE term <> '' GROUP BY 1, 2),
+        dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                WHERE term <> '' GROUP BY 1),
+        q AS (SELECT doc_id AS q_id,
+                     array_to_string((string_split(text, ' '))[1:5], ' ')
+                     AS q_text
+              FROM documents WHERE doc_id < 4),
+        qts AS (SELECT q_id, term, count(*) AS qtf FROM (
+                  SELECT q_id, unnest(string_split(q_text, ' ')) AS term
+                  FROM q) WHERE term <> '' GROUP BY 1, 2),
+        scored AS (
+          SELECT qts.q_id, tfs.doc_id,
+                 round(sum(qts.qtf
+                           * round(ln(1 + (stats.n - dfs.df + 0.5)
+                                      / (dfs.df + 0.5)), 6)
+                           * tfs.tf * (1.2 + 1)
+                           / (tfs.tf + 1.2 * (1 - 0.75
+                                              + 0.75 * dls.dl / stats.avgdl))),
+                       6) AS score
+          FROM qts
+          JOIN tfs USING (term)
+          JOIN dfs USING (term)
+          JOIN dls ON tfs.doc_id = dls.doc_id
+          CROSS JOIN stats
+          GROUP BY 1, 2)
+        SELECT q_id, doc_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 10
+    """
+
+    # corpus_chunks: chunk windows + packing prefix sum replayed
+    # relationally — list slicing for the window text (md5-compared),
+    # one SQL window for the global token cumsum
+    corpus_chunks = """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS ts
+          FROM documents),
+        sized AS (SELECT doc_id, ts, len(ts) AS n FROM base),
+        chunks AS (
+          SELECT doc_id, ts, n,
+                 unnest([i FOR i IN range(0,
+                   greatest(CAST(ceil((n - 8) / 56.0) AS BIGINT), 1))])
+                 AS chunk_idx
+          FROM sized),
+        cc AS (
+          SELECT doc_id, chunk_idx,
+                 chunk_idx * 56 AS tok_start,
+                 least(64, n - chunk_idx * 56) AS tok_len,
+                 md5(array_to_string(
+                   ts[chunk_idx * 56 + 1 :
+                      chunk_idx * 56 + least(64, n - chunk_idx * 56)], ' '))
+                 AS chunk_md5
+          FROM chunks),
+        packed AS (
+          SELECT *,
+                 sum(tok_len) OVER (ORDER BY doc_id, chunk_idx
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - tok_len AS gstart
+          FROM cc)
+        SELECT doc_id, chunk_idx, tok_start, tok_len, chunk_md5,
+               CAST(floor(gstart / 256.0) AS BIGINT) AS seq_id,
+               CAST(gstart % 256 AS BIGINT) AS seq_offset
+        FROM packed
+    """
+
     # media_mjpeg: same md5-meta oracle family, video-only MJPEG corpus —
     # decoded dims / frame count / duration must survive the compressed
     # codec exactly (they are integers; JPEG loss touches only pixels)
@@ -1495,6 +1610,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5_pairs": simhash_md5_pairs,
         "media_features": media_features,
         "media_mjpeg": media_mjpeg,
+        "text_bm25": text_bm25,
+        "corpus_chunks": corpus_chunks,
         "text_langid": text_langid,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,

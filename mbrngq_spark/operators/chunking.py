@@ -1,0 +1,85 @@
+"""Document chunking + sequence packing — the sequencing stage of a
+training-data pipeline (long docs → overlapping token windows → fixed
+token-budget training sequences).
+
+Both stages are deterministic Column arithmetic (no UDF, no RNG), so a
+resumable pipeline reproduces the exact same chunk and sequence ids on
+retry, and the DuckDB oracle can value-check every boundary.
+
+- ``chunk_documents``: sliding token windows of ``chunk_tokens`` with
+  ``overlap``, stride = chunk_tokens − overlap; the final window is
+  truncated, every doc emits ≥ 1 chunk. Map-only (explode of a computed
+  sequence — no shuffle).
+- ``pack_sequences``: assigns every chunk a training-sequence id by
+  GLOBAL token prefix-sum over the deterministic (doc_id, chunk_idx)
+  order: seq_id = floor(global_token_start / budget). This is
+  concat-then-split packing at chunk granularity — a sequence may
+  overhang its budget by < chunk_tokens where a chunk straddles a
+  boundary (documented contract; token-exact splitting would cut inside
+  chunks). The prefix sum is the scalable TWO-PASS form: range
+  repartition → per-partition window cumsum → tiny per-partition totals
+  to the driver → broadcast offsets back. No global single-partition
+  window (the naive Window.orderBy-without-partition plan serializes
+  the whole table through one task — a 100 TB non-starter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, chunk_idx, tok_start, tok_len, chunk_text) — sliding
+    whitespace-token windows. tok_start is 0-based."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    d = docs.select(F.col(id_col), toks.alias("__ts")) \
+        .withColumn("__n", F.size("__ts"))
+    n_chunks = F.greatest(
+        F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(float(step))),
+        F.lit(1).cast("long"))
+    d = d.select(id_col, "__ts", "__n",
+                 F.explode(F.sequence(F.lit(0).cast("long"),
+                                      n_chunks - 1)).alias("chunk_idx"))
+    start = F.col("chunk_idx") * step
+    ln = F.least(F.lit(chunk_tokens).cast("long"), F.col("__n") - start)
+    return d.select(
+        id_col, "chunk_idx",
+        start.alias("tok_start"),
+        ln.alias("tok_len"),
+        F.array_join(F.slice("__ts", (start + 1).cast("int"),
+                             ln.cast("int")), " ").alias("chunk_text"))
+
+
+def pack_sequences(chunks: DataFrame, budget: int = 256,
+                   id_col: str = "doc_id") -> DataFrame:
+    """chunks + (seq_id, seq_offset): the training sequence each chunk
+    starts in, and its token offset inside it, under concat-then-split
+    packing over the global (doc_id, chunk_idx) order."""
+    spark = chunks.sparkSession
+    c = (chunks.repartitionByRange(id_col, "chunk_idx")
+         .withColumn("__pid", F.spark_partition_id()))
+    w = (Window.partitionBy("__pid").orderBy(id_col, "chunk_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = c.withColumn("__cum", F.sum("tok_len").over(w))
+    # pass 2: per-partition totals are P scalars — driver-cumsum them
+    # into start offsets and broadcast back (the textbook distributed
+    # prefix sum; the collect is O(partitions), not O(rows))
+    totals = {r["__pid"]: r["t"] for r in
+              c.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()}
+    run, offs = 0, {}
+    for pid in sorted(totals):
+        offs[pid] = run
+        run += totals[pid]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offs.items()], "__pid int, __off long")
+    c = c.join(F.broadcast(off_df), "__pid")
+    gstart = F.col("__cum") + F.col("__off") - F.col("tok_len")
+    return (c.withColumn("seq_id", F.floor(gstart / F.lit(budget)))
+            .withColumn("seq_offset", gstart % F.lit(budget))
+            .drop("__pid", "__cum", "__off"))

@@ -1,0 +1,86 @@
+"""BM25 retrieval (operators/search.py) vs a pure-Python oracle."""
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mbrngq_spark.operators.search import bm25_topk, build_inverted_index
+from tests.conftest import SF_DIR
+
+
+def _py_bm25(docs: dict, qtext: str, k1=1.2, b=0.75) -> dict:
+    n = len(docs)
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in docs.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    scores = {}
+    qts = [t for t in qtext.split(" ") if t]
+    for d, ts in toks.items():
+        s = 0.0
+        for qt in set(qts):
+            tf = ts.count(qt)
+            if tf == 0:
+                continue
+            idf = round(math.log(1 + (n - df[qt] + 0.5) / (df[qt] + 0.5)), 6)
+            s += qts.count(qt) * idf * tf * (k1 + 1) \
+                / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+        if s > 0:
+            scores[d] = round(s, 6)
+    return scores
+
+
+def test_inverted_index_postings(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2],
+                      "text": ["a b a", "b c"]}))
+    got = {(r.term, r.doc_id): (r.tf, r.dl)
+           for r in build_inverted_index(docs).collect()}
+    assert got == {("a", 1): (2, 3), ("b", 1): (1, 3),
+                   ("b", 2): (1, 2), ("c", 2): (1, 2)}
+
+
+def test_bm25_matches_python_oracle(spark):
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {i: " ".join(rng.choice(vocab, rng.integers(5, 30)))
+            for i in range(60)}
+    queries = {0: "w0 w1 w2", 1: "w5 w5 w9", 2: "zzz", 3: "w3"}
+    ddf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"q_id": list(queries),
+                      "q_text": list(queries.values())}))
+    out = bm25_topk(ddf, qdf, k=1000)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.q_id, {})[r.doc_id] = r.score
+    for qid, qtext in queries.items():
+        exp = _py_bm25(docs, qtext)
+        assert got.get(qid, {}) == exp, qid
+    # ranking: scores descending, ties by doc_id, no rank gaps
+    for r in out.groupBy("q_id").agg(F.max("rnk").alias("m"),
+                                     F.count("*").alias("c")).collect():
+        assert r.m == r.c
+
+
+def test_bm25_topk_on_corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    q = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+        .alias("q_text"))
+    out = bm25_topk(docs, q, k=10).collect()
+    byq = {}
+    for r in out:
+        byq.setdefault(r.q_id, []).append(r)
+    for qid, rows in byq.items():
+        assert len(rows) == 10
+        # a doc containing its own prefix should rank it first
+        assert rows[0].doc_id == qid or rows[0].score >= rows[-1].score
