@@ -489,6 +489,59 @@ def _q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, q, k=10)
 
 
+def _q_spans_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's per-row invariant, driver-checked: span-sequence
+    equality (kind, text, media_ref, order) THROUGH every shuffle. An
+    interleaved spans array (derived from md5 arithmetic so DuckDB can
+    rebuild the expected sequence independently) rides through a hash
+    repartition, a window, and a join, then is flattened with posexplode
+    — any reorder, drop, truncation or field splice breaks the value
+    hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    nspans = (F.lit(1)
+              + F.pmod(F.ascii(F.substring(F.md5(F.concat(did, F.lit("/n"))),
+                                           1, 1)), F.lit(4)))
+
+    def span(i):
+        seed = F.ascii(F.substring(
+            F.md5(F.concat(did, F.lit("/s"), i.cast("string"))), 1, 1))
+        kind = F.element_at(
+            F.array(F.lit("text"), F.lit("image"),
+                    F.lit("audio"), F.lit("video")),
+            (F.pmod(seed, F.lit(4)) + 1).cast("int"))
+        is_text = kind == "text"
+        return F.struct(
+            kind.alias("kind"),
+            F.when(is_text, F.substring(
+                F.col("text"), (F.pmod(i * 7, F.lit(40)) + 1).cast("int"),
+                25)).otherwise(F.lit("")).alias("text"),
+            F.when(~is_text, F.concat(F.lit("ref://"), did, F.lit("/"),
+                                      i.cast("string")))
+            .otherwise(F.lit("")).alias("media_ref"),
+            i.cast("int").alias("offset"))
+
+    t = docs.withColumn(
+        "spans", F.transform(F.sequence(F.lit(0), nspans - 1), span))
+    # the gauntlet: hash repartition, a window over a different key, a join
+    cat = F.pmod(F.col("doc_id"), F.lit(7))
+    t = (t.withColumn("cat", cat)
+         .repartition(8, "cat")
+         .withColumn("rn", F.row_number().over(
+             Window.partitionBy("cat").orderBy(F.col("doc_id").desc())))
+         .join(docs.select("doc_id",
+                           F.length("text").alias("tl")), "doc_id"))
+    return (t.select("doc_id", "rn", "tl",
+                     F.posexplode("spans").alias("span_idx", "s"))
+            .select("doc_id", "rn", "tl",
+                    F.col("span_idx").cast("long").alias("span_idx"),
+                    F.col("s.kind").alias("kind"),
+                    F.md5(F.col("s.text")).alias("text_md5"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").cast("long").alias("span_offset")))
+
+
 def _q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunking + sequence packing, value-checked to the token: sliding
     64-token windows (overlap 8) over every document, packed into
@@ -717,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mjpeg": _q_media_mjpeg,
         "text_bm25": _q_text_bm25,
         "corpus_chunks": _q_corpus_chunks,
+        "spans_invariant": _q_spans_invariant,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "agg_pricing": _q_agg_pricing,
@@ -1522,6 +1576,38 @@ def oracle_sql() -> dict[str, str]:
         WHERE rnk <= 10
     """
 
+    # spans_invariant: DuckDB rebuilds the EXPECTED span sequence from
+    # the same md5 arithmetic, never having seen the array — equal iff
+    # the engine's shuffles/window/join preserved (kind, text,
+    # media_ref, order) per row
+    spans_invariant = """
+        WITH s AS (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY doc_id % 7
+                                    ORDER BY doc_id DESC) AS rn,
+                 length(text) AS tl,
+                 unnest(range(0, 1 + ascii(substr(md5(
+                   CAST(doc_id AS VARCHAR) || '/n'), 1, 1)) % 4)) AS i
+          FROM documents),
+        sp AS (
+          SELECT doc_id, rn, tl, i,
+                 ascii(substr(md5(CAST(doc_id AS VARCHAR) || '/s'
+                                  || CAST(i AS VARCHAR)), 1, 1)) % 4 AS kv
+          FROM s)
+        SELECT sp.doc_id, CAST(rn AS BIGINT) AS rn, CAST(tl AS BIGINT) AS tl,
+               CAST(i AS BIGINT) AS span_idx,
+               ['text', 'image', 'audio', 'video'][kv + 1] AS kind,
+               md5(CASE WHEN kv = 0
+                        THEN substr(d.text, (i * 7) % 40 + 1, 25)
+                        ELSE '' END) AS text_md5,
+               CASE WHEN kv <> 0
+                    THEN 'ref://' || CAST(sp.doc_id AS VARCHAR) || '/'
+                         || CAST(i AS VARCHAR)
+                    ELSE '' END AS media_ref,
+               CAST(i AS BIGINT) AS span_offset
+        FROM sp JOIN documents d ON sp.doc_id = d.doc_id
+    """
+
     # corpus_chunks: chunk windows + packing prefix sum replayed
     # relationally — list slicing for the window text (md5-compared),
     # one SQL window for the global token cumsum
@@ -1612,6 +1698,7 @@ def oracle_sql() -> dict[str, str]:
         "media_mjpeg": media_mjpeg,
         "text_bm25": text_bm25,
         "corpus_chunks": corpus_chunks,
+        "spans_invariant": spans_invariant,
         "text_langid": text_langid,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,

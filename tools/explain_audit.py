@@ -169,6 +169,42 @@ def main() -> int:
     check("minhash: map-only (no Exchange before the sketch)",
           "Exchange" not in p)
 
+    # --- BM25 query path ------------------------------------------------------
+    # index build legitimately shuffles the corpus once; the QUERY path
+    # must reach the postings through BROADCAST joins of the query-term
+    # set (partition pruning against a bucketed index at scale) and the
+    # only aggregation exchanges are term-/id-/(q_id,doc)-keyed
+    from mbrngq_spark.operators.search import bm25_topk
+    q_bm = docs_t.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+        .alias("q_text"))
+    bm = bm25_topk(docs_t, q_bm, k=10)
+    p = plan_of(bm, execute=True)
+    sections.append(("BM25 top-k", p))
+    check("bm25: query-term set reaches postings via broadcast",
+          p.count("BroadcastHashJoin") >= 2)
+    bm_ex = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", p)
+    check("bm25: every row shuffle is term-/doc-/score-keyed",
+          len(bm_ex) >= 1 and all(
+              ("term" in e) or ("doc_id" in e) or ("q_id" in e)
+              for e in bm_ex),
+          f"exchanges={bm_ex}")
+
+    # --- chunking / packing prefix sum ---------------------------------------
+    # the two-pass prefix sum must NOT plan a single-partition global
+    # window: no Exchange SinglePartition on the row path
+    from mbrngq_spark.operators.chunking import chunk_documents, \
+        pack_sequences
+    packed = pack_sequences(chunk_documents(docs_t, 64, 8), budget=256)
+    p = plan_of(packed, execute=True)
+    sections.append(("sequence packing", p))
+    check("packing: no single-partition global window",
+          "Exchange SinglePartition" not in p
+          or "rangepartitioning" in p)
+    check("packing: prefix sum is range-partitioned",
+          "rangepartitioning" in p)
+
     # --- index write partition pruning --------------------------------------
     indexed, _ = build_index(docs_geo, IndexLayout())
     path = "/tmp/plan_audit_idx"
