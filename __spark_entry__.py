@@ -489,6 +489,52 @@ def _q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, q, k=10)
 
 
+GEO_QUERIES = [
+    (0, 0.0, 0.0),          # equator
+    (1, 89.0, 10.0),        # near the pole
+    (2, -45.0, -179.95),    # hugging the antimeridian
+    (3, 30.0, 100.0),
+    (4, -89.5, 0.0),        # deep south
+]
+
+
+def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) kNN on a lat/lon mapping of the corpus —
+    the spherical tier of the spatial engine (operators/geodetic.py).
+    The ENGINE runs the cell-pruned two-phase path (counts-only SAT box
+    + exact analytic rect min/max great-circle bounds); the ORACLE is
+    the exhaustive haversine scan — the gate passes only if the pruning
+    is lossless, including the pole and antimeridian queries."""
+    import pandas as pd
+
+    from mbrngq_spark.operators.geodetic import geodetic_knn
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    docs_ll = docs_geo.select(
+        "doc_id",
+        (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    queries = pd.DataFrame(GEO_QUERIES,
+                           columns=["query_id", "qlat", "qlon"])
+    return geodetic_knn(spark, docs_ll, queries, k=10, res=5)
+
+
+def _q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional rollup (CUBE) over lineitem: all four grouping
+    combinations of (returnflag, linestatus) in one pass with
+    grouping_id — the OLAP-tier aggregation shape next to the existing
+    hierarchical tile/cell rollups."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("l_quantity").cast("double")).alias("sum_qty"),
+                 F.grouping_id().cast("long").alias("gid"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                    .alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL"))
+                    .alias("linestatus"),
+                    "n", F.round("sum_qty", 2).alias("sum_qty"), "gid"))
+
+
 def _q_spans_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north rule's per-row invariant, driver-checked: span-sequence
     equality (kind, text, media_ref, order) THROUGH every shuffle. An
@@ -771,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": _q_text_bm25,
         "corpus_chunks": _q_corpus_chunks,
         "spans_invariant": _q_spans_invariant,
+        "agg_cube": _q_agg_cube,
+        "geo_knn": _q_geo_knn,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "agg_pricing": _q_agg_pricing,
@@ -1576,6 +1624,44 @@ def oracle_sql() -> dict[str, str]:
         WHERE rnk <= 10
     """
 
+    # geo_knn: oracle = EXHAUSTIVE haversine scan (identical formula
+    # shape: sign-safe wrap, asin-of-sqrt, 2dp rounding, doc_id ties) —
+    # the engine's cell pruning must be lossless to match
+    _geoq = ", ".join(
+        f"(CAST({qid} AS BIGINT), CAST({la} AS DOUBLE), "
+        f"CAST({lo} AS DOUBLE))" for qid, la, lo in GEO_QUERIES)
+    _hav = ("2 * 6371000.0 * asin(least(1.0, sqrt("
+            "pow(sin(radians(ll.lat - q.qlat) / 2), 2)"
+            " + cos(radians(q.qlat)) * cos(radians(ll.lat))"
+            " * pow(sin(radians(fmod(ll.lon - q.qlon + 540.0, 360.0)"
+            " - 180.0) / 2), 2))))")
+    geo_knn = f"""
+        WITH g AS ({geo}),
+        ll AS (SELECT doc_id, y * 1.8 - 90.0 AS lat,
+                      x * 3.6 - 180.0 AS lon FROM g),
+        q(query_id, qlat, qlon) AS (VALUES {_geoq}),
+        scored AS (
+          SELECT q.query_id, ll.doc_id, round({_hav}, 2) AS dist_m
+          FROM ll CROSS JOIN q)
+        SELECT query_id, doc_id, dist_m, CAST(rnk AS BIGINT) AS rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist_m, doc_id) AS rnk
+          FROM scored)
+        WHERE rnk <= 10
+    """
+
+    # agg_cube: same CUBE in DuckDB; GROUPING() bit order (first arg =
+    # MSB) matches Spark's grouping_id()
+    agg_cube = """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
     # spans_invariant: DuckDB rebuilds the EXPECTED span sequence from
     # the same md5 arithmetic, never having seen the array — equal iff
     # the engine's shuffles/window/join preserved (kind, text,
@@ -1699,6 +1785,8 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25": text_bm25,
         "corpus_chunks": corpus_chunks,
         "spans_invariant": spans_invariant,
+        "agg_cube": agg_cube,
+        "geo_knn": geo_knn,
         "text_langid": text_langid,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,

@@ -1,0 +1,245 @@
+"""Geodetic (lat/lon, great-circle) spatial queries — the spherical tier
+next to the planar engine.
+
+The reference engine is planar ([0,100]², Config.cs:16-19) and so is the
+core grid; real geospatial corpora are WGS-ish lat/lon where euclidean
+degrees are wrong by cos(latitude). This module adds the spherical
+kernel and a cell-pruned kNN whose pruning is PROVABLY lossless:
+
+- ``haversine_col`` / ``np_haversine``: great-circle meters, Δλ
+  normalized to [-180, 180] so the antimeridian wraps correctly.
+- ``geodetic_knn``: same two-phase shape as the planar knn_join —
+  a counts-only SAT search finds, per query, the smallest lat/lon cell
+  box holding ≥ k docs (counts are metric-free, so the planar trick
+  carries over verbatim); the per-query radius is the EXACT max
+  great-circle distance to that box (_rect_haversine_bounds — per-edge
+  analytic extremes of arccos(C·cos(φ−φ0)), antipode-inside → πR);
+  candidate cells are ALL non-empty cells whose exact rect MINDIST ≤
+  radius — evaluated over the full (C ≤ 4^res non-empty cells) × Q
+  matrix, so antimeridian neighbors are found without box-wrap logic.
+  Candidates broadcast-join the docs, exact haversine + rank finish.
+
+Distances are rounded to 2 dp (centimeter grain) BEFORE ranking: sin/
+cos/asin differ by ~1 ulp across libms, which is ~1e-8 m at earth
+scale — far below the grain, so ranks are reproducible across engines
+(the BM25/ANN rounding discipline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+R_EARTH = 6_371_000.0
+
+
+def haversine_col(lat1: Column, lon1: Column, lat2: Column,
+                  lon2: Column) -> Column:
+    """Great-circle distance in meters (inputs in degrees); Δλ wraps."""
+    dphi = F.radians(lat2 - lat1)
+    dl = F.radians(F.pmod(lon2 - lon1 + 540.0, F.lit(360.0)) - 180.0)
+    a = (F.sin(dphi / 2) ** 2
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+         * F.sin(dl / 2) ** 2)
+    return 2 * R_EARTH * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+
+
+def np_haversine(lat1, lon1, lat2, lon2):
+    """NumPy twin of haversine_col (broadcasting)."""
+    dphi = np.radians(lat2 - lat1)
+    dl = np.radians(np.mod(lon2 - lon1 + 540.0, 360.0) - 180.0)
+    a = (np.sin(dphi / 2) ** 2
+         + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2))
+         * np.sin(dl / 2) ** 2)
+    return 2 * R_EARTH * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+
+
+_EPS_M = 1e-6          # float-path margin between bounds and rank dists
+
+
+def _angle(qlat, qlon, lat, lon):
+    """Central angle (radians) — arccos form, clipped."""
+    dl = np.radians(np.mod(lon - qlon + 540.0, 360.0) - 180.0)
+    c = (np.sin(np.radians(qlat)) * np.sin(np.radians(lat))
+         + np.cos(np.radians(qlat)) * np.cos(np.radians(lat)) * np.cos(dl))
+    return np.arccos(np.clip(c, -1.0, 1.0))
+
+
+def _rect_haversine_bounds(qlat, qlon, lat0, lat1, lon0, lon1):
+    """EXACT (min, max) great-circle distance from (qlat, qlon) to the
+    lat/lon rect, antimeridian-safe, vectorized over rect arrays.
+
+    The central angle to a point on a fixed meridian λ is
+    arccos(C·cos(φ − φ0)) with φ0 = atan2(sinφq, cosφq·cosΔλ), so along
+    each lon edge the extremes sit at clamp(φ0) / clamp(φ0 ± 180); along
+    each lat edge cosθ is monotone in cos Δλ, so the extremes sit at the
+    wrap-aware nearest / farthest longitude. The global min adds the
+    q-inside-rect → 0 case; the global max adds antipode-inside → πR."""
+    span = lon1 - lon0
+
+    def off(lam):
+        return np.mod(lam - lon0, 360.0)
+
+    def wdist(a, b):
+        d = np.mod(a - b, 360.0)
+        return np.minimum(d, 360.0 - d)
+
+    in_lon = off(qlon) <= span
+    near_lon = np.where(in_lon, lon0 + off(qlon),
+                        np.where(wdist(qlon, lon0) <= wdist(qlon, lon1),
+                                 lon0, lon1))
+    afar = qlon + 180.0
+    far_lon = np.where(off(afar) <= span, lon0 + off(afar),
+                       np.where(wdist(afar, lon0) <= wdist(afar, lon1),
+                                lon0, lon1))
+
+    def phi0(lam):
+        dl = np.radians(np.mod(lam - qlon + 540.0, 360.0) - 180.0)
+        return np.degrees(np.arctan2(np.sin(np.radians(qlat)),
+                                     np.cos(np.radians(qlat)) * np.cos(dl)))
+
+    mins = [
+        _angle(qlat, qlon, lat0, near_lon),
+        _angle(qlat, qlon, lat1, near_lon),
+        _angle(qlat, qlon, np.clip(phi0(lon0), lat0, lat1), lon0),
+        _angle(qlat, qlon, np.clip(phi0(lon1), lat0, lat1), lon1),
+    ]
+    amin = np.min(mins, axis=0)
+    inside = (qlat >= lat0) & (qlat <= lat1) & in_lon
+    amin = np.where(inside, 0.0, amin)
+
+    def phi_far(lam):
+        p = phi0(lam) - 180.0
+        p = np.where(p < -180.0, p + 360.0, p)
+        return np.clip(p, lat0, lat1)
+
+    maxs = [_angle(qlat, qlon, la, lo)
+            for la in (lat0, lat1) for lo in (lon0, lon1)]
+    maxs += [
+        _angle(qlat, qlon, lat0, far_lon),
+        _angle(qlat, qlon, lat1, far_lon),
+        _angle(qlat, qlon, phi_far(lon0), lon0),
+        _angle(qlat, qlon, phi_far(lon1), lon1),
+    ]
+    amax = np.max(maxs, axis=0)
+    a_inside = (-qlat >= lat0) & (-qlat <= lat1) & (off(afar) <= span)
+    amax = np.where(a_inside, np.pi, amax)
+    return (np.maximum(R_EARTH * amin - _EPS_M, 0.0),
+            R_EARTH * amax + _EPS_M)
+
+
+def plan_geo_cells(stats: pd.DataFrame, queries: pd.DataFrame, k: int,
+                   res: int) -> pd.DataFrame:
+    """The counts-only planner: (cell, count) stats + (query_id, qlat,
+    qlon) queries → (query_id, cell) candidate pairs, losslessly
+    covering every possible great-circle top-k answer."""
+    n = 1 << res
+    dlat, dlon = 180.0 / n, 360.0 / n
+    cells = stats["cell"].to_numpy(np.int64)
+    counts = stats["count"].to_numpy(np.int64)
+    iy_all, ix_all = cells // n, cells % n
+    g = np.zeros((n, n), dtype=np.int64)
+    g[iy_all, ix_all] = counts
+    sat = np.zeros((n + 1, n + 1), dtype=np.int64)
+    sat[1:, 1:] = g.cumsum(0).cumsum(1)
+    total = int(counts.sum())
+
+    lat0_all = -90.0 + iy_all * dlat
+    lon0_all = -180.0 + ix_all * dlon
+
+    out_q, out_c = [], []
+    for _, q in queries.iterrows():
+        qlat, qlon = float(q["qlat"]), float(q["qlon"])
+        cy = min(max(int((qlat + 90.0) / dlat), 0), n - 1)
+        cx = min(max(int((qlon + 180.0) / dlon), 0), n - 1)
+        if total < k:
+            keep = np.ones(len(cells), dtype=bool)
+        else:
+            lo, hi = 0, n
+            while lo < hi:                      # smallest k-covering box
+                mid = (lo + hi) // 2
+                x0, y0 = max(cx - mid, 0), max(cy - mid, 0)
+                x1, y1 = min(cx + mid, n - 1), min(cy + mid, n - 1)
+                cnt = int(sat[y1 + 1, x1 + 1] - sat[y0, x1 + 1]
+                          - sat[y1 + 1, x0] + sat[y0, x0])
+                if cnt >= k:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            h = lo
+            bx0, by0 = max(cx - h, 0), max(cy - h, 0)
+            bx1, by1 = min(cx + h, n - 1), min(cy + h, n - 1)
+            radius = float(_rect_haversine_bounds(
+                qlat, qlon,
+                np.float64(-90.0 + by0 * dlat),
+                np.float64(-90.0 + (by1 + 1) * dlat),
+                np.float64(-180.0 + bx0 * dlon),
+                np.float64(-180.0 + (bx1 + 1) * dlon))[1])
+            mind, _ = _rect_haversine_bounds(qlat, qlon,
+                                             lat0_all, lat0_all + dlat,
+                                             lon0_all, lon0_all + dlon)
+            keep = mind <= radius
+        take = cells[keep]
+        out_q.extend([q["query_id"]] * len(take))
+        out_c.extend(take.tolist())
+    return pd.DataFrame({"query_id": out_q, "cell": out_c})
+
+
+def geo_cell_col(res: int) -> Column:
+    """Row-major lat/lon cell id (reads columns ``lat``/``lon``)."""
+    n = 1 << res
+    iy = F.floor((F.col("lat") + 90.0) / (180.0 / n)).cast("long")
+    ix = F.floor((F.col("lon") + 180.0) / (360.0 / n)).cast("long")
+    return F.least(iy, F.lit(n - 1)) * n + F.least(ix, F.lit(n - 1))
+
+
+def geodetic_knn(spark: SparkSession, docs_ll: DataFrame,
+                 queries: pd.DataFrame, k: int = 10,
+                 res: int = 6, id_col: str = "doc_id") -> DataFrame:
+    """Top-k nearest docs per query point by great-circle distance.
+    ``docs_ll``: (id_col, lat, lon); ``queries``: (query_id, qlat, qlon).
+    Returns (query_id, doc_id, dist_m, rnk) — dist_m rounded to 2 dp,
+    ties by doc_id. Pruning is lossless: pytest asserts equality with
+    the exhaustive scan; the gate's DuckDB oracle IS the exhaustive
+    scan."""
+    d = docs_ll.withColumn("cell", geo_cell_col(res))
+
+    # tiny counts table to the driver (≤ 4^res rows) — the planner input
+    stats = d.groupBy("cell").count().toPandas()
+    plan = plan_geo_cells(stats, queries, k, res)
+    cand = spark.createDataFrame(plan, "query_id long, cell long")
+    qdf = spark.createDataFrame(
+        queries[["query_id", "qlat", "qlon"]],
+        "query_id long, qlat double, qlon double")
+    joined = (d.join(F.broadcast(cand), "cell")
+              .join(F.broadcast(qdf), "query_id"))
+    dist = F.round(haversine_col(F.col("lat"), F.col("lon"),
+                                 F.col("qlat"), F.col("qlon")), 2)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(),
+                                               F.col(id_col).asc())
+    return (joined.withColumn("dist_m", dist)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", id_col, "dist_m",
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
+def geodetic_knn_bruteforce(spark: SparkSession, docs_ll: DataFrame,
+                            queries: pd.DataFrame, k: int = 10,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exhaustive reference twin (broadcast cross join + rank)."""
+    qdf = spark.createDataFrame(
+        queries[["query_id", "qlat", "qlon"]],
+        "query_id long, qlat double, qlon double")
+    dist = F.round(haversine_col(F.col("lat"), F.col("lon"),
+                                 F.col("qlat"), F.col("qlon")), 2)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(),
+                                               F.col(id_col).asc())
+    return (docs_ll.crossJoin(F.broadcast(qdf))
+            .withColumn("dist_m", dist)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", id_col, "dist_m",
+                    F.col("rnk").cast("long").alias("rnk")))

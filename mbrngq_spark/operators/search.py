@@ -61,13 +61,16 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     ``queries``: (q_id, q_text) — the small broadcast side. Documents
     sharing no term with a query never appear (score 0 rows are not
     emitted — standard disjunctive retrieval)."""
-    n_docs = docs.count()                      # scalar N for idf
+    # ONE scalar-stats job for N and avgdl (idf + length normalizer)
+    srow = docs.select(
+        F.count("*").alias("n"),
+        F.avg(F.size(F.filter(F.split(F.col(text_col), " "),
+                              lambda t: t != F.lit("")))).alias("ad")) \
+        .first()
+    n_docs, avgdl = srow["n"], srow["ad"]
 
     postings = build_inverted_index(docs, text_col, id_col)
     df_ = postings.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    avgdl = docs.select(
-        F.avg(F.size(F.filter(F.split(F.col(text_col), " "),
-                              lambda t: t != F.lit(""))))).first()[0]
 
     # query terms: qtf counts repeated terms in the query (standard BM25
     # multiplies the term's contribution by its query frequency)

@@ -1,0 +1,117 @@
+"""Geodetic kernel + pruned great-circle kNN (operators/geodetic.py):
+haversine twins, exact rect bounds, and lossless pruning vs the
+exhaustive scan on pole / antimeridian / clustered corpora."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mbrngq_spark.operators.geodetic import (
+    R_EARTH, _rect_haversine_bounds, geodetic_knn, geodetic_knn_bruteforce,
+    haversine_col, np_haversine)
+
+
+def test_haversine_known_values():
+    # 1 degree of longitude at the equator
+    assert abs(np_haversine(0, 0, 0, 1) - 111_195) < 100
+    # antipodal
+    assert abs(np_haversine(0, 0, 0, 180) - np.pi * R_EARTH) < 1
+    # antimeridian wrap: 179.5E to 179.5W is 1 degree, not 359
+    assert abs(np_haversine(0, 179.5, 0, -179.5)
+               - np_haversine(0, 0, 0, 1)) < 1e-6
+    # pole to pole
+    assert abs(np_haversine(90, 0, -90, 77) - np.pi * R_EARTH) < 1
+
+
+def test_haversine_col_matches_numpy_twin(spark):
+    rng = np.random.default_rng(41)
+    pdf = pd.DataFrame({
+        "lat1": rng.uniform(-90, 90, 300),
+        "lon1": rng.uniform(-180, 180, 300),
+        "lat2": rng.uniform(-90, 90, 300),
+        "lon2": rng.uniform(-180, 180, 300)})
+    got = (spark.createDataFrame(pdf)
+           .select(haversine_col(F.col("lat1"), F.col("lon1"),
+                                 F.col("lat2"), F.col("lon2")).alias("d"))
+           .toPandas()["d"].to_numpy())
+    exp = np_haversine(pdf.lat1.to_numpy(), pdf.lon1.to_numpy(),
+                       pdf.lat2.to_numpy(), pdf.lon2.to_numpy())
+    assert np.allclose(got, exp, rtol=1e-12, atol=1e-6)
+
+
+def test_rect_bounds_contain_all_rect_points():
+    """Property: for random rects (including antimeridian-adjacent and
+    polar ones) every densely-sampled rect point's distance lies within
+    [dmin, dmax], and the bounds are tight against the sampled extremes."""
+    rng = np.random.default_rng(42)
+    for _ in range(60):
+        lat0 = rng.uniform(-90, 85)
+        lat1 = lat0 + rng.uniform(0.5, min(25, 90 - lat0))
+        lon0 = rng.uniform(-180, 175)
+        lon1 = lon0 + rng.uniform(0.5, 40)
+        qlat = rng.uniform(-90, 90)
+        qlon = rng.uniform(-180, 180)
+        dmin, dmax = _rect_haversine_bounds(
+            qlat, qlon, np.float64(lat0), np.float64(lat1),
+            np.float64(lon0), np.float64(lon1))
+        g = np.linspace(0, 1, 25)
+        lats = lat0 + g * (lat1 - lat0)
+        lons = lon0 + g * (lon1 - lon0)
+        dd = np_haversine(qlat, qlon, lats[:, None], lons[None, :])
+        assert dmin <= dd.min() + 1e-6, (qlat, qlon, lat0, lat1, lon0, lon1)
+        assert dmax >= dd.max() - 1e-6
+        # exactness: the analytic bounds touch the sampled extremes
+        # (sampling grid is 25x25 → allow its discretization error)
+        cell_km = max(lat1 - lat0, lon1 - lon0) / 24 * 111.2e3
+        assert dmin >= dd.min() - 2 * cell_km
+        assert dmax <= dd.max() + 2 * cell_km
+
+
+def _corpus(rng, kind, n=4000):
+    if kind == "uniform":
+        lat = rng.uniform(-90, 90, n)
+        lon = rng.uniform(-180, 180, n)
+    elif kind == "polar":
+        lat = np.clip(rng.normal(87, 2, n), -90, 90)
+        lon = rng.uniform(-180, 180, n)
+    else:                                   # antimeridian cluster
+        lat = rng.normal(10, 5, n)
+        lon = np.mod(rng.normal(180, 3, n) + 180, 360) - 180
+    return pd.DataFrame({"doc_id": np.arange(n), "lat": lat, "lon": lon})
+
+
+@pytest.mark.parametrize("kind", ["uniform", "polar", "antimeridian"])
+def test_pruned_knn_equals_bruteforce(spark, kind):
+    rng = np.random.default_rng(hash(kind) % 2**31)
+    docs = spark.createDataFrame(_corpus(rng, kind))
+    queries = pd.DataFrame({
+        "query_id": np.arange(8),
+        "qlat": [0.0, 89.5, -89.0, 45.0, 10.0, -10.0, 60.0, 5.0],
+        "qlon": [0.0, 13.0, -100.0, 179.9, -179.9, 180.0 - 360, 120.0, 77.0],
+    })
+    queries["qlon"] = np.mod(queries["qlon"] + 180, 360) - 180
+    a = geodetic_knn(spark, docs, queries, k=7, res=5).collect()
+    b = geodetic_knn_bruteforce(spark, docs, queries, k=7).collect()
+    ka = sorted((r.query_id, r.rnk, r.doc_id, r.dist_m) for r in a)
+    kb = sorted((r.query_id, r.rnk, r.doc_id, r.dist_m) for r in b)
+    assert ka == kb
+
+
+def test_pruned_knn_ships_fraction_of_cells():
+    """The point of pruning: the planner keeps a small fraction of the
+    non-empty cells for an interior query (not the whole sphere)."""
+    from mbrngq_spark.operators.geodetic import plan_geo_cells
+
+    rng = np.random.default_rng(7)
+    docs_pd = _corpus(rng, "uniform", n=20000)
+    res, n = 6, 1 << 6
+    iy = np.minimum(((docs_pd.lat + 90) // (180 / n)).astype(np.int64),
+                    n - 1)
+    ix = np.minimum(((docs_pd.lon + 180) // (360 / n)).astype(np.int64),
+                    n - 1)
+    stats = pd.DataFrame({"cell": iy * n + ix}).value_counts() \
+        .rename("count").reset_index()
+    queries = pd.DataFrame({"query_id": [0], "qlat": [20.0], "qlon": [30.0]})
+    plan = plan_geo_cells(stats, queries, k=5, res=res)
+    assert 0 < len(plan) < 0.05 * stats.shape[0]
