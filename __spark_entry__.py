@@ -518,6 +518,23 @@ def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geodetic_knn(spark, docs_ll, queries, k=10, res=5)
 
 
+def _q_geo_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle radius query (spherical range): all docs within
+    500 km of each geo query point, cell-pruned with the same exact
+    rect bounds; oracle = exhaustive haversine WHERE filter."""
+    import pandas as pd
+
+    from mbrngq_spark.operators.geodetic import geodetic_range
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    docs_ll = docs_geo.select(
+        "doc_id",
+        (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    queries = pd.DataFrame(GEO_QUERIES,
+                           columns=["query_id", "qlat", "qlon"])
+    return geodetic_range(spark, docs_ll, queries, 500_000.0, res=5)
+
+
 def _q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional rollup (CUBE) over lineitem: all four grouping
     combinations of (returnflag, linestatus) in one pass with
@@ -819,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_invariant": _q_spans_invariant,
         "agg_cube": _q_agg_cube,
         "geo_knn": _q_geo_knn,
+        "geo_range": _q_geo_range,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "agg_pricing": _q_agg_pricing,
@@ -1650,6 +1668,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE rnk <= 10
     """
 
+    geo_range = f"""
+        WITH g AS ({geo}),
+        ll AS (SELECT doc_id, y * 1.8 - 90.0 AS lat,
+                      x * 3.6 - 180.0 AS lon FROM g),
+        q(query_id, qlat, qlon) AS (VALUES {_geoq})
+        SELECT q.query_id, ll.doc_id, round({_hav}, 2) AS dist_m
+        FROM ll CROSS JOIN q
+        WHERE round({_hav}, 2) <= 500000.0
+    """
+
     # agg_cube: same CUBE in DuckDB; GROUPING() bit order (first arg =
     # MSB) matches Spark's grouping_id()
     agg_cube = """
@@ -1787,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "spans_invariant": spans_invariant,
         "agg_cube": agg_cube,
         "geo_knn": geo_knn,
+        "geo_range": geo_range,
         "text_langid": text_langid,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,

@@ -243,3 +243,41 @@ def geodetic_knn_bruteforce(spark: SparkSession, docs_ll: DataFrame,
             .filter(F.col("rnk") <= k)
             .select("query_id", id_col, "dist_m",
                     F.col("rnk").cast("long").alias("rnk")))
+
+
+def geodetic_range(spark: SparkSession, docs_ll: DataFrame,
+                   queries: pd.DataFrame, radius_m: float,
+                   res: int = 6, id_col: str = "doc_id") -> DataFrame:
+    """All docs within ``radius_m`` great-circle meters of each query
+    point — the spherical range query. Candidate cells are the non-empty
+    cells whose EXACT rect MINDIST ≤ radius (same lossless bound as
+    geodetic_knn); the exact haversine filter finishes. Returns
+    (query_id, doc_id, dist_m) with dist_m rounded to 2 dp."""
+    d = docs_ll.withColumn("cell", geo_cell_col(res))
+    stats = d.groupBy("cell").count().toPandas()
+    n = 1 << res
+    dlat, dlon = 180.0 / n, 360.0 / n
+    cells = stats["cell"].to_numpy(np.int64)
+    lat0 = -90.0 + (cells // n) * dlat
+    lon0 = -180.0 + (cells % n) * dlon
+    out_q, out_c = [], []
+    for _, q in queries.iterrows():
+        mind, _ = _rect_haversine_bounds(float(q["qlat"]), float(q["qlon"]),
+                                         lat0, lat0 + dlat,
+                                         lon0, lon0 + dlon)
+        take = cells[mind <= radius_m]
+        out_q.extend([q["query_id"]] * len(take))
+        out_c.extend(take.tolist())
+    cand = spark.createDataFrame(
+        pd.DataFrame({"query_id": out_q, "cell": out_c}),
+        "query_id long, cell long")
+    qdf = spark.createDataFrame(
+        queries[["query_id", "qlat", "qlon"]],
+        "query_id long, qlat double, qlon double")
+    dist = F.round(haversine_col(F.col("lat"), F.col("lon"),
+                                 F.col("qlat"), F.col("qlon")), 2)
+    return (d.join(F.broadcast(cand), "cell")
+            .join(F.broadcast(qdf), "query_id")
+            .withColumn("dist_m", dist)
+            .filter(F.col("dist_m") <= radius_m)
+            .select("query_id", id_col, "dist_m"))

@@ -183,6 +183,12 @@ class _BitWriter:
             self.put(0x7F, 8 - self.n)         # pad with 1s
         return bytes(self.buf)
 
+    def restart(self, idx: int) -> None:
+        """Byte-align and emit RSTn (markers are raw 0xFF, unstuffed)."""
+        if self.n:
+            self.put(0x7F, 8 - self.n)
+        self.buf += bytes([0xFF, 0xD0 + (idx % 8)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(size, amplitude bits) per T.81 F.1.2.1: negatives use the
@@ -233,12 +239,16 @@ def _box_downsample2(p: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 85,
-                subsampling: str = "444") -> bytes:
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """(H, W, 3) uint8 RGB → baseline JFIF JPEG bytes.
 
     ``subsampling``: '444' (one block per component per MCU) or '420'
     (2×2 luma blocks + box-downsampled chroma per 16×16 MCU — the common
-    MJPEG shape)."""
+    MJPEG shape). ``restart_interval`` > 0 emits a DRI segment and an
+    RSTn marker (+ DC-prediction reset) every that many MCUs — real
+    MJPEG encoders use restarts for error resilience, and this
+    exercises the decoder's resynchronization path."""
     if subsampling not in ("444", "420"):
         raise ValueError(f"unknown subsampling: {subsampling}")
     h, w, _ = pixels.shape
@@ -282,7 +292,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     bw_ = _BitWriter()
     pred = [0, 0, 0]
     tables = [(dc_y, ac_y), (dc_c, ac_c), (dc_c, ac_c)]
+    rst = 0
     for m in range(mcux * mcuy):                 # interleaved MCUs
+        if restart_interval and m and m % restart_interval == 0:
+            bw_.restart(rst)
+            rst += 1
+            pred = [0, 0, 0]
         my, mx = divmod(m, mcux)
         for ci, (ch, cv) in enumerate(specs):
             for vy in range(cv):
@@ -308,6 +323,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
                                  (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)):
         out += seg(0xFFC4, bytes([cls_dest] + bits[1:] + vals))
     sos = struct.pack(">B", 3)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
         sos += struct.pack(">BB", cid, tabs)
     sos += b"\x00\x3F\x00"                                      # Ss Se AhAl

@@ -115,3 +115,27 @@ def test_pruned_knn_ships_fraction_of_cells():
     queries = pd.DataFrame({"query_id": [0], "qlat": [20.0], "qlon": [30.0]})
     plan = plan_geo_cells(stats, queries, k=5, res=res)
     assert 0 < len(plan) < 0.05 * stats.shape[0]
+
+
+@pytest.mark.parametrize("kind", ["uniform", "antimeridian"])
+def test_geodetic_range_equals_exhaustive(spark, kind):
+    from mbrngq_spark.operators.geodetic import geodetic_range
+
+    rng = np.random.default_rng(11)
+    docs_pd = _corpus(rng, kind, n=3000)
+    docs = spark.createDataFrame(docs_pd)
+    queries = pd.DataFrame({
+        "query_id": [0, 1, 2],
+        "qlat": [10.0, 88.0, 12.0],
+        "qlon": [179.8, 0.0, -178.0]})
+    R = 800_000.0
+    got = {(r.query_id, r.doc_id, r.dist_m)
+           for r in geodetic_range(spark, docs, queries, R, res=5).collect()}
+    exp = set()
+    for _, q in queries.iterrows():
+        dd = np.round(np_haversine(q.qlat, q.qlon,
+                                   docs_pd.lat.to_numpy(),
+                                   docs_pd.lon.to_numpy()), 2)
+        for did, dm in zip(docs_pd.doc_id[dd <= R], dd[dd <= R]):
+            exp.add((q.query_id, int(did), float(dm)))
+    assert got == exp

@@ -222,3 +222,20 @@ def test_mixed_codec_media_pipeline(spark):
     for r in sampled:                       # sampled frames are real BMPs
         img = mm.decode_bmp(bytes(r["content"]))
         assert img.shape == (r["meta"]["height"], r["meta"]["width"], 3)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI + RSTn: the encoder byte-aligns and resets DC prediction at
+    each restart; the decoder resynchronizes — fidelity unchanged."""
+    from mbrngq_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack([(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    for ss in ("444", "420"):
+        for ri in (1, 3, 7):
+            enc = encode_jpeg(img, 90, ss, restart_interval=ri)
+            assert b"\xFF\xDD" in enc            # DRI present
+            dec = decode_jpeg(enc)
+            mse = np.mean((dec.astype(np.float64) - img) ** 2)
+            assert 10 * np.log10(255 * 255 / mse) > 35

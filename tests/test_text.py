@@ -129,3 +129,28 @@ def test_bpe_encoder_tokens_and_count_agree(spark):
     assert toks[0] == ["the", "c", "at"]
     assert toks[2] == []
     assert "ing" in toks[1][-1] or toks[1][-1] == "ing"
+
+
+def test_bpe_twins_agree_property(spark):
+    """Hypothesis-style sweep: on random ASCII word soups (runs of
+    spaces, merge-heavy digraphs, digits, punctuation) the greedy UDF
+    encoder and the JVM replace-chain count agree on every string."""
+    import numpy as np
+
+    rng = np.random.default_rng(53)
+    pieces = ["the", "er", "ing", "a", "zz", "th", "ion", "1900", "!",
+              "and", "x", "prothe", "erer", ",", "19", "00", "q"]
+    texts = []
+    for _ in range(300):
+        k = rng.integers(0, 12)
+        sep = " " * int(rng.integers(1, 3))
+        texts.append(sep.join(str(rng.choice(pieces)) for _ in range(k)))
+    texts += ["", " ", "  ", "a", "the"]
+    from mbrngq_spark.operators.text import bpe_encode_udf, n_tokens_bpe_col
+
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    bad = df.select(
+        n_tokens_bpe_col(F.col("text")).alias("a"),
+        F.size(bpe_encode_udf()(F.col("text"))).cast("long").alias("b")) \
+        .filter(F.col("a") != F.col("b")).count()
+    assert bad == 0
