@@ -134,7 +134,13 @@ def plan_geo_cells(stats: pd.DataFrame, queries: pd.DataFrame, k: int,
                    res: int) -> pd.DataFrame:
     """The counts-only planner: (cell, count) stats + (query_id, qlat,
     qlon) queries → (query_id, cell) candidate pairs, losslessly
-    covering every possible great-circle top-k answer."""
+    covering every possible great-circle top-k answer.
+
+    Fully vectorized over queries (the planar planner's discipline):
+    one lock-step binary search over the SAT for all queries at once,
+    then one (Q, C) bounds matrix — no per-query Python loop, so large
+    query batches plan at NumPy speed (and the whole planner can run per
+    Arrow batch inside mapInPandas for distributed Q)."""
     n = 1 << res
     dlat, dlon = 180.0 / n, 360.0 / n
     cells = stats["cell"].to_numpy(np.int64)
@@ -149,42 +155,50 @@ def plan_geo_cells(stats: pd.DataFrame, queries: pd.DataFrame, k: int,
     lat0_all = -90.0 + iy_all * dlat
     lon0_all = -180.0 + ix_all * dlon
 
-    out_q, out_c = [], []
-    for _, q in queries.iterrows():
-        qlat, qlon = float(q["qlat"]), float(q["qlon"])
-        cy = min(max(int((qlat + 90.0) / dlat), 0), n - 1)
-        cx = min(max(int((qlon + 180.0) / dlon), 0), n - 1)
-        if total < k:
-            keep = np.ones(len(cells), dtype=bool)
-        else:
-            lo, hi = 0, n
-            while lo < hi:                      # smallest k-covering box
-                mid = (lo + hi) // 2
-                x0, y0 = max(cx - mid, 0), max(cy - mid, 0)
-                x1, y1 = min(cx + mid, n - 1), min(cy + mid, n - 1)
-                cnt = int(sat[y1 + 1, x1 + 1] - sat[y0, x1 + 1]
-                          - sat[y1 + 1, x0] + sat[y0, x0])
-                if cnt >= k:
-                    hi = mid
-                else:
-                    lo = mid + 1
-            h = lo
-            bx0, by0 = max(cx - h, 0), max(cy - h, 0)
-            bx1, by1 = min(cx + h, n - 1), min(cy + h, n - 1)
-            radius = float(_rect_haversine_bounds(
-                qlat, qlon,
-                np.float64(-90.0 + by0 * dlat),
-                np.float64(-90.0 + (by1 + 1) * dlat),
-                np.float64(-180.0 + bx0 * dlon),
-                np.float64(-180.0 + (bx1 + 1) * dlon))[1])
-            mind, _ = _rect_haversine_bounds(qlat, qlon,
-                                             lat0_all, lat0_all + dlat,
-                                             lon0_all, lon0_all + dlon)
-            keep = mind <= radius
-        take = cells[keep]
-        out_q.extend([q["query_id"]] * len(take))
-        out_c.extend(take.tolist())
-    return pd.DataFrame({"query_id": out_q, "cell": out_c})
+    qids = queries["query_id"].to_numpy()
+    qlat = queries["qlat"].to_numpy(np.float64)
+    qlon = queries["qlon"].to_numpy(np.float64)
+    nq = len(qids)
+    if nq == 0 or len(cells) == 0:
+        return pd.DataFrame({"query_id": [], "cell": []})
+    if total < k:
+        keep = np.ones((nq, len(cells)), dtype=bool)
+    else:
+        cy = np.clip(((qlat + 90.0) / dlat).astype(np.int64), 0, n - 1)
+        cx = np.clip(((qlon + 180.0) / dlon).astype(np.int64), 0, n - 1)
+        lo = np.zeros(nq, dtype=np.int64)
+        hi = np.full(nq, n, dtype=np.int64)
+        while True:                     # lock-step smallest k-covering box
+            act = lo < hi
+            if not act.any():
+                break
+            mid = (lo + hi) // 2
+            x0 = np.maximum(cx - mid, 0)
+            y0 = np.maximum(cy - mid, 0)
+            x1 = np.minimum(cx + mid, n - 1)
+            y1 = np.minimum(cy + mid, n - 1)
+            cnt = (sat[y1 + 1, x1 + 1] - sat[y0, x1 + 1]
+                   - sat[y1 + 1, x0] + sat[y0, x0])
+            ok = cnt >= k
+            hi = np.where(act & ok, mid, hi)
+            lo = np.where(act & ~ok, mid + 1, lo)
+        h = lo
+        bx0 = np.maximum(cx - h, 0)
+        by0 = np.maximum(cy - h, 0)
+        bx1 = np.minimum(cx + h, n - 1)
+        by1 = np.minimum(cy + h, n - 1)
+        radius = _rect_haversine_bounds(
+            qlat, qlon,
+            -90.0 + by0 * dlat, -90.0 + (by1 + 1) * dlat,
+            -180.0 + bx0 * dlon, -180.0 + (bx1 + 1) * dlon)[1]
+        # (Q, C) exact-MINDIST matrix via broadcasting
+        mind, _ = _rect_haversine_bounds(
+            qlat[:, None], qlon[:, None],
+            lat0_all[None, :], lat0_all[None, :] + dlat,
+            lon0_all[None, :], lon0_all[None, :] + dlon)
+        keep = mind <= radius[:, None]
+    qi, ci = np.nonzero(keep)
+    return pd.DataFrame({"query_id": qids[qi], "cell": cells[ci]})
 
 
 def geo_cell_col(res: int) -> Column:
@@ -260,16 +274,17 @@ def geodetic_range(spark: SparkSession, docs_ll: DataFrame,
     cells = stats["cell"].to_numpy(np.int64)
     lat0 = -90.0 + (cells // n) * dlat
     lon0 = -180.0 + (cells % n) * dlon
-    out_q, out_c = [], []
-    for _, q in queries.iterrows():
-        mind, _ = _rect_haversine_bounds(float(q["qlat"]), float(q["qlon"]),
-                                         lat0, lat0 + dlat,
-                                         lon0, lon0 + dlon)
-        take = cells[mind <= radius_m]
-        out_q.extend([q["query_id"]] * len(take))
-        out_c.extend(take.tolist())
+    qlat = queries["qlat"].to_numpy(np.float64)
+    qlon = queries["qlon"].to_numpy(np.float64)
+    # one (Q, C) exact-MINDIST matrix — no per-query loop
+    mind, _ = _rect_haversine_bounds(
+        qlat[:, None], qlon[:, None],
+        lat0[None, :], lat0[None, :] + dlat,
+        lon0[None, :], lon0[None, :] + dlon)
+    qi, ci = np.nonzero(mind <= radius_m)
     cand = spark.createDataFrame(
-        pd.DataFrame({"query_id": out_q, "cell": out_c}),
+        pd.DataFrame({"query_id": queries["query_id"].to_numpy()[qi],
+                      "cell": cells[ci]}),
         "query_id long, cell long")
     qdf = spark.createDataFrame(
         queries[["query_id", "qlat", "qlon"]],
