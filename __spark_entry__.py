@@ -498,6 +498,21 @@ GEO_QUERIES = [
 ]
 
 
+def _q_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval set = 10-token spans lifted from
+    docs 0..9 (eval ids 9000+); every doc sharing a 6-gram with the eval
+    set is flagged with its hit count and matched eval ids. The eval
+    side is broadcast (dedup.contamination_check) — the corpus is never
+    shuffled on raw text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 3, 10), " ")
+        .alias("text"))
+    return dedup.contamination_check(docs, eval_set)
+
+
 def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Great-circle (haversine) kNN on a lat/lon mapping of the corpus —
     the spherical tier of the spatial engine (operators/geodetic.py).
@@ -837,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": _q_agg_cube,
         "geo_knn": _q_geo_knn,
         "geo_range": _q_geo_range,
+        "corpus_decontam": _q_corpus_decontam,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "agg_pricing": _q_agg_pricing,
@@ -1668,6 +1684,31 @@ def oracle_sql() -> dict[str, str]:
         WHERE rnk <= 10
     """
 
+    # corpus_decontam: 6-gram shingles + the same eval-span derivation,
+    # flagged docs with distinct-hit counts and sorted matched eval ids
+    _sh6 = ("unnest(list_distinct([array_to_string(toks[i:i+5], ' ') "
+            "FOR i IN range(1, greatest(len(toks)-5, 1)+1)]))")
+    corpus_decontam = f"""
+        WITH ev AS (
+          SELECT doc_id + 9000 AS eval_id,
+                 array_to_string((string_split(text, ' '))[3:12], ' ')
+                 AS text
+          FROM documents WHERE doc_id < 10),
+        evsh AS (
+          SELECT DISTINCT eval_id, {_sh6} AS sh
+          FROM (SELECT eval_id, string_split(text, ' ') AS toks FROM ev)),
+        trsh AS (
+          SELECT doc_id, {_sh6} AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents)),
+        j AS (SELECT t.doc_id, t.sh, e.eval_id
+              FROM trsh t JOIN evsh e USING (sh))
+        SELECT doc_id, count(DISTINCT sh) AS n_hits,
+               array_to_string(list_sort(list_distinct(list(eval_id)))[1:3],
+                               ',') AS eval_ids
+        FROM j GROUP BY doc_id
+    """
+
     geo_range = f"""
         WITH g AS ({geo}),
         ll AS (SELECT doc_id, y * 1.8 - 90.0 AS lat,
@@ -1816,6 +1857,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_cube": agg_cube,
         "geo_knn": geo_knn,
         "geo_range": geo_range,
+        "corpus_decontam": corpus_decontam,
         "text_langid": text_langid,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,

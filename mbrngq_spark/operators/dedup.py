@@ -447,3 +447,38 @@ def simhash_near_dups_md5(docs: DataFrame, max_hamming: int = 3,
     sk = docs.select(F.col(id_col).alias("id"),
                      simhash_md5_col(F.col(text_col)).alias("sh"))
     return _simhash_pairs(sk, max_hamming, max_bucket)
+
+
+def contamination_check(docs: DataFrame, eval_docs: DataFrame,
+                        n: int = SHINGLE_N * 2,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Eval-set decontamination: per training document, how many of its
+    distinct word ``n``-grams appear in ANY eval-set document (``n``
+    defaults to 6 — wide shingles, the benchmark-leak heuristic) plus
+    the ids of up to 3 matched eval docs for audit.
+
+    Scale shape: the eval set (benchmarks — thousands of rows) explodes
+    to a distinct (shingle → eval ids) table that is BROADCAST; the
+    corpus side is a map-only explode + broadcast join + doc-keyed
+    reaggregation — the 100 TB corpus is never shuffled on raw text,
+    only the (doc_id, hits) pairs move. Returns (doc_id, n_hits,
+    eval_ids) for CONTAMINATED docs only (n_hits > 0); ``eval_ids`` is
+    the comma-joined sorted list of up to 3 matched eval-doc ids
+    (string, so the cross-engine value hash is format-stable)."""
+    ev = (eval_docs
+          .select(F.col(id_col).alias("eval_id"),
+                  F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
+          .groupBy("sh")
+          .agg(F.collect_set("eval_id").alias("ev_ids")))
+    tr = docs.select(F.col(id_col),
+                     F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
+    matched_ids = F.slice(
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("ev_ids")))),
+        1, 3)
+    return (tr.join(F.broadcast(ev), "sh")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_hits"),
+                 F.array_join(F.transform(
+                     matched_ids, lambda x: x.cast("string")), ",")
+                 .alias("eval_ids")))

@@ -276,3 +276,29 @@ def test_flat_lsh_rejects_codegen_cliff_widths(spark):
 
     with pytest.raises(ValueError, match="banded NumPy"):
         _bucket_col(F.col("embedding"), _hyperplanes(16, 17))
+
+
+def test_contamination_check_flags_planted_leaks(spark):
+    """Planted benchmark leaks: docs sharing 6-grams with the eval set
+    are flagged with the right hit counts and matched eval ids; clean
+    docs are absent."""
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma delta epsilon zeta eta theta",  # leaks ev 90
+            "one two three four five six seven eight nine",   # leaks ev 91
+            "totally clean document with no overlap at all",
+            "alpha beta gamma delta epsilon zeta eta theta",  # leaks ev 90
+        ]}))
+    eval_set = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [90, 91],
+        "text": [
+            "QQ alpha beta gamma delta epsilon zeta eta RR",
+            "one two three four five six",
+        ]}))
+    got = {r.doc_id: (r.n_hits, r.eval_ids)
+           for r in dedup.contamination_check(corpus, eval_set).collect()}
+    # doc1 shares 6-grams "alpha..zeta" and "beta..eta" with ev90
+    assert got[1] == (2, "90") and got[4] == (2, "90")
+    assert got[2] == (1, "91")        # exactly "one..six"
+    assert 3 not in got
