@@ -719,6 +719,52 @@ def _q_join_orders_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_c")))
 
 
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT coverage: customers with vs without orders,
+    tagged in one result set (distinct set semantics both engines)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select(F.col("c_custkey").alias("k"))
+    okeys = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_custkey").alias("k"))
+    return (cust.intersect(okeys).select(F.lit("with").alias("tag"), "k")
+            .unionByName(cust.exceptAll(okeys).distinct()
+                         .select(F.lit("without").alias("tag"), "k")))
+
+
+def _q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage with real nulls on BOTH sides: order
+    counts per priority vs a priority dim holding only part of the real
+    domain plus a phantom row."""
+    import pandas as pd
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    agg = orders.groupBy("o_orderpriority") \
+        .agg(F.count("*").alias("n_orders"))
+    dim = spark.createDataFrame(pd.DataFrame({
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "9-PHANTOM"],
+        "sla_hours": [24, 48, 1]}))
+    return (agg.join(dim, "o_orderpriority", "full_outer")
+            .select(F.coalesce("o_orderpriority", F.lit("?"))
+                    .alias("priority"),
+                    F.coalesce("n_orders", F.lit(0)).cast("long")
+                    .alias("n_orders"),
+                    F.coalesce("sla_hours", F.lit(-1)).cast("long")
+                    .alias("sla_hours")))
+
+
+def _q_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: per-month order counts + value (month emitted
+    as 'yyyy-MM' STRING — engines normalize DATE/TIMESTAMP differently
+    through the value-hash harness)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (orders
+            .groupBy(F.substring(F.col("o_orderdate").cast("string"), 1, 7)
+                     .alias("month"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("total_c")))
+
+
 def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window rank: top-3 orders by totalprice per customer."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -857,6 +903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "agg_pricing": _q_agg_pricing,
         "join_orders_nation": _q_join_orders_nation,
+        "set_ops": _q_set_ops,
+        "join_outer": _q_join_outer,
+        "orders_monthly": _q_orders_monthly,
         "window_top_orders": _q_window_top_orders,
         "events_hourly": _q_events_hourly,
         "events_asof": _q_events_asof,
@@ -1497,6 +1546,42 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY n.n_name
     """
 
+    set_ops = """
+        SELECT 'with' AS tag, k FROM (
+          SELECT c_custkey AS k FROM customer
+          INTERSECT
+          SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'without', k FROM (
+          SELECT c_custkey AS k FROM customer
+          EXCEPT
+          SELECT o_custkey FROM orders)
+    """
+
+    join_outer = """
+        WITH agg AS (
+          SELECT o_orderpriority, count(*) AS n_orders
+          FROM orders GROUP BY 1),
+        dim(o_orderpriority, sla_hours) AS (VALUES
+          ('1-URGENT', CAST(24 AS BIGINT)),
+          ('2-HIGH', CAST(48 AS BIGINT)),
+          ('9-PHANTOM', CAST(1 AS BIGINT)))
+        SELECT coalesce(agg.o_orderpriority, dim.o_orderpriority, '?')
+                 AS priority,
+               CAST(coalesce(agg.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(dim.sla_hours, -1) AS BIGINT) AS sla_hours
+        FROM agg FULL OUTER JOIN dim
+          ON agg.o_orderpriority = dim.o_orderpriority
+    """
+
+    orders_monthly = """
+        SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_c
+        FROM orders GROUP BY 1
+    """
+
     window_top_orders = """
         SELECT o_custkey, o_orderkey, rn FROM (
           SELECT o_custkey, o_orderkey,
@@ -1863,6 +1948,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ann_ivf_topk,
         "agg_pricing": agg_pricing,
         "join_orders_nation": join_orders_nation,
+        "set_ops": set_ops,
+        "join_outer": join_outer,
+        "orders_monthly": orders_monthly,
         "window_top_orders": window_top_orders,
         "events_hourly": events_hourly,
         "events_asof": events_asof,
