@@ -296,3 +296,52 @@ def geodetic_range(spark: SparkSession, docs_ll: DataFrame,
             .withColumn("dist_m", dist)
             .filter(F.col("dist_m") <= radius_m)
             .select("query_id", id_col, "dist_m"))
+
+
+def plan_geo_cells_distributed(spark: SparkSession, stats: pd.DataFrame,
+                               queries_df: DataFrame, k: int,
+                               res: int) -> DataFrame:
+    """Large-Q geodetic planner: plan_geo_cells per Arrow batch inside
+    mapInPandas over a DISTRIBUTED query table, the (≤ 4^res-row)
+    counts table broadcast as slim numpy arrays (the planar
+    plan_cells_distributed discipline — no driver loop, no pandas-pickle
+    per-task unpickle floor)."""
+    bc = spark.sparkContext.broadcast(
+        {c: stats[c].to_numpy() for c in ("cell", "count")})
+
+    def plan_batches(batches):
+        st = pd.DataFrame(dict(bc.value))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = plan_geo_cells(st, pdf, k, res)
+            if len(out):
+                yield out.astype({"query_id": "int64", "cell": "int64"})
+
+    return (queries_df.select("query_id", "qlat", "qlon")
+            .mapInPandas(plan_batches, schema="query_id long, cell long"))
+
+
+def geodetic_knn_distributed(spark: SparkSession, docs_ll: DataFrame,
+                             queries_df: DataFrame, k: int = 10,
+                             res: int = 6,
+                             id_col: str = "doc_id") -> DataFrame:
+    """geodetic_knn for LARGE query batches: queries stay a Spark
+    DataFrame end-to-end — planning runs on executors, the candidate
+    pairs join docs by cell, queries re-join by query_id (both keyed
+    shuffles bounded by |candidates|). Same result contract as
+    geodetic_knn (pytest asserts equality)."""
+    d = docs_ll.withColumn("cell", geo_cell_col(res))
+    stats = d.groupBy("cell").count().toPandas()
+    cand = plan_geo_cells_distributed(spark, stats, queries_df, k, res)
+    dist = F.round(haversine_col(F.col("lat"), F.col("lon"),
+                                 F.col("qlat"), F.col("qlon")), 2)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(),
+                                               F.col(id_col).asc())
+    return (d.join(cand, "cell")
+            .join(queries_df.select("query_id", "qlat", "qlon"), "query_id")
+            .withColumn("dist_m", dist)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", id_col, "dist_m",
+                    F.col("rnk").cast("long").alias("rnk")))

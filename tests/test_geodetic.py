@@ -139,3 +139,22 @@ def test_geodetic_range_equals_exhaustive(spark, kind):
         for did, dm in zip(docs_pd.doc_id[dd <= R], dd[dd <= R]):
             exp.add((q.query_id, int(did), float(dm)))
     assert got == exp
+
+
+def test_distributed_geo_knn_equals_driver_planned(spark):
+    """Large-Q path (queries as a Spark DataFrame, planner in
+    mapInPandas) must produce exactly the driver-planned results."""
+    from mbrngq_spark.operators.geodetic import geodetic_knn_distributed
+
+    rng = np.random.default_rng(19)
+    docs = spark.createDataFrame(_corpus(rng, "uniform", n=5000))
+    qpd = pd.DataFrame({
+        "query_id": np.arange(300),
+        "qlat": rng.uniform(-90, 90, 300),
+        "qlon": rng.uniform(-180, 180, 300)})
+    a = geodetic_knn(spark, docs, qpd, k=5, res=5).collect()
+    qdf = spark.createDataFrame(qpd).repartition(7)
+    b = geodetic_knn_distributed(spark, docs, qdf, k=5, res=5).collect()
+    ka = sorted((r.query_id, r.rnk, r.doc_id, r.dist_m) for r in a)
+    kb = sorted((r.query_id, r.rnk, r.doc_id, r.dist_m) for r in b)
+    assert ka == kb

@@ -404,3 +404,45 @@ def test_failure_injection_snapshot_exactly_once(spark, tmp_path):
     batch_ids = [h.get("batch_id") for h in table.history()
                  if h.get("batch_id") is not None]
     assert sorted(batch_ids) == [0, 1, 2]  # batch 1 committed exactly once
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-x-stream interval join (clicks <- views within
+    10 min) equals the static interval join on the same data."""
+    from mbrngq_spark.streaming.join_stream import interval_join, \
+        interval_join_stream
+
+    rng = np.random.default_rng(67)
+    base = pd.Timestamp("2024-03-01")
+    clicks = pd.DataFrame({
+        "user_id": rng.integers(0, 12, 150),
+        "click_id": np.arange(150),
+        "ts": base + pd.to_timedelta(rng.integers(0, 7200, 150), unit="s")})
+    views = pd.DataFrame({
+        "user_id": rng.integers(0, 12, 250),
+        "view_id": np.arange(250),
+        "ts": base + pd.to_timedelta(rng.integers(0, 7200, 250), unit="s")})
+    c_schema = "user_id long, click_id long, ts timestamp"
+    v_schema = "user_id long, view_id long, ts timestamp"
+    csrc, vsrc = str(tmp_path / "c"), str(tmp_path / "v")
+    for pdf, schema, src in ((clicks, c_schema, csrc),
+                             (views, v_schema, vsrc)):
+        for i in range(3):                   # 3 files → 3 micro-batches
+            spark.createDataFrame(pdf.iloc[i::3], schema) \
+                .coalesce(1).write.mode("append").parquet(src)
+
+    batch = interval_join(spark.createDataFrame(clicks, c_schema),
+                          spark.createDataFrame(views, v_schema),
+                          "user_id", 600).collect()
+
+    q = interval_join_stream(
+        spark.readStream.schema(c_schema).parquet(csrc),
+        spark.readStream.schema(v_schema).parquet(vsrc),
+        "user_id", 600, str(tmp_path / "out"), str(tmp_path / "ck"),
+        trigger={"availableNow": True})
+    q.awaitTermination(240)
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+
+    key = lambda r: (r.user_id, r.click_id, r.view_id_r)
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    assert len(batch) > 100              # the fixture actually joins
