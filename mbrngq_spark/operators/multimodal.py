@@ -329,7 +329,10 @@ def _features(content: bytes, kind: str) -> np.ndarray:
     Integer-valued slots (dims, duration_ms, frame count) are exact in
     float32, so the SQL oracle can value-check the decode round-trip.
     Unrecognized payloads featurize to zeros with out[15] = -1 (an
-    honest 'unknown codec' flag, not fake features)."""
+    honest 'unknown codec' flag, not fake features); payloads whose
+    magic matches but whose body is CORRUPT (truncated fetch, bit rot —
+    guaranteed at 100 TB) get out[15] = -2 instead of killing the task
+    (_features is wrapped by _features_safe)."""
     out = np.zeros(N_FEATURES, dtype=np.float32)
     if kind == "image" and content[:2] == b"BM":
         img = decode_bmp(content).astype(np.float32)
@@ -363,13 +366,25 @@ def _features(content: bytes, kind: str) -> np.ndarray:
     return out
 
 
+def _features_safe(content: bytes, kind: str) -> np.ndarray:
+    """A corrupt payload (valid magic, broken body) must flag the ROW,
+    never fail the TASK — at corpus scale some fetches are always
+    truncated."""
+    try:
+        return _features(content, kind)
+    except Exception:
+        out = np.zeros(N_FEATURES, dtype=np.float32)
+        out[15] = -2.0                 # decode error (vs -1 unknown codec)
+        return out
+
+
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas decode + featurize. One Arrow batch in, one out; no
     per-row Python calls outside the vectorized loop body."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_features(c, k) for c, k in
+            feats = [_features_safe(c, k) for c, k in
                      zip(pdf["content"], pdf["kind"])]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
@@ -464,7 +479,10 @@ def frame_sample_decoded(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                                          pdf["kind"], pdf["content"]):
                 if kind != "video" or c[:4] != b"RIFF":
                     continue
-                frames, fps = decode_avi(bytes(c))
+                try:
+                    frames, fps = decode_avi(bytes(c))
+                except Exception:
+                    continue           # corrupt payload: skip, don't kill
                 n, h, w, _ = frames.shape
                 dur_ms = n * 1000 // fps
                 for i, ts in enumerate(range(0, dur_ms, every_ms)):
@@ -476,6 +494,9 @@ def frame_sample_decoded(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     rows["content"].append(encode_bmp(frames[fi]))
                     rows["meta"].append({"width": w, "height": h,
                                          "duration_ms": 0})
+            if not rows["doc_id"]:
+                continue               # all-skipped batch: an EMPTY frame
+                # would infer float64 for the meta struct column
             yield pd.DataFrame({
                 "doc_id": rows["doc_id"], "media_ref": rows["media_ref"],
                 "kind": ["image"] * len(rows["doc_id"]),

@@ -239,3 +239,29 @@ def test_jpeg_restart_markers_roundtrip():
             dec = decode_jpeg(enc)
             mse = np.mean((dec.astype(np.float64) - img) ** 2)
             assert 10 * np.log10(255 * 255 / mse) > 35
+
+
+def test_corrupt_payloads_flag_rows_not_tasks(spark):
+    """Truncated/corrupt media (valid magic, broken body) must flag the
+    row (features[15] == -2) and frame sampling must skip it — never
+    fail the Spark task."""
+    import pandas as pd
+
+    img = mm.encode_bmp(np.zeros((8, 8, 3), np.uint8))
+    wav = mm.encode_wav(np.zeros(100, np.int16))
+    avi = mm.encode_avi(np.zeros((2, 8, 8, 3), np.uint8), codec="MJPG")
+    rows = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "media_ref": ["r1", "r2", "r3", "r4"],
+        "kind": ["image", "audio", "video", "video"],
+        "content": [img[:30], wav[:20], avi[:60],
+                    avi[:-40]],            # all truncated mid-body
+        "meta": [{"width": 8, "height": 8, "duration_ms": 0}] * 4,
+    })
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r.doc_id: r.features
+             for r in mm.extract_features(media).collect()}
+    assert all(f[15] < 0 for f in feats.values())      # every row flagged
+    assert len(feats) == 4
+    sampled = mm.frame_sample_decoded(media).collect()
+    assert sampled == []                   # corrupt videos skipped quietly
