@@ -205,6 +205,28 @@ def main() -> int:
     check("packing: prefix sum is range-partitioned",
           "rangepartitioning" in p)
 
+    # --- geodetic kNN ---------------------------------------------------------
+    # doc side must reach the rank stage via BROADCAST candidate/query
+    # joins (never hash-repartitioned); the only row shuffle is the
+    # query_id-keyed rank window
+    import pandas as pd
+
+    from mbrngq_spark.operators.geodetic import geodetic_knn
+    docs_ll = docs_geo.select(
+        "doc_id", (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    qgeo = pd.DataFrame({"query_id": [0, 1],
+                         "qlat": [10.0, 60.0], "qlon": [30.0, -120.0]})
+    gk = geodetic_knn(spark, docs_ll, qgeo, k=5, res=5)
+    p = plan_of(gk, execute=True)
+    sections.append(("geodetic kNN", p))
+    check("geo: candidates and queries join docs via broadcast",
+          p.count("BroadcastHashJoin") >= 2)
+    geo_ex = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", p)
+    check("geo: the only row shuffle is the query_id rank window",
+          len(geo_ex) >= 1 and all("query_id" in e for e in geo_ex),
+          f"exchanges={geo_ex}")
+
     # --- index write partition pruning --------------------------------------
     indexed, _ = build_index(docs_geo, IndexLayout())
     path = "/tmp/plan_audit_idx"
