@@ -140,6 +140,23 @@ def _q_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.tile_cover(spark, H.rects_pdf())
 
 
+def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon rasterization (tiles.polygon_cover): every tile whose
+    CENTER is inside each fixture triangle, via the PNPOLY Arrow UDF
+    over bbox-cover candidates. The oracle replays PNPOLY edge-by-edge
+    with the SAME (i, j) operand order and division form, so the
+    even-odd decision is bit-identical — no convexity shortcut."""
+    import pandas as pd
+
+    from mbrngq_spark.operators.tiles import polygon_cover
+    polys = pd.DataFrame({
+        "poly_id": [t[0] for t in H.TRIANGLES],
+        "vx": [[t[1], t[3], t[5]] for t in H.TRIANGLES],
+        "vy": [[t[2], t[4], t[6]] for t in H.TRIANGLES],
+    })
+    return polygon_cover(spark, polys)
+
+
 def _q_cell_catmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton-cell rollup at MASK_RES — CalculateBitArray parity
     (RTree.cs:209-247): per-cell category bitmask + count."""
@@ -870,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _q_tile_assign,
         "tile_rollup": _q_tile_rollup,
         "tile_cover": _q_tile_cover,
+        "poly_cover": _q_poly_cover,
         "cell_catmask": _q_cell_catmask,
         "cell_pyramid": _q_cell_pyramid,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1816,6 +1834,44 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """
 
+    # poly_cover: PNPOLY replayed edge-by-edge with the engine kernel's
+    # exact (i, j) pairs and division form (pip._pip_kernel) over the
+    # same quantized bbox candidate tiles and center arithmetic
+    n_tile = 1 << H.TILE_RES
+    _wx = H.CFG.width / n_tile
+    _wy = H.CFG.height / n_tile
+
+    def _edge(xi, yi, xj, yj):
+        return (f"(CASE WHEN (({yi} > py) <> ({yj} > py))"
+                f" AND px < ({xj} - {xi}) * (py - {yi})"
+                f" / ({yj} - {yi}) + {xi} THEN 1 ELSE 0 END)")
+
+    poly_cover = f"""
+        WITH b AS (
+          SELECT poly_id, x1, y1, x2, y2, x3, y3,
+                 {H.quantize_sql('least(x1, x2, x3)', H.CFG.min_x, H.CFG.width, H.TILE_RES)} AS ix0,
+                 {H.quantize_sql('greatest(x1, x2, x3)', H.CFG.min_x, H.CFG.width, H.TILE_RES)} AS ix1,
+                 {H.quantize_sql('least(y1, y2, y3)', H.CFG.min_y, H.CFG.height, H.TILE_RES)} AS iy0,
+                 {H.quantize_sql('greatest(y1, y2, y3)', H.CFG.min_y, H.CFG.height, H.TILE_RES)} AS iy1
+          FROM {H.tri_values_sql()}),
+        bx AS (
+          SELECT *, unnest(generate_series(ix0, ix1)) AS ix FROM b),
+        cells AS (
+          SELECT *, unnest(generate_series(iy0, iy1)) AS iy FROM bx),
+        centers AS (
+          SELECT poly_id, ix, iy, x1, y1, x2, y2, x3, y3,
+                 {H.CFG.min_x} + (ix + 0.5) * {_wx!r} AS px,
+                 {H.CFG.min_y} + (iy + 0.5) * {_wy!r} AS py
+          FROM cells)
+        SELECT poly_id,
+               CAST(iy * {n_tile} + ix AS BIGINT) AS tile_id,
+               CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
+        FROM centers
+        WHERE ({_edge('x1', 'y1', 'x3', 'y3')}
+               + {_edge('x2', 'y2', 'x1', 'y1')}
+               + {_edge('x3', 'y3', 'x2', 'y2')}) % 2 = 1
+    """
+
     # spans_invariant: DuckDB rebuilds the EXPECTED span sequence from
     # the same md5 arithmetic, never having seen the array — equal iff
     # the engine's shuffles/window/join preserved (kind, text,
@@ -1915,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": tile_assign,
         "tile_rollup": tile_rollup,
         "tile_cover": tile_cover,
+        "poly_cover": poly_cover,
         "cell_catmask": cell_catmask,
         "cell_pyramid": cell_pyramid,
         "minhash_near_dups": minhash_near_dups,

@@ -90,3 +90,60 @@ def tile_vector_assignment(spark: SparkSession, docs_geo: DataFrame,
                         grid.row_major_tile_id(F.col("x"), F.col("y"), res, cfg))
             .groupBy("poly_id", "tile_id")
             .agg(F.count("*").alias("n_docs")))
+
+
+def polygon_cover(spark: SparkSession, polygons: pd.DataFrame,
+                  res: int | None = None,
+                  cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Vector→raster for POLYGON geometries: one row per (polygon, tile)
+    for every tile whose CENTER lies inside the polygon (even-odd rule —
+    arbitrary concave polygons). Candidate tiles come from the polygon's
+    bbox through tile_cover (bounded JVM explode); the refine is the
+    same vectorized PNPOLY Arrow UDF the PIP join uses, over the tile
+    centers. Map-only end to end — no shuffle.
+
+    ``polygons``: pandas (poly_id, vx: list[float], vy: list[float]).
+    Returns (poly_id, tile_id, ix, iy)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from mbrngq_spark.operators.pip import _pip_kernel
+
+    res = res or cfg.tile_res
+    bboxes = pd.DataFrame({
+        "rect_id": polygons["poly_id"],
+        "xmin": [min(v) for v in polygons["vx"]],
+        "ymin": [min(v) for v in polygons["vy"]],
+        "xmax": [max(v) for v in polygons["vx"]],
+        "ymax": [max(v) for v in polygons["vy"]],
+    })
+    cover = tile_cover(spark, bboxes, res, cfg) \
+        .withColumnRenamed("rect_id", "poly_id")
+    n = 1 << res
+    wx, wy = cfg.width / n, cfg.height / n
+    cx = F.lit(cfg.min_x) + (F.col("ix") + 0.5) * F.lit(wx)
+    cy = F.lit(cfg.min_y) + (F.col("iy") + 0.5) * F.lit(wy)
+
+    polys = {int(r.poly_id): (np.asarray(r.vx, dtype=np.float64),
+                              np.asarray(r.vy, dtype=np.float64))
+             for r in polygons.itertuples(index=False)}
+
+    @F.pandas_udf(T.BooleanType())
+    def center_in(poly_id: pd.Series, x: pd.Series,
+                  y: pd.Series) -> pd.Series:
+        px = x.to_numpy(np.float64)
+        py = y.to_numpy(np.float64)
+        pid = poly_id.to_numpy()
+        out = np.zeros(len(px), dtype=bool)
+        for p, (vx, vy) in polys.items():
+            mask = pid == p
+            if mask.any():
+                out[mask] = _pip_kernel(px[mask], py[mask], vx, vy)
+        return pd.Series(out)
+
+    return (cover.withColumn("__cx", cx).withColumn("__cy", cy)
+            .filter(center_in(F.col("poly_id"), F.col("__cx"),
+                              F.col("__cy")))
+            .select("poly_id", "tile_id",
+                    F.col("ix").cast("long").alias("ix"),
+                    F.col("iy").cast("long").alias("iy")))

@@ -133,3 +133,27 @@ def test_tile_cover_out_of_domain_rect_emits_zero_rows(spark):
         "rect_id": [9], "xmin": [cfg.min_x - 5.0], "xmax": [cfg.min_x + 1.0],
         "ymin": [cfg.min_y + 1.0], "ymax": [cfg.min_y + 2.0]})
     assert len(tile_cover(spark, straddle).toPandas()) > 0
+
+
+def test_polygon_cover_matches_numpy_center_oracle(spark):
+    """polygon_cover (concave polygons) == brute-force: every grid tile
+    whose center the NumPy PNPOLY oracle puts inside."""
+    from mbrngq_spark.config import DEFAULT as cfg
+    from mbrngq_spark.operators.tiles import polygon_cover
+
+    res = cfg.tile_res
+    n = 1 << res
+    wx, wy = cfg.width / n, cfg.height / n
+    got = {}
+    for r in polygon_cover(spark, POLYS, res).collect():
+        got.setdefault(r.poly_id, set()).add((r.ix, r.iy))
+    for _, p in POLYS.iterrows():
+        vx = np.asarray(p.vx); vy = np.asarray(p.vy)
+        exp = set()
+        for iy in range(n):
+            for ix in range(n):
+                cx = cfg.min_x + (ix + 0.5) * wx
+                cy = cfg.min_y + (iy + 0.5) * wy
+                if np_pip(np.array([cx]), np.array([cy]), vx, vy)[0]:
+                    exp.add((ix, iy))
+        assert got.get(p.poly_id, set()) == exp, p.poly_id
