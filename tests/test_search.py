@@ -84,3 +84,26 @@ def test_bm25_topk_on_corpus(spark):
         assert len(rows) == 10
         # a doc containing its own prefix should rank it first
         assert rows[0].doc_id == qid or rows[0].score >= rows[-1].score
+
+
+def test_bucketed_postings_aggregate_without_exchange(spark, tmp_path):
+    """The 100 TB BM25 layout claim, demonstrated: the inverted index
+    written bucketed by term makes term-keyed work (df counts, postings
+    self-reads) exchange-free — the query path then only broadcasts the
+    query-term set."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    spark.sql("DROP TABLE IF EXISTS postings_b")
+    (build_inverted_index(docs).write.mode("overwrite")
+     .option("path", str(tmp_path / "postings_b"))
+     .bucketBy(8, "term").sortBy("term")
+     .saveAsTable("postings_b"))
+    try:
+        dfreq = spark.table("postings_b").groupBy("term") \
+            .agg(F.countDistinct("doc_id").alias("df"))
+        dfreq.collect()
+        plan = dfreq._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, \
+            "term-bucketed postings must aggregate without a shuffle"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_b")
