@@ -567,6 +567,21 @@ def _q_geo_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geodetic_range(spark, docs_ll, queries, 500_000.0, res=5)
 
 
+def _q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle ε-self-join (800 km) on the lat/lon corpus mapping —
+    cell-PAIR candidate table from the exact bounds matrix (pole/wrap
+    safe; the planar 3×3 neighborhood is wrong on a lat/lon grid), each
+    unordered pair exactly once. Oracle: exhaustive quadratic
+    haversine."""
+    from mbrngq_spark.operators.geodetic import geodetic_pairs
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    docs_ll = docs_geo.filter(F.col("doc_id") < 250).select(
+        "doc_id",
+        (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    return geodetic_pairs(spark, docs_ll, 800_000.0, res=4)
+
+
 def _q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional rollup (CUBE) over lineitem: all four grouping
     combinations of (returnflag, linestatus) in one pass with
@@ -916,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": _q_agg_cube,
         "geo_knn": _q_geo_knn,
         "geo_range": _q_geo_range,
+        "geo_pairs": _q_geo_pairs,
         "corpus_decontam": _q_corpus_decontam,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1822,6 +1838,22 @@ def oracle_sql() -> dict[str, str]:
         WHERE round({_hav}, 2) <= 500000.0
     """
 
+    _hav_ab = ("2 * 6371000.0 * asin(least(1.0, sqrt("
+               "pow(sin(radians(b.lat - a.lat) / 2), 2)"
+               " + cos(radians(a.lat)) * cos(radians(b.lat))"
+               " * pow(sin(radians(fmod(b.lon - a.lon + 540.0, 360.0)"
+               " - 180.0) / 2), 2))))")
+    geo_pairs = f"""
+        WITH g AS ({geo}),
+        ll AS (SELECT doc_id, y * 1.8 - 90.0 AS lat,
+                      x * 3.6 - 180.0 AS lon
+               FROM g WHERE doc_id < 250)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round({_hav_ab}, 2) AS dist_m
+        FROM ll a JOIN ll b ON a.doc_id < b.doc_id
+        WHERE round({_hav_ab}, 2) <= 800000.0
+    """
+
     # agg_cube: same CUBE in DuckDB; GROUPING() bit order (first arg =
     # MSB) matches Spark's grouping_id()
     agg_cube = """
@@ -1999,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_cube": agg_cube,
         "geo_knn": geo_knn,
         "geo_range": geo_range,
+        "geo_pairs": geo_pairs,
         "corpus_decontam": corpus_decontam,
         "text_langid": text_langid,
         "ann_lsh_topk": ann_lsh_topk,

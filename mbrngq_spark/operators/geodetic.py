@@ -345,3 +345,50 @@ def geodetic_knn_distributed(spark: SparkSession, docs_ll: DataFrame,
             .filter(F.col("rnk") <= k)
             .select("query_id", id_col, "dist_m",
                     F.col("rnk").cast("long").alias("rnk")))
+
+
+def geodetic_pairs(spark: SparkSession, docs_ll: DataFrame, eps_m: float,
+                   res: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Great-circle ε-self-join: every unordered pair within ``eps_m``
+    meters — (a_id, b_id, dist_m), a_id < b_id, each pair once.
+
+    The planar 3×3-neighborhood trick is WRONG on a lat/lon grid (cell
+    width in meters shrinks toward the poles, and the antimeridian
+    wraps), so the candidate structure is a cell-PAIR table instead:
+    the (C × C) exact rect-MINDIST matrix over non-empty cells keeps
+    every ordered cell pair with bound ≤ eps — lossless by construction,
+    pole- and wrap-safe, and C ≤ 4^res keeps it driver-tiny. Both doc
+    sides then shuffle once by cell (or arrive pre-bucketed), the pair
+    table broadcasts, and the exact haversine predicate finishes."""
+    d = docs_ll.withColumn("cell", geo_cell_col(res))
+    stats = d.groupBy("cell").count().toPandas()
+    n = 1 << res
+    dlat, dlon = 180.0 / n, 360.0 / n
+    cells = stats["cell"].to_numpy(np.int64)
+    if len(cells) == 0:
+        return spark.createDataFrame(
+            [], f"a_id long, b_id long, dist_m double")
+    lat0 = -90.0 + (cells // n) * dlat
+    lon0 = -180.0 + (cells % n) * dlon
+    mind, _ = _rect_haversine_bounds(
+        lat0[:, None] + dlat / 2, lon0[:, None] + dlon / 2,
+        lat0[None, :], lat0[None, :] + dlat,
+        lon0[None, :], lon0[None, :] + dlon)
+    # center-to-rect bound → pad by the center-to-corner half-diagonal
+    # of the PROBE cell so the bound covers rect-to-rect distance
+    half_diag = np_haversine(lat0, lon0, lat0 + dlat, lon0 + dlon)
+    ci, cj = np.nonzero(mind <= eps_m + half_diag[:, None])
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"ca": cells[ci], "cb": cells[cj]}),
+        "ca long, cb long")
+    a = d.select(F.col(id_col).alias("a_id"), F.col("lat").alias("alat"),
+                 F.col("lon").alias("alon"), F.col("cell").alias("ca"))
+    b = d.select(F.col(id_col).alias("b_id"), F.col("lat").alias("blat"),
+                 F.col("lon").alias("blon"), F.col("cell").alias("cb"))
+    dist = F.round(haversine_col(F.col("alat"), F.col("alon"),
+                                 F.col("blat"), F.col("blon")), 2)
+    return (a.join(F.broadcast(pairs), "ca").join(b, "cb")
+            .withColumn("dist_m", dist)
+            .filter((F.col("dist_m") <= eps_m)
+                    & (F.col("a_id") < F.col("b_id")))
+            .select("a_id", "b_id", "dist_m"))

@@ -158,3 +158,37 @@ def test_distributed_geo_knn_equals_driver_planned(spark):
     ka = sorted((r.query_id, r.rnk, r.doc_id, r.dist_m) for r in a)
     kb = sorted((r.query_id, r.rnk, r.doc_id, r.dist_m) for r in b)
     assert ka == kb
+
+
+def test_geodetic_empty_and_tiny_corpora(spark):
+    """Empty corpus → empty result (no empty-pandas schema-inference
+    crash — CLAUDE.md footgun); corpus smaller than k → all docs
+    returned."""
+    empty = spark.createDataFrame([], "doc_id long, lat double, lon double")
+    q = pd.DataFrame({"query_id": [0], "qlat": [10.0], "qlon": [20.0]})
+    assert geodetic_knn(spark, empty, q, k=5, res=4).count() == 0
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "lat": [0.0, 5.0],
+                      "lon": [0.0, 5.0]}))
+    assert geodetic_knn(spark, tiny, q, k=5, res=4).count() == 2
+
+
+@pytest.mark.parametrize("kind", ["uniform", "polar", "antimeridian"])
+def test_geodetic_pairs_equals_exhaustive(spark, kind):
+    from mbrngq_spark.operators.geodetic import geodetic_pairs
+
+    rng = np.random.default_rng(hash(kind) % 2**31 + 1)
+    docs_pd = _corpus(rng, kind, n=700)
+    docs = spark.createDataFrame(docs_pd)
+    eps = 400_000.0
+    got = {(r.a_id, r.b_id, r.dist_m)
+           for r in geodetic_pairs(spark, docs, eps, res=4).collect()}
+    lat = docs_pd.lat.to_numpy()
+    lon = docs_pd.lon.to_numpy()
+    dd = np.round(np_haversine(lat[:, None], lon[:, None],
+                               lat[None, :], lon[None, :]), 2)
+    ii, jj = np.nonzero((dd <= eps) & (np.arange(len(lat))[:, None]
+                                       < np.arange(len(lat))[None, :]))
+    exp = {(int(docs_pd.doc_id[i]), int(docs_pd.doc_id[j]),
+            float(dd[i, j])) for i, j in zip(ii, jj)}
+    assert got == exp

@@ -107,3 +107,11 @@ def test_bucketed_postings_aggregate_without_exchange(spark, tmp_path):
             "term-bucketed postings must aggregate without a shuffle"
     finally:
         spark.sql("DROP TABLE IF EXISTS postings_b")
+
+
+def test_bm25_no_match_queries_emit_nothing(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["alpha beta"]}))
+    q = spark.createDataFrame(
+        pd.DataFrame({"q_id": [0, 1], "q_text": ["zz yy", ""]}))
+    assert bm25_topk(docs, q, k=5).count() == 0
