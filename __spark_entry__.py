@@ -582,6 +582,55 @@ def _q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geodetic_pairs(spark, docs_ll, 800_000.0, res=4)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: per-user event counts widened over the explicit
+    type list (explicit values keep the plan single-pass — no
+    distinct-scan — and the schema deterministic)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in EVENT_TYPES])
+
+
+def _q_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot-table (Iceberg-semantics) layer, VALUE-checked end to
+    end: create from documents → append a derived batch → copy-on-write
+    DELETE → read the live snapshot. The oracle recomputes the expected
+    surviving rows relationally, so a torn write, a CoW rewrite bug, or
+    a manifest mixup changes the hash. Uses a run-scoped temp dir (the
+    gate is re-runnable)."""
+    import shutil
+    import tempfile
+
+    from mbrngq_spark.plans.snapshots import SnapshotTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="snap_gate_")
+    try:
+        t = SnapshotTable(spark, f"{tmp}/tbl")
+        t.create(docs.filter(F.col("doc_id") < 400))
+        t.append(docs.filter(F.col("doc_id") >= 400)
+                 .withColumn("text", F.concat(F.lit("v2 "), F.col("text"))))
+        t.delete_where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+        out = (t.read()
+               .select("doc_id", F.md5("text").alias("text_md5"))
+               .collect())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r.doc_id for r in out],
+                      "text_md5": [r.text_md5 for r in out]}),
+        "doc_id long, text_md5 string")
+
+
 def _q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional rollup (CUBE) over lineitem: all four grouping
     combinations of (returnflag, linestatus) in one pass with
@@ -932,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": _q_geo_knn,
         "geo_range": _q_geo_range,
         "geo_pairs": _q_geo_pairs,
+        "snapshot_roundtrip": _q_snapshot_roundtrip,
+        "events_pivot": _q_events_pivot,
         "corpus_decontam": _q_corpus_decontam,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1838,6 +1889,21 @@ def oracle_sql() -> dict[str, str]:
         WHERE round({_hav}, 2) <= 500000.0
     """
 
+    events_pivot = f"""
+        SELECT user_id,
+               {', '.join(f"CAST(count(*) FILTER (event_type = '{t}') "
+                          f"AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+        FROM events GROUP BY user_id
+    """
+
+    snapshot_roundtrip = """
+        SELECT doc_id,
+               md5(CASE WHEN doc_id >= 400 THEN 'v2 ' || text
+                        ELSE text END) AS text_md5
+        FROM documents
+        WHERE doc_id % 7 <> 0
+    """
+
     _hav_ab = ("2 * 6371000.0 * asin(least(1.0, sqrt("
                "pow(sin(radians(b.lat - a.lat) / 2), 2)"
                " + cos(radians(a.lat)) * cos(radians(b.lat))"
@@ -2032,6 +2098,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn": geo_knn,
         "geo_range": geo_range,
         "geo_pairs": geo_pairs,
+        "snapshot_roundtrip": snapshot_roundtrip,
+        "events_pivot": events_pivot,
         "corpus_decontam": corpus_decontam,
         "text_langid": text_langid,
         "ann_lsh_topk": ann_lsh_topk,

@@ -9,7 +9,8 @@ Scope:
 
 - encode_jpeg: baseline sequential DCT, 4:4:4 (no subsampling), JFIF
   APP0, the Annex-K quantization + Huffman tables (quality-scaled with
-  the libjpeg 5000/Q · 200-2Q convention), interleaved single scan.
+  the libjpeg 5000/Q · 200-2Q convention), interleaved single scan;
+  4:4:4, 4:2:2 and 4:2:0 subsampling; optional DRI/RSTn restarts.
 - decode_jpeg: any baseline sequential stream — SOF0, 1..4 components,
   subsampling factors 1 and 2 (4:4:4 / 4:2:2 / 4:2:0), multiple
   DQT/DHT segments, APPn/COM skip, DRI + RSTn restart handling, byte
@@ -238,6 +239,12 @@ def _box_downsample2(p: np.ndarray) -> np.ndarray:
             + p[1::2, 1::2]) / 4.0
 
 
+def _box_downsample2x(p: np.ndarray) -> np.ndarray:
+    w = p.shape[1]
+    p = np.pad(p, ((0, 0), (0, w % 2)), mode="edge")
+    return (p[:, 0::2] + p[:, 1::2]) / 2.0
+
+
 def encode_jpeg(pixels: np.ndarray, quality: int = 85,
                 subsampling: str = "444",
                 restart_interval: int = 0) -> bytes:
@@ -249,7 +256,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     RSTn marker (+ DC-prediction reset) every that many MCUs — real
     MJPEG encoders use restarts for error resilience, and this
     exercises the decoder's resynchronization path."""
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unknown subsampling: {subsampling}")
     h, w, _ = pixels.shape
     rgb = pixels.astype(np.float64)
@@ -262,10 +269,13 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     qy = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
 
-    specs = [(1, 1), (1, 1), (1, 1)] if subsampling == "444" \
-        else [(2, 2), (1, 1), (1, 1)]
+    specs = {"444": [(1, 1), (1, 1), (1, 1)],
+             "422": [(2, 1), (1, 1), (1, 1)],
+             "420": [(2, 2), (1, 1), (1, 1)]}[subsampling]
     if subsampling == "420":
         cb, cr = _box_downsample2(cb), _box_downsample2(cr)
+    elif subsampling == "422":
+        cb, cr = _box_downsample2x(cb), _box_downsample2x(cr)
     hmax = max(s[0] for s in specs)
     vmax = max(s[1] for s in specs)
     mcux = -(-w // (8 * hmax))

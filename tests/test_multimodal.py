@@ -160,7 +160,7 @@ def test_jpeg_roundtrip_smooth_psnr():
     yy, xx = np.mgrid[0:37, 0:53]
     img = np.stack([(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256],
                    axis=-1).astype(np.uint8)
-    for ss in ("444", "420"):
+    for ss in ("444", "422", "420"):
         dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling=ss))
         assert dec.shape == img.shape
         mse = np.mean((dec.astype(np.float64) - img) ** 2)
