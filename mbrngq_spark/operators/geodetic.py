@@ -367,7 +367,7 @@ def geodetic_pairs(spark: SparkSession, docs_ll: DataFrame, eps_m: float,
     cells = stats["cell"].to_numpy(np.int64)
     if len(cells) == 0:
         return spark.createDataFrame(
-            [], f"a_id long, b_id long, dist_m double")
+            [], "a_id long, b_id long, dist_m double")
     lat0 = -90.0 + (cells // n) * dlat
     lon0 = -180.0 + (cells % n) * dlon
     mind, _ = _rect_haversine_bounds(
