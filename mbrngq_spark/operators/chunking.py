@@ -56,17 +56,32 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
                              ln.cast("int")), " ").alias("chunk_text"))
 
 
+def staged_partial_sums(chunks: DataFrame, id_col: str = "doc_id") \
+        -> DataFrame:
+    """Pass 1 of the packing prefix sum: range-partitioned chunks with
+    (__pid, __cum) per-partition running token totals. Split out so the
+    plan audit can assert the range partitioning on the PRE-checkpoint
+    lineage (pack_sequences checkpoints it away)."""
+    c = (chunks.repartitionByRange(id_col, "chunk_idx")
+         .withColumn("__pid", F.spark_partition_id()))
+    w = (Window.partitionBy("__pid").orderBy(id_col, "chunk_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return c.withColumn("__cum", F.sum("tok_len").over(w))
+
+
 def pack_sequences(chunks: DataFrame, budget: int = 256,
                    id_col: str = "doc_id") -> DataFrame:
     """chunks + (seq_id, seq_offset): the training sequence each chunk
     starts in, and its token offset inside it, under concat-then-split
     packing over the global (doc_id, chunk_idx) order."""
     spark = chunks.sparkSession
-    c = (chunks.repartitionByRange(id_col, "chunk_idx")
-         .withColumn("__pid", F.spark_partition_id()))
-    w = (Window.partitionBy("__pid").orderBy(id_col, "chunk_idx")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    c = c.withColumn("__cum", F.sum("tok_len").over(w))
+    # Materialize ONE range partitioning shared by both actions below.
+    # RangePartitioner re-samples per action (seed derives from the RDD id),
+    # so without this the totals-collect and the final join could disagree
+    # on partition boundaries once inputs exceed the sampler — rows near a
+    # boundary would mix __pid/__cum from one layout with __off from the
+    # other (same per-round discipline as graph.connected_components).
+    c = staged_partial_sums(chunks, id_col).localCheckpoint(eager=True)
     # pass 2: per-partition totals are P scalars — driver-cumsum them
     # into start offsets and broadcast back (the textbook distributed
     # prefix sum; the collect is O(partitions), not O(rows))

@@ -57,6 +57,12 @@ def np_haversine(lat1, lon1, lat2, lon2):
 
 
 _EPS_M = 1e-6          # float-path margin between bounds and rank dists
+# Ranking/filtering happens on dist_m ROUNDED to 2 dp, so a doc up to half
+# a grain (0.005 m) beyond a pruning radius can still round into the same
+# centimeter bucket as the kth doc and win the doc_id tiebreak — every
+# pruning bound must admit it or the exhaustive oracle can disagree on a
+# knife edge. All planner radii below are padded by this half-grain.
+_ROUND_PAD_M = 0.005
 
 
 def _angle(qlat, qlon, lat, lon):
@@ -190,7 +196,7 @@ def plan_geo_cells(stats: pd.DataFrame, queries: pd.DataFrame, k: int,
         radius = _rect_haversine_bounds(
             qlat, qlon,
             -90.0 + by0 * dlat, -90.0 + (by1 + 1) * dlat,
-            -180.0 + bx0 * dlon, -180.0 + (bx1 + 1) * dlon)[1]
+            -180.0 + bx0 * dlon, -180.0 + (bx1 + 1) * dlon)[1] + _ROUND_PAD_M
         # (Q, C) exact-MINDIST matrix via broadcasting
         mind, _ = _rect_haversine_bounds(
             qlat[:, None], qlon[:, None],
@@ -281,7 +287,7 @@ def geodetic_range(spark: SparkSession, docs_ll: DataFrame,
         qlat[:, None], qlon[:, None],
         lat0[None, :], lat0[None, :] + dlat,
         lon0[None, :], lon0[None, :] + dlon)
-    qi, ci = np.nonzero(mind <= radius_m)
+    qi, ci = np.nonzero(mind <= radius_m + _ROUND_PAD_M)
     cand = spark.createDataFrame(
         pd.DataFrame({"query_id": queries["query_id"].to_numpy()[qi],
                       "cell": cells[ci]}),
@@ -374,10 +380,15 @@ def geodetic_pairs(spark: SparkSession, docs_ll: DataFrame, eps_m: float,
         lat0[:, None] + dlat / 2, lon0[:, None] + dlon / 2,
         lat0[None, :], lat0[None, :] + dlat,
         lon0[None, :], lon0[None, :] + dlon)
-    # center-to-rect bound → pad by the center-to-corner half-diagonal
-    # of the PROBE cell so the bound covers rect-to-rect distance
-    half_diag = np_haversine(lat0, lon0, lat0 + dlat, lon0 + dlon)
-    ci, cj = np.nonzero(mind <= eps_m + half_diag[:, None])
+    # center-to-rect bound → pad by the EXACT max distance from the probe
+    # cell's center to any point of its own cell (the [1] bound applied to
+    # the cell itself), so mind − pad lower-bounds the true rect-to-rect
+    # distance. (r4 used the full corner-to-corner diagonal here — still
+    # lossless but ~2× looser, admitting needless candidate cell pairs.)
+    _, self_max = _rect_haversine_bounds(
+        lat0 + dlat / 2, lon0 + dlon / 2,
+        lat0, lat0 + dlat, lon0, lon0 + dlon)
+    ci, cj = np.nonzero(mind <= eps_m + self_max[:, None] + _ROUND_PAD_M)
     pairs = spark.createDataFrame(
         pd.DataFrame({"ca": cells[ci], "cb": cells[cj]}),
         "ca long, cb long")

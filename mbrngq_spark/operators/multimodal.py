@@ -213,7 +213,10 @@ def decode_avi(content: bytes) -> tuple[np.ndarray, int]:
 
     def frame(cc: bytes, d: int, s: int) -> np.ndarray:
         buf = content[d:d + s]
-        if cc == b"00dc" or buf[:2] == b"\xFF\xD8":
+        # Dispatch on the fourcc ALONE: a '00db' uncompressed DIB whose
+        # first pixel happens to encode B,G = 0xFF,0xD8 must not be fed to
+        # the JPEG decoder (2^-16 per frame on random content).
+        if cc == b"00dc":
             assert buf[:2] == b"\xFF\xD8", "compressed chunk is not MJPEG"
             from mbrngq_spark.operators.jpeg import decode_jpeg
 

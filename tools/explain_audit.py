@@ -195,15 +195,24 @@ def main() -> int:
     # the two-pass prefix sum must NOT plan a single-partition global
     # window: no Exchange SinglePartition on the row path
     from mbrngq_spark.operators.chunking import chunk_documents, \
-        pack_sequences
-    packed = pack_sequences(chunk_documents(docs_t, 64, 8), budget=256)
+        pack_sequences, staged_partial_sums
+    chunked = chunk_documents(docs_t, 64, 8)
+    packed = pack_sequences(chunked, budget=256)
     p = plan_of(packed, execute=True)
     sections.append(("sequence packing", p))
+    # unconditional: a single-partition window anywhere on the row path is
+    # the 100 TB non-starter this operator exists to avoid (the former
+    # `or rangepartitioning` escape made this check unfalsifiable)
     check("packing: no single-partition global window",
-          "Exchange SinglePartition" not in p
-          or "rangepartitioning" in p)
+          "Exchange SinglePartition" not in p)
+    # the range partitioning lives on the pre-checkpoint lineage
+    # (pack_sequences materializes it so both its actions share one layout)
+    p_pre = plan_of(staged_partial_sums(chunked), execute=True)
+    sections.append(("sequence packing pass 1", p_pre))
     check("packing: prefix sum is range-partitioned",
-          "rangepartitioning" in p)
+          "rangepartitioning" in p_pre)
+    check("packing pass 1: no single-partition global window",
+          "Exchange SinglePartition" not in p_pre)
 
     # --- geodetic kNN ---------------------------------------------------------
     # doc side must reach the rank stage via BROADCAST candidate/query
