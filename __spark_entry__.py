@@ -62,53 +62,54 @@ def _q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 semantics: ALL co-minimal nearest (rank with ties, k=1)."""
+    """Q3, BOTH contracts in one gate (driver 50-entry window): part
+    'ties' = ALL co-minimal nearest (rank with ties, k=1); part 'capped'
+    = radius-capped kNN — RTree.Nearest(p, furthestDistance)
+    (RTree.cs:454-474), answers beyond the cap excluded so some queries
+    return fewer than k rows."""
     docs_geo = H.load_docs_geo(spark, sf_dir)
-    out = knn_join(spark, docs_geo, H.queries_pdf(), k=1, keep_ties=True)
-    return out.select("query_id", "doc_id", F.round("dist", 6).alias("dist"))
+    ties = (knn_join(spark, docs_geo, H.queries_pdf(), k=1, keep_ties=True)
+            .select(F.lit("ties").alias("part"), "query_id", "doc_id",
+                    F.lit(1).cast("long").alias("rnk"),
+                    F.round("dist", 6).alias("dist")))
+    capped = (knn_join(spark, docs_geo, H.queries_pdf(), k=H.KNN_K,
+                       max_dist=H.KNN_CAP)
+              .select(F.lit("capped").alias("part"), "query_id", "doc_id",
+                      F.col("rank").cast("long").alias("rnk"),
+                      F.round("dist", 6).alias("dist")))
+    return ties.unionByName(capped)
 
 
 def _q_spatial_ngq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # max_rounds=1 pins the engine to the oracle's fixed-L semantics: the
-    # oracle SQL truncates at L per category, while adaptive escalation
-    # would (more correctly) widen L when the exactness bound fails — the
-    # two must be compared under the SAME L or the gate fails by design on
-    # escalation-triggering data. Escalation is exercised by test_ngq.py.
-    out = nearest_group(spark, H.load_docs_geo(spark, sf_dir),
-                        H.queries_pdf(), k=H.NGQ_K, L=H.NGQ_L, max_rounds=1)
-    return out.select("query_id",
-                      F.col("group_rank").cast("long").alias("group_rank"),
-                      "c0_id", "c1_id", "c2_id",
-                      F.round("min_dist", 6).alias("min_dist"))
+    """NGQ under TWO parametrizations in one gate (driver 50-entry
+    window): part 'm3' = the default m=3 kernel; part 'm5' = cfg.m=5 —
+    the reference's Config.m is a free parameter (Config.cs:11; MGroup
+    ctor asserts member count == m, RTree.cs:650-654), L=8 keeps the
+    oracle's L^m enumeration bounded. Member ids ride as ONE
+    comma-joined string so both widths share a schema (array-valued
+    gate columns hash unreliably across engines).
 
-
-def _q_spatial_ngq_m5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NGQ with m=5 categories — the reference's Config.m is a free
-    parameter (Config.cs:11; MGroup ctor asserts member count == m,
-    RTree.cs:650-654). Same engine kernel, cfg.m=5; L=8 keeps the oracle's
-    L^m enumeration bounded. max_rounds=1 pins fixed-L semantics (see
-    _q_spatial_ngq)."""
+    max_rounds=1 pins the engine to the oracle's fixed-L semantics: the
+    oracle SQL truncates at L per category, while adaptive escalation
+    would (more correctly) widen L when the exactness bound fails — the
+    two must be compared under the SAME L or the gate fails by design on
+    escalation-triggering data. Escalation is exercised by test_ngq.py."""
     from mbrngq_spark.config import EngineConfig
-    cfg5 = EngineConfig(m=H.NGQ5_M)
-    docs_geo = H.load_docs_geo(spark, sf_dir, cfg5)
-    out = nearest_group(spark, docs_geo, H.queries_pdf(), k=H.NGQ5_K,
-                        L=H.NGQ5_L, cfg=cfg5, max_rounds=1)
-    return out.select("query_id",
-                      F.col("group_rank").cast("long").alias("group_rank"),
-                      *[f"c{i}_id" for i in range(H.NGQ5_M)],
-                      F.round("min_dist", 6).alias("min_dist"))
 
+    def run(part: str, m: int, k: int, L: int) -> DataFrame:
+        cfg = EngineConfig(m=m)
+        docs_geo = H.load_docs_geo(spark, sf_dir, cfg)
+        out = nearest_group(spark, docs_geo, H.queries_pdf(), k=k, L=L,
+                            cfg=cfg, max_rounds=1)
+        return out.select(
+            F.lit(part).alias("part"), "query_id",
+            F.col("group_rank").cast("long").alias("group_rank"),
+            F.concat_ws(",", *[F.col(f"c{i}_id").cast("string")
+                               for i in range(m)]).alias("members"),
+            F.round("min_dist", 6).alias("min_dist"))
 
-def _q_spatial_nearest_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Radius-capped kNN — RTree.Nearest(p, furthestDistance)
-    (RTree.cs:454-474): answers beyond the cap are excluded by contract,
-    so some queries return fewer than k rows."""
-    docs_geo = H.load_docs_geo(spark, sf_dir)
-    out = knn_join(spark, docs_geo, H.queries_pdf(), k=H.KNN_K,
-                   max_dist=H.KNN_CAP)
-    return out.select("query_id", "doc_id",
-                      F.col("rank").cast("long").alias("rnk"),
-                      F.round("dist", 6).alias("dist"))
+    return run("m3", 3, H.NGQ_K, H.NGQ_L) \
+        .unionByName(run("m5", H.NGQ5_M, H.NGQ5_K, H.NGQ5_L))
 
 
 def _q_spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,20 +156,6 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vy": [[t[2], t[4], t[6]] for t in H.TRIANGLES],
     })
     return polygon_cover(spark, polys)
-
-
-def _q_cell_catmask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Morton-cell rollup at MASK_RES — CalculateBitArray parity
-    (RTree.cs:209-247): per-cell category bitmask + count."""
-    from mbrngq_spark import grid
-    docs_geo = H.load_docs_geo(spark, sf_dir)
-    return (docs_geo
-            .withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"),
-                                                 H.MASK_RES, H.CFG))
-            .groupBy("cell")
-            .agg(F.count("*").alias("n_docs"),
-                 F.bit_or(F.expr("shiftleft(1, category)"))
-                 .cast("long").alias("catmask")))
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,21 +226,35 @@ def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection on a corpus with planted duplicates
-    (ids+10000 exact, ids+20000 one-token-perturbed). The LSH candidate
-    stage is xxhash64-seeded (not replicable in DuckDB) → the oracle is the
-    exact Jaccard-threshold pair set; the entry passes exactly when LSH
-    recall on the planted corpus is 1.0 at these (H, bands) — deterministic,
-    since every hash is seeded."""
+    """MinHash-LSH on a corpus with planted duplicates (ids+10000 exact,
+    ids+20000 one-token-perturbed), BOTH faces in one gate (driver
+    50-entry window):
+
+    part 'near' — end-to-end near-dup detection. The production LSH
+    candidate stage is xxhash64-seeded (not replicable in DuckDB) → the
+    oracle is the exact Jaccard-threshold pair set; the entry passes
+    exactly when LSH recall on the planted corpus is 1.0 at these
+    (H, bands) — deterministic, since every hash is seeded.
+
+    part 'bands' — the LSH candidate STAGE with the md5 hash family,
+    bit-reproducible in DuckDB (dedup.lsh_candidates_md5), so the
+    banding/bucketing/join logic itself is oracle-checked, not just the
+    verified output; whatever collides, both engines collide identically
+    (jaccard = -1 sentinel: the stage emits candidates, not scores)."""
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")         .filter(F.col("doc_id") < 60).select("doc_id", "text")
     exact = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
     near = base.select(
         (F.col("doc_id") + 20000).alias("doc_id"),
         F.concat(F.lit("zzz"), F.substring("text", 4, 1000000)).alias("text"))
     corpus = base.unionByName(exact).unionByName(near)
-    out = dedup.near_duplicates_minhash(corpus, threshold=0.6,
-                                        num_hashes=16, bands=8)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    near_out = (dedup.near_duplicates_minhash(corpus, threshold=0.6,
+                                              num_hashes=16, bands=8)
+                .select(F.lit("near").alias("part"), "id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard")))
+    bands_out = (dedup.lsh_candidates_md5(corpus, num_hashes=16, bands=4)
+                 .select(F.lit("bands").alias("part"), "id_a", "id_b",
+                         F.lit(-1.0).alias("jaccard")))
+    return near_out.unionByName(bands_out)
 
 
 def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,21 +309,6 @@ def _q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 bands=16, clustering="cc")
 
 
-def _q_minhash_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH candidate STAGE with the md5 hash family — bit-reproducible
-    in DuckDB (dedup.lsh_candidates_md5), so the banding/bucketing/join
-    logic itself is oracle-checked, not just the verified output. Whatever
-    collides, both engines collide identically — no recall assumption."""
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .filter(F.col("doc_id") < 60).select("doc_id", "text")
-    exact = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
-    near = base.select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
-        F.concat(F.lit("zzz"), F.substring("text", 4, 1000000)).alias("text"))
-    corpus = base.unionByName(exact).unionByName(near)
-    return dedup.lsh_candidates_md5(corpus, num_hashes=16, bands=4)
-
-
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_duplicates(docs)
@@ -335,12 +321,29 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_token_len", "quality", "fingerprint")
 
 
-def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL THREE ANN tiers in one gate (driver 50-entry window), tagged
+    by method: 'exact' = brute-force cosine baseline; 'lsh' =
+    random-hyperplane LSH multiprobe (hyperplanes are plain float64
+    constants, so the oracle recomputes bucket signs, the 37 multiprobe
+    masks, the candidate join and the exact scoring verbatim — no recall
+    assumption); 'ivf' = pivot-based inverted lists with nprobe probing
+    (pivots are data rows, the assignment argmin is 6-dp-rounded with
+    pivot-id ties, so both engines bucket identically)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 4) \
                  .select(F.col("vec_id").alias("q_id"), "embedding")
-    out = similarity.cosine_topk_bruteforce(emb, queries, k=10)
-    return out.withColumn("rnk", F.col("rnk").cast("long"))
+    dim = len(emb.select("embedding").first()[0])
+    parts = [
+        ("exact", similarity.cosine_topk_bruteforce(emb, queries, k=10)),
+        ("lsh", similarity.cosine_topk_lsh(emb, queries, k=10, dim=dim)),
+        ("ivf", similarity.cosine_topk_ivf(emb, queries, k=10,
+                                           nlist=16, nprobe=4)),
+    ]
+    outs = [o.select(F.lit(tag).alias("method"), "q_id", "vec_id", "cos",
+                     F.col("rnk").cast("long").alias("rnk"))
+            for tag, o in parts]
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
 
 
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,17 +382,26 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distribution stats per event_type via integer-cent moments
-    (sum/sum-of-squares as int64 → identical across engines; stddev and
-    mean derived from them in one deterministic expression)."""
+    """Exact distribution stats per event_type — integer-cent moments
+    (sum/sum-of-squares as int64 → identical across engines; mean
+    derived from them) AND exact interpolated quantiles in the SAME
+    one-pass groupBy (Spark `percentile` and DuckDB `quantile_cont`
+    share the linear-interpolation definition, so values match at
+    6 dp). Former agg_quantiles gate folded in (driver 50-entry
+    window)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     c = F.round(F.col("value") * 100).cast("long")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))")
     return (ev.groupBy("event_type")
             .agg(F.count("*").alias("n"),
                  F.sum(c).alias("sum_c"),
                  F.sum(c * c).alias("sumsq_c"),
                  F.min(c).alias("min_c"),
-                 F.max(c).alias("max_c"))
+                 F.max(c).alias("max_c"),
+                 F.round(pct[0], 6).alias("p25"),
+                 F.round(pct[1], 6).alias("p50"),
+                 F.round(pct[2], 6).alias("p90"),
+                 F.round(pct[3], 6).alias("p99"))
             .withColumn("mean_c",
                         F.round(F.col("sum_c").cast("double") / F.col("n"), 6)))
 
@@ -420,37 +432,38 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash at hamming distance 0 on a corpus with planted exact text
-    duplicates (doc_id+30000): identical texts → identical 64-bit sketches,
-    and 64 bits of sign-sum make accidental full-sketch collisions of
-    different random texts vanishingly unlikely — so the oracle is the
-    same-text pair set (md5 equality)."""
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet")         .filter(F.col("doc_id") < 80).select("doc_id", "text")
-    dup = base.select((F.col("doc_id") + 30000).alias("doc_id"), "text")
-    corpus = base.unionByName(dup)
-    out = dedup.simhash_near_dups(corpus, max_hamming=0)
-    return out.select("id_a", "id_b",
-                      F.col("hamming").cast("long").alias("hamming"))
+    """SimHash near-dup, BOTH faces in one gate (driver 50-entry window):
 
+    part 'h0' — the production xxhash64 sketch at hamming distance 0 on
+    a corpus with planted exact text duplicates (doc_id+30000): identical
+    texts → identical 64-bit sketches, and 64 bits of sign-sum make
+    accidental full-sketch collisions of different random texts
+    vanishingly unlikely — so the oracle is the same-text pair set (md5
+    equality).
 
-def _q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash sketch+banding oracle at NONZERO hamming: the md5 hash
-    family (simhash_md5_col) is bit-reproducible in DuckDB, so the oracle
-    rebuilds every 60-bit sketch from md5 hex nibbles (sign of Σ±1 per
-    bit), replays the shared-16-bit-chunk candidate rule, and verifies
-    hamming — value-checking the sketch math itself, which the
-    production simhash_dups gate (identical-text multiset) can only see
-    at hamming 0."""
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    part 'md5' — the sketch+banding math at NONZERO hamming: the md5
+    hash family (simhash_md5_col) is bit-reproducible in DuckDB, so the
+    oracle rebuilds every 60-bit sketch from md5 hex nibbles (sign of
+    Σ±1 per bit), replays the shared-16-bit-chunk candidate rule, and
+    verifies hamming — value-checking the sketch math itself, which the
+    'h0' part (identical-text multiset) can only see at hamming 0."""
+    base80 = spark.read.parquet(f"{sf_dir}/documents.parquet")         .filter(F.col("doc_id") < 80).select("doc_id", "text")
+    dup = base80.select((F.col("doc_id") + 30000).alias("doc_id"), "text")
+    h0 = (dedup.simhash_near_dups(base80.unionByName(dup), max_hamming=0)
+          .select(F.lit("h0").alias("part"), "id_a", "id_b",
+                  F.col("hamming").cast("long").alias("hamming")))
+
+    base60 = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .filter(F.col("doc_id") < 60).select("doc_id", "text")
-    exact = base.select((F.col("doc_id") + 30000).alias("doc_id"), "text")
-    near = base.select(
+    exact = base60.select((F.col("doc_id") + 30000).alias("doc_id"), "text")
+    near = base60.select(
         (F.col("doc_id") + 40000).alias("doc_id"),
         F.concat(F.lit("zzz"), F.substring("text", 4, 1000000)).alias("text"))
-    corpus = base.unionByName(exact).unionByName(near)
-    out = dedup.simhash_near_dups_md5(corpus, max_hamming=6)
-    return out.select("id_a", "id_b",
-                      F.col("hamming").cast("long").alias("hamming"))
+    md5p = (dedup.simhash_near_dups_md5(
+                base60.unionByName(exact).unionByName(near), max_hamming=6)
+            .select(F.lit("md5").alias("part"), "id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming")))
+    return h0.unionByName(md5p)
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,32 +760,6 @@ def _q_media_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         fi(3).cast("long").alias("duration_ms"))
 
 
-def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH multiprobe (the 100 TB
-    scale path next to the exact baseline). The hyperplanes are plain
-    float64 constants, so the ORACLE recomputes the full LSH semantics —
-    bucket signs, multiprobe mask set, candidate join, exact scoring —
-    verbatim in DuckDB (no recall assumption; recall-vs-exact is a quality
-    dial, pytest-tracked, orthogonal to correctness of the operator)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
-    queries = emb.filter(F.col("vec_id") < 4)                  .select(F.col("vec_id").alias("q_id"), "embedding")
-    out = similarity.cosine_topk_lsh(emb, queries, k=10, dim=dim)
-    return out.withColumn("rnk", F.col("rnk").cast("long"))
-
-
-def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN tier (similarity.cosine_topk_ivf): pivot-based inverted
-    lists, nprobe probing, exact candidate scoring — fully reproduced by
-    the oracle (pivots are data rows, the assignment argmin is 6-dp-rounded
-    with pivot-id ties, so both engines bucket identically)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id") < 4) \
-                 .select(F.col("vec_id").alias("q_id"), "embedding")
-    out = similarity.cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=4)
-    return out.withColumn("rnk", F.col("rnk").cast("long"))
-
-
 def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregate (scan→filter→groupBy·agg coverage,
     SURVEY.md §2.5). Money in integer cents so sums are order-independent
@@ -833,17 +820,32 @@ def _q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("sla_hours")))
 
 
-def _q_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar rollup: per-month order counts + value (month emitted
-    as 'yyyy-MM' STRING — engines normalize DATE/TIMESTAMP differently
-    through the value-hash harness)."""
+def _q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH calendar rollups in one gate (driver 50-entry window):
+    part 'month' = per-month order counts + value over orders (month as
+    'yyyy-MM' STRING — engines normalize DATE/TIMESTAMP differently
+    through the value-hash harness); part 'hour' = tumbling-hour event
+    rollup (the batch analog of the streaming agg), bucket = the hour
+    epoch as a string so the two granularities share a schema."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (orders
-            .groupBy(F.substring(F.col("o_orderdate").cast("string"), 1, 7)
-                     .alias("month"))
-            .agg(F.count("*").alias("n_orders"),
-                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-                 .alias("total_c")))
+    monthly = (orders
+               .groupBy(F.substring(F.col("o_orderdate").cast("string"),
+                                    1, 7).alias("bucket"))
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                    .alias("total_c"))
+               .select(F.lit("month").alias("part"), "bucket",
+                       F.lit("").alias("key"), "n", "total_c"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (ev.groupBy(F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                         .alias("hour_epoch"), F.col("event_type"))
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.round(F.col("value") * 100).cast("long"))
+                   .alias("total_c"))
+              .select(F.lit("hour").alias("part"),
+                      F.col("hour_epoch").cast("string").alias("bucket"),
+                      F.col("event_type").alias("key"), "n", "total_c"))
+    return monthly.unionByName(hourly)
 
 
 def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,17 +858,6 @@ def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn")))
 
 
-def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-hour event rollup (the batch analog of the streaming agg)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (ev.groupBy(F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
-                       .alias("hour_epoch"),
-                       F.col("event_type"))
-            .agg(F.count("*").alias("n_events"),
-                 F.sum(F.round(F.col("value") * 100).cast("long"))
-                 .alias("value_c")))
-
-
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling (training-mix weights):
     hash-based keep decision, map-only, reproducible across partition
@@ -876,20 +867,6 @@ def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = stratified_sample(docs, {"src0": 0.0, "src1": 0.25, "src2": 0.5})
     return out.select("doc_id", "source")
-
-
-def _q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles per event type (ordered-statistic
-    aggregation coverage): Spark `percentile` and DuckDB `quantile_cont`
-    share the linear-interpolation definition, so values match at 6 dp."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))")
-    return (ev.groupBy("event_type")
-            .agg(F.count("*").alias("n"),
-                 F.round(pct[0], 6).alias("p25"),
-                 F.round(pct[1], 6).alias("p50"),
-                 F.round(pct[2], 6).alias("p90"),
-                 F.round(pct[3], 6).alias("p99")))
 
 
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,22 +917,114 @@ def _q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_email", "n_phone", "n_ipv4"))
 
 
+BPE_TRAIN_MERGES = 24
+BPE_TRAIN_DOCLIM = 200
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINING, value-checked end to end (r4 verdict
+    item 2). part 'merge' = the learned merge sequence (rank, pair,
+    corpus-weighted pair count) from text.train_bpe run as a real Spark
+    job over the deterministic fixture corpus (bpe_train_fixture —
+    derived from md5 in pure Python, so the oracle builds the SAME
+    corpus and carries the pure-Python reference trainer's expected
+    sequence as literals); part 'tokens' = n_tokens_bpe of the documents
+    table encoded under the LEARNED table via the pure-Column replace
+    chain — the oracle replays the chain generated from ITS learned
+    table, so a single diverged merge breaks both parts."""
+    import pandas as pd
+
+    from mbrngq_spark.operators.text import bpe_train_fixture, \
+        n_tokens_bpe_col, train_bpe
+    words = bpe_train_fixture()
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"text": [" ".join([w] * c) for w, c in words]}))
+    merges = train_bpe(corpus, num_merges=BPE_TRAIN_MERGES)
+    mrows = spark.createDataFrame(
+        pd.DataFrame([(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+                     columns=["idx", "a", "b", "n"]),
+        "idx long, a string, b string, n long") \
+        .select(F.lit("merge").alias("part"), "idx", "a", "b", "n")
+    pairs = [(a, b) for a, b, _ in merges]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < BPE_TRAIN_DOCLIM)
+    toks = docs.select(
+        F.lit("tokens").alias("part"), F.col("doc_id").alias("idx"),
+        F.lit("").alias("a"), F.lit("").alias("b"),
+        n_tokens_bpe_col(F.col("text"), pairs).alias("n"))
+    return mrows.unionByName(toks)
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/boilerplate extraction (r4 verdict item 3): documents wrapped
+    into planted HTML (script + style payloads, a comment, nested tags,
+    entity sequences incl. the order-sensitive '&amp;amp;') → map-only
+    Arrow extraction (operators/extract.py) → md5 + length of the
+    recovered text. The oracle replays the SAME ordered rule table as
+    RE2 regexp_replace/replace chains (html_extract_sql) on the same
+    rebuilt HTML."""
+    from mbrngq_spark.operators.extract import extract_html
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script type="text/javascript">var id='),
+            did, F.lit(';\nif (id > 1) { id = 0; }</script>'),
+            F.lit('<style>.c{color:red}\n.d{x:1}</style></head><body>'),
+            F.lit('<h1 class="t">Doc '), did, F.lit('</h1>\n<p>'),
+            F.col("text"),
+            F.lit('</p><!-- secret '), did,
+            F.lit(' --><div>tail &amp;amp; A&nbsp;B &lt;x&gt; '
+                  '&quot;q&#39;</div></body></html>')).alias("html"))
+    out = extract_html(html)
+    return out.select("doc_id", F.md5("text").alias("text_md5"),
+                      F.length("text").cast("long").alias("text_len"))
+
+
+def _q_geo_ngq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NGQ on the sphere (r4 verdict item 5): the flagship group query
+    with the great-circle metric over the lat/lon corpus mapping —
+    fixed-L contract, per-category cell pruning from the exact rect
+    bounds, one query_id-keyed shuffle into the haversine refine
+    (geodetic.geodetic_nearest_group). Oracle: exhaustive per-category
+    top-L truncation + full L^m enumeration with the same rounded
+    distances and (score, id-tuple) order. Queries include the pole and
+    antimeridian fixtures."""
+    import pandas as pd
+
+    from mbrngq_spark.operators.geodetic import geodetic_nearest_group
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    docs_ll = docs_geo.select(
+        "doc_id", "category",
+        (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    queries = pd.DataFrame(GEO_QUERIES,
+                           columns=["query_id", "qlat", "qlon"])
+    return geodetic_nearest_group(spark, docs_ll, queries, m=3, k=5, L=6,
+                                  res=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ≤ 50 entries BY CONTRACT: the round driver checks at most 50, so
+    # overlapping gates are consolidated (part/method-tagged unions) and
+    # every operator family stays inside the hard oracle signal. The
+    # riskiest/newest gates lead.
     return {
+        "spatial_ngq": _q_spatial_ngq,            # m3 + m5 (merged)
+        "geo_ngq": _q_geo_ngq,
+        "bpe_train": _q_bpe_train,
+        "html_extract": _q_html_extract,
         "spatial_range": _q_spatial_range,
         "spatial_knn": _q_spatial_knn,
-        "spatial_nearest": _q_spatial_nearest,
-        "spatial_nearest_capped": _q_spatial_nearest_capped,
-        "spatial_ngq": _q_spatial_ngq,
-        "spatial_ngq_m5": _q_spatial_ngq_m5,
+        "spatial_nearest": _q_spatial_nearest,    # ties + capped (merged)
         "tile_assign": _q_tile_assign,
         "tile_rollup": _q_tile_rollup,
         "tile_cover": _q_tile_cover,
         "poly_cover": _q_poly_cover,
-        "cell_catmask": _q_cell_catmask,
-        "cell_pyramid": _q_cell_pyramid,
-        "minhash_near_dups": _q_minhash_near_dups,
-        "minhash_lsh_bands": _q_minhash_lsh_bands,
+        "cell_pyramid": _q_cell_pyramid,          # subsumes cell_catmask
+        "minhash_near_dups": _q_minhash_near_dups,  # near + bands (merged)
         "dedup_pipeline": _q_dedup_pipeline,
         "dedup_cc": _q_dedup_cc,
         "spatial_pip": _q_spatial_pip,
@@ -964,14 +1033,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_distance_join": _q_spatial_distance_join,
         "dedup_exact": _q_dedup_exact,
         "text_features": _q_text_features,
-        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_topk": _q_ann_topk,                  # exact + lsh + ivf (merged)
         "dedup_jaccard": _q_dedup_jaccard,
         "events_sessionize": _q_events_sessionize,
-        "agg_stats": _q_agg_stats,
+        "agg_stats": _q_agg_stats,                # moments + quantiles (merged)
         "text_langid": _q_text_langid,
         "embedding_near_dups": _q_embedding_near_dups,
-        "simhash_dups": _q_simhash_dups,
-        "simhash_md5_pairs": _q_simhash_md5_pairs,
+        "simhash_dups": _q_simhash_dups,          # h0 + md5 (merged)
         "media_features": _q_media_features,
         "media_mjpeg": _q_media_mjpeg,
         "text_bm25": _q_text_bm25,
@@ -984,18 +1052,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_roundtrip": _q_snapshot_roundtrip,
         "events_pivot": _q_events_pivot,
         "corpus_decontam": _q_corpus_decontam,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
         "agg_pricing": _q_agg_pricing,
         "join_orders_nation": _q_join_orders_nation,
         "set_ops": _q_set_ops,
         "join_outer": _q_join_outer,
-        "orders_monthly": _q_orders_monthly,
+        "calendar_rollup": _q_calendar_rollup,    # month + hour (merged)
         "window_top_orders": _q_window_top_orders,
-        "events_hourly": _q_events_hourly,
         "events_asof": _q_events_asof,
         "text_pii": _q_text_pii,
-        "agg_quantiles": _q_agg_quantiles,
         "corpus_sample": _q_corpus_sample,
     }
 
@@ -1032,23 +1096,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, doc_id, rnk, round(dist, 6) AS dist
         FROM ranked WHERE rnk <= {H.KNN_K}
     """
-    spatial_nearest = knn_core + """
-        , ranked AS (
+    spatial_nearest = knn_core + f"""
+        , ranked_t AS (
           SELECT query_id, doc_id, dist,
                  rank() OVER (PARTITION BY query_id
                               ORDER BY dist ASC, doc_id ASC) AS rnk
-          FROM cand)
-        SELECT query_id, doc_id, round(dist, 6) AS dist
-        FROM ranked WHERE rnk <= 1
-    """
-    spatial_nearest_capped = knn_core + f"""
-        , ranked AS (
+          FROM cand),
+        ranked_c AS (
           SELECT query_id, doc_id, dist,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY dist ASC, doc_id ASC) AS rnk
           FROM cand WHERE dist <= {H.KNN_CAP})
-        SELECT query_id, doc_id, rnk, round(dist, 6) AS dist
-        FROM ranked WHERE rnk <= {H.KNN_K}
+        SELECT 'ties' AS part, query_id, doc_id,
+               CAST(1 AS BIGINT) AS rnk, round(dist, 6) AS dist
+        FROM ranked_t WHERE rnk <= 1
+        UNION ALL
+        SELECT 'capped', query_id, doc_id, rnk, round(dist, 6)
+        FROM ranked_c WHERE rnk <= {H.KNN_K}
     """
 
     def ngq_sql(geo_sql: str, m: int, k: int, L: int) -> str:
@@ -1094,10 +1158,22 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE group_rank <= {k}
     """
 
-    spatial_ngq = ngq_sql(geo, 3, H.NGQ_K, H.NGQ_L)
     from mbrngq_spark.config import EngineConfig as _EC
-    spatial_ngq_m5 = ngq_sql(H.docs_geo_sql(_EC(m=H.NGQ5_M)),
-                             H.NGQ5_M, H.NGQ5_K, H.NGQ5_L)
+
+    def _members(m: int) -> str:
+        return ("concat_ws(',', "
+                + ", ".join(f"CAST(c{i}_id AS VARCHAR)" for i in range(m))
+                + ")")
+
+    spatial_ngq = f"""
+        SELECT 'm3' AS part, query_id, group_rank,
+               {_members(3)} AS members, min_dist
+        FROM ({ngq_sql(geo, 3, H.NGQ_K, H.NGQ_L)})
+        UNION ALL
+        SELECT 'm5', query_id, group_rank, {_members(H.NGQ5_M)}, min_dist
+        FROM ({ngq_sql(H.docs_geo_sql(_EC(m=H.NGQ5_M)),
+                       H.NGQ5_M, H.NGQ5_K, H.NGQ5_L)})
+    """
 
     spatial_distance_join = f"""
         WITH g AS ({geo})
@@ -1147,16 +1223,8 @@ def oracle_sql() -> dict[str, str]:
               FROM bx)
     """
 
-    qx_mask = H.quantize_sql("g.x", H.CFG.min_x, H.CFG.width, H.MASK_RES)
-    qy_mask = H.quantize_sql("g.y", H.CFG.min_y, H.CFG.height, H.MASK_RES)
-    cell_catmask = f"""
-        WITH g AS ({geo})
-        SELECT {H.morton_sql(f'({qx_mask})', f'({qy_mask})', H.MASK_RES)} AS cell,
-               count(*) AS n_docs,
-               bit_or(CAST(1 << category AS BIGINT)) AS catmask
-        FROM g GROUP BY 1
-    """
-
+    # cell_pyramid's MASK_RES level IS the former cell_catmask gate
+    # (CalculateBitArray parity, RTree.cs:209-247) — one gate covers both
     pyr_levels = []
     for res in (2, H.MASK_RES):
         qx_r = H.quantize_sql("g.x", H.CFG.min_x, H.CFG.width, res)
@@ -1172,6 +1240,9 @@ def oracle_sql() -> dict[str, str]:
         {' UNION ALL '.join(pyr_levels)}
     """
 
+    # part 'near': exact Jaccard-threshold pair set (LSH recall must be
+    # 1.0 on the planted corpus); part 'bands': the md5-family banding
+    # stage replayed bit-identically (jaccard = -1 sentinel)
     minhash_near_dups = """
         WITH corpus AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 60
@@ -1184,13 +1255,29 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  list_distinct([array_to_string(toks[i:i+2], ' ')
                                 FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS s
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus))
-        SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
+        shx AS (
+          SELECT doc_id, unnest(s) AS s FROM sh),
+        vals AS (
+          SELECT doc_id, f.i AS fam,
+                 substr(md5(CAST(f.i AS VARCHAR) || chr(1) || s), 1, 15) AS v
+          FROM shx CROSS JOIN range(16) f(i)),
+        sig AS (SELECT doc_id, fam, min(v) AS mv FROM vals
+                GROUP BY doc_id, fam),
+        bands AS (
+          SELECT doc_id, fam // 4 AS band,
+                 string_agg(mv, '|' ORDER BY fam) AS bucket
+          FROM sig GROUP BY doc_id, fam // 4)
+        SELECT 'near' AS part, id_a, id_b, round(j, 6) AS jaccard FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         WHERE j >= 0.6
+        UNION ALL
+        SELECT DISTINCT 'bands', a.doc_id, b.doc_id, CAST(-1.0 AS DOUBLE)
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     """
 
     # dedup_pipeline: both stages recomputed independently — exact keepers
@@ -1257,34 +1344,6 @@ def oracle_sql() -> dict[str, str]:
         comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
         SELECT doc_id FROM surv
         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
-    """
-
-    minhash_lsh_bands = """
-        WITH corpus AS (
-          SELECT doc_id, text FROM documents WHERE doc_id < 60
-          UNION ALL
-          SELECT doc_id + 10000, text FROM documents WHERE doc_id < 60
-          UNION ALL
-          SELECT doc_id + 20000, 'zzz' || substr(text, 4)
-          FROM documents WHERE doc_id < 60),
-        sh AS (
-          SELECT doc_id,
-                 unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-                        FOR i IN range(1, greatest(len(toks)-2, 1)+1)])) AS s
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)),
-        vals AS (
-          SELECT doc_id, f.i AS fam,
-                 substr(md5(CAST(f.i AS VARCHAR) || chr(1) || s), 1, 15) AS v
-          FROM sh CROSS JOIN range(16) f(i)),
-        sig AS (SELECT doc_id, fam, min(v) AS mv FROM vals
-                GROUP BY doc_id, fam),
-        bands AS (
-          SELECT doc_id, fam // 4 AS band,
-                 string_agg(mv, '|' ORDER BY fam) AS bucket
-          FROM sig GROUP BY doc_id, fam // 4)
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     """
 
     # convex CCW triangles: inside ⇔ all three edge cross-products > 0
@@ -1406,13 +1465,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     agg_stats = """
-        WITH c AS (SELECT event_type,
+        WITH c AS (SELECT event_type, value,
                           CAST(round(value * 100) AS BIGINT) AS v
                    FROM events)
         SELECT event_type, count(*) AS n,
                CAST(sum(v) AS BIGINT) AS sum_c,
                CAST(sum(v * v) AS BIGINT) AS sumsq_c,
                min(v) AS min_c, max(v) AS max_c,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
                round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_c
         FROM c GROUP BY event_type
     """
@@ -1439,7 +1502,7 @@ def oracle_sql() -> dict[str, str]:
     # the sketch is order-INsensitive over the token multiset, so the oracle
     # for hamming-0 is sorted-token-multiset equality (token permutations of
     # the same text share a sketch), not raw-text equality
-    simhash_dups = """
+    simhash_h0 = """
         WITH corpus AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 80
           UNION ALL
@@ -1449,7 +1512,8 @@ def oracle_sql() -> dict[str, str]:
                  md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
                  AS mk
           FROM corpus)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+        SELECT 'h0' AS part, a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(0 AS BIGINT) AS hamming
         FROM keyed a JOIN keyed b
           ON a.doc_id < b.doc_id AND a.mk = b.mk
     """
@@ -1473,8 +1537,11 @@ def oracle_sql() -> dict[str, str]:
         f"((xor(a.s, b.s) // {1 << _sb[c]}) % {1 << (_sb[c + 1] - _sb[c])}"
         f" = 0)"
         for c in range(len(_sb) - 1))
-    simhash_md5_pairs = f"""
-        WITH corpus AS (
+    simhash_dups = f"""
+        {simhash_h0}
+        UNION ALL
+        SELECT 'md5', id_a, id_b, hamming FROM (
+        WITH corpus2 AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 60
           UNION ALL
           SELECT doc_id + 30000, text FROM documents WHERE doc_id < 60
@@ -1482,13 +1549,13 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id + 40000, 'zzz' || substr(text, 4)
           FROM documents WHERE doc_id < 60),
         tok AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus2),
         h AS (SELECT doc_id, md5(t) AS m FROM tok),
         sk AS (SELECT doc_id, {_bits} AS s FROM h GROUP BY doc_id)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
         FROM sk a JOIN sk b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.s, b.s)) <= 6 AND ({_chunk_shared})
+        WHERE bit_count(xor(a.s, b.s)) <= 6 AND ({_chunk_shared}))
     """
 
     # text_langid: the trigram-profile scorer is pure counting, so the
@@ -1612,6 +1679,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
     """
 
+    # one gate, three tagged tiers — schemas already identical
+    ann_topk = f"""
+        SELECT 'exact' AS method, q_id, vec_id, cos, rnk
+        FROM ({ann_cosine_topk})
+        UNION ALL
+        SELECT 'lsh', q_id, vec_id, cos, rnk FROM ({ann_lsh_topk})
+        UNION ALL
+        SELECT 'ivf', q_id, vec_id, cos, rnk FROM ({ann_ivf_topk})
+    """
+
     agg_pricing = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
@@ -1659,12 +1736,19 @@ def oracle_sql() -> dict[str, str]:
           ON agg.o_orderpriority = dim.o_orderpriority
     """
 
-    orders_monthly = """
-        SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
-               count(*) AS n_orders,
+    calendar_rollup = """
+        SELECT 'month' AS part,
+               substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS bucket,
+               '' AS key, count(*) AS n,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                  AS total_c
-        FROM orders GROUP BY 1
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'hour',
+               CAST(CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS VARCHAR),
+               event_type, count(*),
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        FROM events GROUP BY 2, 3
     """
 
     window_top_orders = """
@@ -1674,13 +1758,6 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY o_totalprice DESC, o_orderkey ASC)
                  AS rn
           FROM orders) WHERE rn <= 3
-    """
-
-    events_hourly = """
-        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-               event_type, count(*) AS n_events,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
-        FROM events GROUP BY 1, 2
     """
 
     # corpus_sample: identical md5 unit + per-stratum thresholds
@@ -1693,15 +1770,6 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN 'src1' THEN 250
                                   WHEN 'src2' THEN 500
                                   ELSE 1000 END
-    """
-
-    agg_quantiles = """
-        SELECT event_type, count(*) AS n,
-               round(quantile_cont(value, 0.25), 6) AS p25,
-               round(quantile_cont(value, 0.5), 6) AS p50,
-               round(quantile_cont(value, 0.9), 6) AS p90,
-               round(quantile_cont(value, 0.99), 6) AS p99
-        FROM events GROUP BY event_type
     """
 
     # events_asof: DuckDB's native ASOF LEFT JOIN is the canonical oracle
@@ -1920,6 +1988,100 @@ def oracle_sql() -> dict[str, str]:
         WHERE round({_hav_ab}, 2) <= 800000.0
     """
 
+    # geo_ngq: exhaustive fixed-L NGQ on the sphere — per-category top-L
+    # truncation by (2dp-rounded haversine, doc_id), full L^3 enumeration,
+    # score = greatest(rounded pairwise member haversine) + least(dq),
+    # (score, id-tuple) order — replaying geodetic_nearest_group's
+    # contract with the reference GetGroupMinDist semantics
+    def _havm(a: str, b: str) -> str:
+        return (f"2 * 6371000.0 * asin(least(1.0, sqrt("
+                f"pow(sin(radians({b}.lat - {a}.lat) / 2), 2)"
+                f" + cos(radians({a}.lat)) * cos(radians({b}.lat))"
+                f" * pow(sin(radians(fmod({b}.lon - {a}.lon + 540.0, 360.0)"
+                f" - 180.0) / 2), 2))))")
+
+    _gL, _gK = 6, 5
+
+    def _geo_cat(c: int) -> str:
+        return (f"c{c} AS (SELECT * FROM ("
+                f"SELECT query_id, doc_id, lat, lon, dq, "
+                f"row_number() OVER (PARTITION BY query_id "
+                f"ORDER BY dq, doc_id) AS rn "
+                f"FROM cand WHERE category = {c}) WHERE rn <= {_gL})")
+
+    _gpairs = [f"round({_havm(f'c{i}', f'c{j}')}, 2)"
+               for i, j in _it.combinations(range(3), 2)]
+    geo_ngq = f"""
+        WITH g AS ({geo}),
+        ll AS (SELECT doc_id, category, y * 1.8 - 90.0 AS lat,
+                      x * 3.6 - 180.0 AS lon FROM g),
+        q(query_id, qlat, qlon) AS (VALUES {_geoq}),
+        cand AS (
+          SELECT q.query_id, ll.doc_id, ll.category, ll.lat, ll.lon,
+                 round({_hav}, 2) AS dq
+          FROM ll CROSS JOIN q),
+        {_geo_cat(0)}, {_geo_cat(1)}, {_geo_cat(2)},
+        grp AS (
+          SELECT c0.query_id, c0.doc_id AS id0, c1.doc_id AS id1,
+                 c2.doc_id AS id2,
+                 greatest({", ".join(_gpairs)})
+                 + least(c0.dq, c1.dq, c2.dq) AS score
+          FROM c0
+          JOIN c1 ON c0.query_id = c1.query_id
+          JOIN c2 ON c1.query_id = c2.query_id),
+        ranked AS (
+          SELECT query_id, id0, id1, id2, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score, id0, id1, id2)
+                 AS group_rank
+          FROM grp)
+        SELECT query_id, group_rank,
+               concat_ws(',', CAST(id0 AS VARCHAR), CAST(id1 AS VARCHAR),
+                         CAST(id2 AS VARCHAR)) AS members,
+               round(score, 2) AS min_dist
+        FROM ranked WHERE group_rank <= {_gK}
+    """
+
+    # bpe_train: the oracle cannot train in SQL — it carries the
+    # pure-Python reference trainer's merge sequence over the SAME
+    # deterministic fixture corpus as literals, and replays token counts
+    # with the replace chain generated from ITS learned table
+    from mbrngq_spark.operators.text import bpe_train_fixture, \
+        train_bpe_reference
+    _exp_merges = train_bpe_reference(dict(bpe_train_fixture()),
+                                      BPE_TRAIN_MERGES)
+    _mvals = ", ".join(
+        f"(CAST({i} AS BIGINT), '{a}', '{b}', CAST({n} AS BIGINT))"
+        for i, (a, b, n) in enumerate(_exp_merges))
+    _learned_pairs = [(a, b) for a, b, _ in _exp_merges]
+    bpe_train = f"""
+        SELECT 'merge' AS part, idx, a, b, n
+        FROM (VALUES {_mvals}) t(idx, a, b, n)
+        UNION ALL
+        SELECT 'tokens', doc_id, '', '',
+               {text.bpe_count_sql('text', _learned_pairs)}
+        FROM documents WHERE doc_id < {BPE_TRAIN_DOCLIM}
+    """
+
+    # html_extract: rebuild the SAME planted HTML, replay the SAME
+    # ordered rule chain as RE2 (generated from extract._RULES)
+    from mbrngq_spark.operators.extract import html_extract_sql
+    _html_expr = (
+        "('<html><head><script type=\"text/javascript\">var id='"
+        " || doc_id || ';\nif (id > 1) { id = 0; }</script>'"
+        " || '<style>.c{color:red}\n.d{x:1}</style></head><body>'"
+        " || '<h1 class=\"t\">Doc ' || doc_id || '</h1>\n<p>' || text"
+        " || '</p><!-- secret ' || doc_id"
+        " || ' --><div>tail &amp;amp; A&nbsp;B &lt;x&gt; "
+        "&quot;q&#39;</div></body></html>')")
+    html_extract = f"""
+        WITH h AS (SELECT doc_id, {_html_expr} AS html FROM documents),
+        e AS (SELECT doc_id, {html_extract_sql('html')} AS t FROM h)
+        SELECT doc_id, md5(t) AS text_md5,
+               CAST(length(t) AS BIGINT) AS text_len
+        FROM e
+    """
+
     # agg_cube: same CUBE in DuckDB; GROUPING() bit order (first arg =
     # MSB) matches Spark's grouping_id()
     agg_cube = """
@@ -2060,20 +2222,19 @@ def oracle_sql() -> dict[str, str]:
     """
 
     return {
+        "spatial_ngq": spatial_ngq,
+        "geo_ngq": geo_ngq,
+        "bpe_train": bpe_train,
+        "html_extract": html_extract,
         "spatial_range": spatial_range,
         "spatial_knn": spatial_knn,
         "spatial_nearest": spatial_nearest,
-        "spatial_nearest_capped": spatial_nearest_capped,
-        "spatial_ngq": spatial_ngq,
-        "spatial_ngq_m5": spatial_ngq_m5,
         "tile_assign": tile_assign,
         "tile_rollup": tile_rollup,
         "tile_cover": tile_cover,
         "poly_cover": poly_cover,
-        "cell_catmask": cell_catmask,
         "cell_pyramid": cell_pyramid,
         "minhash_near_dups": minhash_near_dups,
-        "minhash_lsh_bands": minhash_lsh_bands,
         "dedup_pipeline": dedup_pipeline,
         "dedup_cc": dedup_cc,
         "spatial_pip": spatial_pip,
@@ -2082,13 +2243,12 @@ def oracle_sql() -> dict[str, str]:
         "spatial_distance_join": spatial_distance_join,
         "dedup_exact": dedup_exact,
         "text_features": text_features,
-        "ann_cosine_topk": ann_cosine_topk,
+        "ann_topk": ann_topk,
         "dedup_jaccard": dedup_jaccard,
         "events_sessionize": events_sessionize,
         "agg_stats": agg_stats,
         "embedding_near_dups": embedding_near_dups,
         "simhash_dups": simhash_dups,
-        "simhash_md5_pairs": simhash_md5_pairs,
         "media_features": media_features,
         "media_mjpeg": media_mjpeg,
         "text_bm25": text_bm25,
@@ -2102,17 +2262,13 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": events_pivot,
         "corpus_decontam": corpus_decontam,
         "text_langid": text_langid,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
         "agg_pricing": agg_pricing,
         "join_orders_nation": join_orders_nation,
         "set_ops": set_ops,
         "join_outer": join_outer,
-        "orders_monthly": orders_monthly,
+        "calendar_rollup": calendar_rollup,
         "window_top_orders": window_top_orders,
-        "events_hourly": events_hourly,
         "events_asof": events_asof,
         "text_pii": text_pii,
-        "agg_quantiles": agg_quantiles,
         "corpus_sample": corpus_sample,
     }

@@ -77,9 +77,9 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def _validate_merges() -> None:
+def _validate_merges(merges: list[tuple[str, str]] | None = None) -> None:
     seen: set[str] = set()
-    for a, b in BPE_MERGES:
+    for a, b in (BPE_MERGES if merges is None else merges):
         for side in (a, b):
             if len(side) > 1 and side not in seen:
                 raise AssertionError(
@@ -91,7 +91,8 @@ def _validate_merges() -> None:
 _validate_merges()
 
 
-def n_tokens_bpe_col(text: Column) -> Column:
+def n_tokens_bpe_col(text: Column,
+                     merges: list[tuple[str, str]] | None = None) -> Column:
     """Exact BPE token count (whitespace excluded), computed JVM-side as
     a wrap + chained-replace pipeline — map-only, codegen'd, no Python.
 
@@ -106,17 +107,20 @@ def n_tokens_bpe_col(text: Column) -> Column:
     # regex form cost ~2s per 5k docs alone
     s = F.concat(F.lit(" "), F.array_join(F.split(text, ""), "  "),
                  F.lit(" "))
-    for a, b in BPE_MERGES:
+    for a, b in (BPE_MERGES if merges is None else merges):
         s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
     segs = F.filter(F.split(s, " +"), lambda x: x != F.lit(""))
     return F.size(segs).cast("long")
 
 
-def bpe_count_sql(col: str) -> str:
+def bpe_count_sql(col: str,
+                  merges: list[tuple[str, str]] | None = None) -> str:
     """The DuckDB twin of n_tokens_bpe_col — same wrap, same replace
-    chain, same count identity, generated from the same BPE_MERGES."""
+    chain, same count identity, generated from the same merges table
+    (BPE_MERGES by default; pass a learned table for the trained-BPE
+    gate)."""
     expr = f"(' ' || array_to_string(string_split({col}, ''), '  ') || ' ')"
-    for a, b in BPE_MERGES:
+    for a, b in (BPE_MERGES if merges is None else merges):
         expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
     return (f"CAST(len(list_filter(string_split_regex({expr}, ' +'), "
             f"x -> x <> '')) AS BIGINT)")
@@ -168,6 +172,146 @@ def bpe_encode_udf():
         return pd.Series(out)
 
     return encode
+
+
+# --- distributed BPE TRAINING (learn the merges table from a corpus) ---------
+#
+# The encoder above consumes a ranked merges table; a real pipeline LEARNS
+# it (Sennrich-style): repeatedly pick the adjacent token pair with the
+# highest corpus-weighted position count and merge it leftmost-
+# non-overlapping everywhere. The distributed form keeps the (word, count,
+# tokens) vocabulary a DataFrame end-to-end:
+#
+#   round r:  explode adjacent pairs (map-only over the vocab) →
+#             groupBy(pair).sum(count)  — ONE pair-keyed shuffle, input
+#             bounded by Σ word tokens over the DISTINCT-word vocab (tiny
+#             vs the corpus: word counting already collapsed it) →
+#             take the argmax row to the driver (O(1) rows/round) →
+#             rewrite every tokens array with ONE JVM-side aggregate fold
+#             (no Python) — localCheckpoint per round (the graph.py CC
+#             discipline) so lineage stays flat across bounded rounds.
+#
+# Tie-break: max count, then lexicographically smallest (a, b) — a total
+# order both the Spark and the pure-Python reference trainer share, so the
+# learned sequences are comparable token-for-token.
+
+def _merge_pair_col(toks: Column, a: str, b: str) -> Column:
+    """Leftmost-non-overlapping single-pair merge as a JVM-side fold:
+    append each token, collapsing it into the accumulator's tail when the
+    tail is `a` and it is `b`. Overlaps resolve leftmost exactly like
+    greedy BPE ('aaa' + (a,a) → [aa, a]) because a merged tail `ab` can
+    never equal `a` again."""
+    return F.aggregate(
+        toks, F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a)) & (t == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(a + b)))
+        ).otherwise(F.concat(acc, F.array(t))))
+
+
+def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
+              min_count: int = 2) -> list[tuple[str, str, int]]:
+    """Learn a BPE merges table from a corpus — returns
+    [(a, b, pair_count), ...] in merge order (causally ordered by
+    construction, so it feeds n_tokens_bpe_col / bpe_count_sql /
+    bpe_encode_udf directly).
+
+    The per-round driver traffic is ONE argmax row; everything corpus-
+    sized stays distributed. Stops early when no pair reaches
+    ``min_count``."""
+    spark = docs.sparkSession
+    vocab = (docs
+             .select(F.explode(F.filter(F.split(F.col(text_col), " "),
+                                        lambda t: t != F.lit("")))
+                     .alias("w"))
+             .groupBy("w").agg(F.count("*").alias("cnt"))
+             .withColumn("tokens", F.split("w", "")))
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    # adjacent pairs via zip_with of two slices — length-0 slices make
+    # this SAFE for fully-merged single-token words (sequence(1, 0) is
+    # DESCENDING in Spark, so the index form errors under ANSI there)
+    pair_expr = F.expr(
+        "zip_with(slice(tokens, 1, size(tokens) - 1), "
+        "slice(tokens, 2, size(tokens) - 1), "
+        "(x, y) -> struct(x AS a, y AS b))")
+    for _ in range(num_merges):
+        best = (vocab
+                .filter(F.size("tokens") > 1)
+                .select("cnt", F.explode(pair_expr).alias("p"))
+                .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n"))
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1).collect())
+        if not best or best[0]["n"] < min_count:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((a, b, n))
+        vocab = (vocab.withColumn(
+                    "tokens",
+                    F.when(F.array_contains(
+                        F.transform(pair_expr,
+                                    lambda p: (p["a"] == F.lit(a))
+                                    & (p["b"] == F.lit(b))), True),
+                           _merge_pair_col(F.col("tokens"), a, b))
+                    .otherwise(F.col("tokens")))
+                 .localCheckpoint(eager=True))
+    return merges
+
+
+def train_bpe_reference(word_counts: dict[str, int],
+                        num_merges: int,
+                        min_count: int = 2) -> list[tuple[str, str, int]]:
+    """Pure-Python twin of train_bpe (the pytest ground truth and the
+    DuckDB-oracle generator for the bpe_train gate): same position-level
+    pair counting, same (count desc, pair asc) tie-break, same leftmost-
+    non-overlapping merge."""
+    vocab = {w: list(w) for w in word_counts}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in word_counts.items():
+            toks = vocab[w]
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        top = max(counts.values())
+        if top < min_count:
+            break
+        a, b = min(p for p, n in counts.items() if n == top)
+        merges.append((a, b, top))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if (i + 1 < len(toks) and toks[i] == a
+                        and toks[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def bpe_train_fixture(n_words: int = 120) -> list[tuple[str, int]]:
+    """Deterministic synthetic (word, count) training corpus, derived
+    from md5 in pure Python — both the Spark gate and the oracle build
+    the SAME corpus independently, so the oracle (which cannot train in
+    SQL) carries the pure-Python trainer's expected merge sequence as
+    literals. hashlib.md5 is the only dependency; no RNG."""
+    import hashlib
+    words = []
+    for i in range(n_words):
+        h = hashlib.md5(f"bpe/{i}".encode()).hexdigest()
+        ln = 3 + int(h[3], 16) % 5
+        w = "".join(chr(ord("a") + int(c, 16) % 26) for c in h[:ln])
+        cnt = 1 + int(h[6:8], 16) % 40
+        words.append((w, cnt))
+    return words
 
 
 def fingerprint_col(text: Column) -> Column:

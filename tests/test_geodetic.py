@@ -192,3 +192,43 @@ def test_geodetic_pairs_equals_exhaustive(spark, kind):
     exp = {(int(docs_pd.doc_id[i]), int(docs_pd.doc_id[j]),
             float(dd[i, j])) for i, j in zip(ii, jj)}
     assert got == exp
+
+
+@pytest.mark.parametrize("kind", ["uniform", "polar", "antimeridian"])
+def test_geo_ngq_equals_bruteforce(spark, kind):
+    """Spherical NGQ (geodetic_nearest_group): the cell-pruned fixed-L
+    path must equal the exhaustive crossJoin twin on pole / antimeridian
+    corpora — pruning invisible, same (score, id-tuple) order."""
+    from mbrngq_spark.operators.geodetic import (
+        geodetic_nearest_group, geodetic_nearest_group_bruteforce)
+
+    rng = np.random.default_rng(hash(kind) % 2**31 + 7)
+    docs_pd = _corpus(rng, kind, n=900)
+    docs_pd["category"] = np.arange(len(docs_pd)) % 3
+    docs = spark.createDataFrame(docs_pd)
+    queries = pd.DataFrame({
+        "query_id": np.arange(6),
+        "qlat": [0.0, 89.5, -89.0, 45.0, 10.0, 60.0],
+        "qlon": [0.0, 13.0, -100.0, 179.9, -179.9, 120.0]})
+    a = geodetic_nearest_group(spark, docs, queries, m=3, k=4, L=5,
+                               res=4).collect()
+    b = geodetic_nearest_group_bruteforce(spark, docs, queries, m=3, k=4,
+                                          L=5).collect()
+    ka = sorted((r.query_id, r.group_rank, r.members, r.min_dist)
+                for r in a)
+    kb = sorted((r.query_id, r.group_rank, r.members, r.min_dist)
+                for r in b)
+    assert ka == kb
+
+
+def test_geo_ngq_empty_category(spark):
+    """A query with an empty category yields no groups (the reference's
+    'no feasible group' case) rather than a crash."""
+    from mbrngq_spark.operators.geodetic import geodetic_nearest_group
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3], "lat": [0.0, 1.0, 2.0],
+        "lon": [0.0, 1.0, 2.0], "category": [0, 0, 1]}))  # no category 2
+    q = pd.DataFrame({"query_id": [0], "qlat": [0.0], "qlon": [0.0]})
+    out = geodetic_nearest_group(spark, docs, q, m=3, k=3, L=4, res=4)
+    assert out.count() == 0
