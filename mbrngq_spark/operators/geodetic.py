@@ -265,6 +265,30 @@ def geodetic_knn_bruteforce(spark: SparkSession, docs_ll: DataFrame,
                     F.col("rnk").cast("long").alias("rnk")))
 
 
+def plan_geo_range_cells(stats: pd.DataFrame, queries: pd.DataFrame,
+                         radius_m: float, res: int) -> pd.DataFrame:
+    """Range-query planner: (query_id, cell) pairs for every non-empty
+    cell whose EXACT rect MINDIST ≤ radius (+ rounding half-grain) —
+    one (Q, C) bounds matrix, no per-query loop. Shared verbatim by the
+    driver-planned and distributed paths."""
+    n = 1 << res
+    dlat, dlon = 180.0 / n, 360.0 / n
+    cells = stats["cell"].to_numpy(np.int64)
+    qids = queries["query_id"].to_numpy()
+    if len(cells) == 0 or len(qids) == 0:
+        return pd.DataFrame({"query_id": [], "cell": []})
+    lat0 = -90.0 + (cells // n) * dlat
+    lon0 = -180.0 + (cells % n) * dlon
+    qlat = queries["qlat"].to_numpy(np.float64)
+    qlon = queries["qlon"].to_numpy(np.float64)
+    mind, _ = _rect_haversine_bounds(
+        qlat[:, None], qlon[:, None],
+        lat0[None, :], lat0[None, :] + dlat,
+        lon0[None, :], lon0[None, :] + dlon)
+    qi, ci = np.nonzero(mind <= radius_m + _ROUND_PAD_M)
+    return pd.DataFrame({"query_id": qids[qi], "cell": cells[ci]})
+
+
 def geodetic_range(spark: SparkSession, docs_ll: DataFrame,
                    queries: pd.DataFrame, radius_m: float,
                    res: int = 6, id_col: str = "doc_id") -> DataFrame:
@@ -275,22 +299,8 @@ def geodetic_range(spark: SparkSession, docs_ll: DataFrame,
     (query_id, doc_id, dist_m) with dist_m rounded to 2 dp."""
     d = docs_ll.withColumn("cell", geo_cell_col(res))
     stats = d.groupBy("cell").count().toPandas()
-    n = 1 << res
-    dlat, dlon = 180.0 / n, 360.0 / n
-    cells = stats["cell"].to_numpy(np.int64)
-    lat0 = -90.0 + (cells // n) * dlat
-    lon0 = -180.0 + (cells % n) * dlon
-    qlat = queries["qlat"].to_numpy(np.float64)
-    qlon = queries["qlon"].to_numpy(np.float64)
-    # one (Q, C) exact-MINDIST matrix — no per-query loop
-    mind, _ = _rect_haversine_bounds(
-        qlat[:, None], qlon[:, None],
-        lat0[None, :], lat0[None, :] + dlat,
-        lon0[None, :], lon0[None, :] + dlon)
-    qi, ci = np.nonzero(mind <= radius_m + _ROUND_PAD_M)
     cand = spark.createDataFrame(
-        pd.DataFrame({"query_id": queries["query_id"].to_numpy()[qi],
-                      "cell": cells[ci]}),
+        plan_geo_range_cells(stats, queries, radius_m, res),
         "query_id long, cell long")
     qdf = spark.createDataFrame(
         queries[["query_id", "qlat", "qlon"]],
@@ -299,6 +309,43 @@ def geodetic_range(spark: SparkSession, docs_ll: DataFrame,
                                  F.col("qlat"), F.col("qlon")), 2)
     return (d.join(F.broadcast(cand), "cell")
             .join(F.broadcast(qdf), "query_id")
+            .withColumn("dist_m", dist)
+            .filter(F.col("dist_m") <= radius_m)
+            .select("query_id", id_col, "dist_m"))
+
+
+def geodetic_range_distributed(spark: SparkSession, docs_ll: DataFrame,
+                               queries_df: DataFrame, radius_m: float,
+                               res: int = 6,
+                               id_col: str = "doc_id") -> DataFrame:
+    """geodetic_range for LARGE query batches (r4 verdict item 4):
+    queries stay a Spark DataFrame end-to-end — plan_geo_range_cells
+    runs per Arrow batch inside mapInPandas with the (≤ 4^res-row)
+    counts table broadcast as slim numpy arrays (the
+    plan_geo_cells_distributed discipline); the candidate pairs join
+    docs by cell and queries re-join by query_id, both keyed shuffles
+    bounded by |candidates|. Same result contract as geodetic_range
+    (pytest asserts equality at 10k+ queries)."""
+    d = docs_ll.withColumn("cell", geo_cell_col(res))
+    stats = d.groupBy("cell").count().toPandas()
+    bc = spark.sparkContext.broadcast(
+        {c: stats[c].to_numpy() for c in ("cell", "count")})
+
+    def plan_batches(batches):
+        st = pd.DataFrame(dict(bc.value))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = plan_geo_range_cells(st, pdf, radius_m, res)
+            if len(out):
+                yield out.astype({"query_id": "int64", "cell": "int64"})
+
+    cand = (queries_df.select("query_id", "qlat", "qlon")
+            .mapInPandas(plan_batches, schema="query_id long, cell long"))
+    dist = F.round(haversine_col(F.col("lat"), F.col("lon"),
+                                 F.col("qlat"), F.col("qlon")), 2)
+    return (d.join(cand, "cell")
+            .join(queries_df.select("query_id", "qlat", "qlon"), "query_id")
             .withColumn("dist_m", dist)
             .filter(F.col("dist_m") <= radius_m)
             .select("query_id", id_col, "dist_m"))
@@ -499,6 +546,37 @@ def geodetic_nearest_group_bruteforce(spark: SparkSession,
                                   "members string, min_dist double"))
 
 
+def plan_geo_pair_cells(probe_cells: np.ndarray, all_cells: np.ndarray,
+                        eps_m: float, res: int) -> pd.DataFrame:
+    """ε-join cell-pair planner: every ordered (ca, cb) pair of
+    (probe × all) non-empty cells whose rect-to-rect great-circle lower
+    bound ≤ eps. The bound is the probe-cell-CENTER-to-target-rect exact
+    MINDIST padded by the EXACT max distance from the probe center to
+    any point of its own cell (the [1] bound applied to the cell
+    itself), so mind − pad lower-bounds the true rect-to-rect distance —
+    lossless, pole- and wrap-safe. (r4 used the full corner-to-corner
+    diagonal as the pad — still lossless but ~2× looser.) Shared by the
+    driver path (probe = all) and the distributed planner (probe = one
+    Arrow batch)."""
+    n = 1 << res
+    dlat, dlon = 180.0 / n, 360.0 / n
+    if len(probe_cells) == 0 or len(all_cells) == 0:
+        return pd.DataFrame({"ca": [], "cb": []})
+    plat0 = -90.0 + (probe_cells // n) * dlat
+    plon0 = -180.0 + (probe_cells % n) * dlon
+    alat0 = -90.0 + (all_cells // n) * dlat
+    alon0 = -180.0 + (all_cells % n) * dlon
+    mind, _ = _rect_haversine_bounds(
+        plat0[:, None] + dlat / 2, plon0[:, None] + dlon / 2,
+        alat0[None, :], alat0[None, :] + dlat,
+        alon0[None, :], alon0[None, :] + dlon)
+    _, self_max = _rect_haversine_bounds(
+        plat0 + dlat / 2, plon0 + dlon / 2,
+        plat0, plat0 + dlat, plon0, plon0 + dlon)
+    ci, cj = np.nonzero(mind <= eps_m + self_max[:, None] + _ROUND_PAD_M)
+    return pd.DataFrame({"ca": probe_cells[ci], "cb": all_cells[cj]})
+
+
 def geodetic_pairs(spark: SparkSession, docs_ll: DataFrame, eps_m: float,
                    res: int = 5, id_col: str = "doc_id") -> DataFrame:
     """Great-circle ε-self-join: every unordered pair within ``eps_m``
@@ -514,29 +592,12 @@ def geodetic_pairs(spark: SparkSession, docs_ll: DataFrame, eps_m: float,
     table broadcasts, and the exact haversine predicate finishes."""
     d = docs_ll.withColumn("cell", geo_cell_col(res))
     stats = d.groupBy("cell").count().toPandas()
-    n = 1 << res
-    dlat, dlon = 180.0 / n, 360.0 / n
-    cells = stats["cell"].to_numpy(np.int64)
-    if len(cells) == 0:
+    if len(stats) == 0:
         return spark.createDataFrame(
             [], "a_id long, b_id long, dist_m double")
-    lat0 = -90.0 + (cells // n) * dlat
-    lon0 = -180.0 + (cells % n) * dlon
-    mind, _ = _rect_haversine_bounds(
-        lat0[:, None] + dlat / 2, lon0[:, None] + dlon / 2,
-        lat0[None, :], lat0[None, :] + dlat,
-        lon0[None, :], lon0[None, :] + dlon)
-    # center-to-rect bound → pad by the EXACT max distance from the probe
-    # cell's center to any point of its own cell (the [1] bound applied to
-    # the cell itself), so mind − pad lower-bounds the true rect-to-rect
-    # distance. (r4 used the full corner-to-corner diagonal here — still
-    # lossless but ~2× looser, admitting needless candidate cell pairs.)
-    _, self_max = _rect_haversine_bounds(
-        lat0 + dlat / 2, lon0 + dlon / 2,
-        lat0, lat0 + dlat, lon0, lon0 + dlon)
-    ci, cj = np.nonzero(mind <= eps_m + self_max[:, None] + _ROUND_PAD_M)
     pairs = spark.createDataFrame(
-        pd.DataFrame({"ca": cells[ci], "cb": cells[cj]}),
+        plan_geo_pair_cells(stats["cell"].to_numpy(np.int64),
+                            stats["cell"].to_numpy(np.int64), eps_m, res),
         "ca long, cb long")
     a = d.select(F.col(id_col).alias("a_id"), F.col("lat").alias("alat"),
                  F.col("lon").alias("alon"), F.col("cell").alias("ca"))
@@ -545,6 +606,51 @@ def geodetic_pairs(spark: SparkSession, docs_ll: DataFrame, eps_m: float,
     dist = F.round(haversine_col(F.col("alat"), F.col("alon"),
                                  F.col("blat"), F.col("blon")), 2)
     return (a.join(F.broadcast(pairs), "ca").join(b, "cb")
+            .withColumn("dist_m", dist)
+            .filter((F.col("dist_m") <= eps_m)
+                    & (F.col("a_id") < F.col("b_id")))
+            .select("a_id", "b_id", "dist_m"))
+
+
+def geodetic_pairs_distributed(spark: SparkSession, docs_ll: DataFrame,
+                               eps_m: float, res: int = 5,
+                               id_col: str = "doc_id") -> DataFrame:
+    """geodetic_pairs with the cell-PAIR planning itself distributed
+    (r4 verdict item 4): at fine resolutions the (C × C) bounds matrix
+    outgrows the driver (res 8 → 65k² entries), so plan_geo_pair_cells
+    runs per Arrow batch of PROBE cells inside mapInPandas over the
+    non-empty-cells table, the full cell list broadcast as one slim
+    numpy array. The join shape is identical to geodetic_pairs (both
+    doc sides keyed by cell, pair table joined in); pytest asserts
+    result equality with the driver-planned path."""
+    d = docs_ll.withColumn("cell", geo_cell_col(res))
+    cells_df = d.select("cell").distinct()
+    all_cells = np.sort(np.array(
+        [r.cell for r in cells_df.collect()], dtype=np.int64))
+    if len(all_cells) == 0:
+        return spark.createDataFrame(
+            [], "a_id long, b_id long, dist_m double")
+    bc = spark.sparkContext.broadcast(all_cells)
+
+    def plan_batches(batches):
+        ac = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = plan_geo_pair_cells(
+                pdf["cell"].to_numpy(np.int64), ac, eps_m, res)
+            if len(out):
+                yield out.astype({"ca": "int64", "cb": "int64"})
+
+    pairs = cells_df.repartition(max(2, len(all_cells) // 4096)) \
+        .mapInPandas(plan_batches, schema="ca long, cb long")
+    a = d.select(F.col(id_col).alias("a_id"), F.col("lat").alias("alat"),
+                 F.col("lon").alias("alon"), F.col("cell").alias("ca"))
+    b = d.select(F.col(id_col).alias("b_id"), F.col("lat").alias("blat"),
+                 F.col("lon").alias("blon"), F.col("cell").alias("cb"))
+    dist = F.round(haversine_col(F.col("alat"), F.col("alon"),
+                                 F.col("blat"), F.col("blon")), 2)
+    return (a.join(pairs, "ca").join(b, "cb")
             .withColumn("dist_m", dist)
             .filter((F.col("dist_m") <= eps_m)
                     & (F.col("a_id") < F.col("b_id")))

@@ -212,6 +212,75 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int,
             .select(q_id_col, id_col, "cos", "rnk"))
 
 
+def build_ivf_index(corpus: DataFrame, path: str, nlist: int = 16,
+                    centroids: list[tuple[int, list[float]]] | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist the IVF structure as an on-disk artifact (r4 verdict item
+    6 — the bucketed-BM25-postings discipline extended to ANN):
+
+    - ``{path}/lists``  — the corpus WITH its pivot assignment, written
+      ``partitionBy("pivot")``: each inverted list is a physical
+      partition directory, so a probe job's pivot filter is PARTITION
+      PRUNING at the scan (PartitionFilters in the plan), not a corpus
+      scan + filter.
+    - ``{path}/pivots`` — the (pid, vector) table the probe side needs
+      to rank lists (nlist rows — metadata scale).
+
+    Build cost: one corpus-wide map (assignment) + one partitioned
+    write; no shuffle beyond the writer's own file distribution."""
+    spark = corpus.sparkSession
+    pivots = centroids or [(r[0], list(r[1])) for r in
+                           corpus.select(id_col, vec_col).orderBy(id_col)
+                           .limit(nlist).collect()]
+    structs = _pivot_structs(F.col(vec_col), pivots)
+    (corpus.withColumn("pivot", F.array_min(structs)["pid"])
+     .write.mode("overwrite").partitionBy("pivot")
+     .parquet(f"{path}/lists"))
+    (spark.createDataFrame(
+        pd.DataFrame({"pid": [p for p, _ in pivots],
+                      "pvec": [v for _, v in pivots]}),
+        "pid long, pvec array<double>")
+     .write.mode("overwrite").parquet(f"{path}/pivots"))
+
+
+def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
+                    k: int, nprobe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    q_id_col: str = "q_id") -> DataFrame:
+    """Query the persisted IVF artifact: rank the (nlist-row) pivots
+    table per query, take ``nprobe`` lists, and read ONLY those
+    partitions of ``{path}/lists`` — the probed-pivot set (≤ nlist ids,
+    metadata scale regardless of |Q|) becomes a STATIC ``pivot IN``
+    partition filter, so the scan touches nprobe/nlist of the data by
+    construction (plan-audit asserted). Exact scoring + window top-k
+    finish; result contract identical to cosine_topk_ivf over the same
+    pivots (pytest asserts equality)."""
+    pivots = [(int(r.pid), list(r.pvec)) for r in
+              spark.read.parquet(f"{path}/pivots").collect()]
+    q = (queries
+         .withColumn("probe", F.transform(
+             F.slice(F.array_sort(_pivot_structs(F.col(vec_col), pivots)),
+                     1, nprobe),
+             lambda s: s["pid"]))
+         .select(q_id_col, F.col(vec_col).alias("q_vec"),
+                 F.explode("probe").alias("pivot")))
+    probed = sorted({int(r.pivot) for r in
+                     q.select("pivot").distinct().collect()})
+    lists = (spark.read.parquet(f"{path}/lists")
+             .filter(F.col("pivot").isin(probed))
+             .withColumn("pivot", F.col("pivot").cast("long")))
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / \
+        (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))
+    scored = (lists.join(F.broadcast(q), "pivot")
+              .withColumn("cos", F.round(cos, 6)))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                             F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(q_id_col, id_col, "cos", "rnk"))
+
+
 def _band_buckets_udf(planes: np.ndarray, bands: int):
     """Vectorized Arrow UDF: embedding → array<long> of per-band hyperplane
     sign buckets (band b uses plane rows [b·P, (b+1)·P)). One NumPy matmul

@@ -302,3 +302,43 @@ def test_contamination_check_flags_planted_leaks(spark):
     assert got[1] == (2, "90") and got[4] == (2, "90")
     assert got[2] == (1, "91")        # exactly "one..six"
     assert 3 not in got
+
+
+def test_persisted_ivf_probe_equals_in_session(spark, tmp_path):
+    """r4 verdict item 6: the persisted IVF artifact (lists partitioned
+    by pivot + pivots table) must answer probes identically to the
+    in-session cosine_topk_ivf over the same data-resident pivots, and
+    the probe scan must be partition-pruned (pivot IN partition
+    filter)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, nlist=16)
+    got = similarity.probe_ivf_index(spark, path, queries, k=10, nprobe=4)
+    exp = similarity.cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=4)
+    kg = sorted((r.q_id, r.rnk, r.vec_id, r.cos) for r in got.collect())
+    ke = sorted((r.q_id, r.rnk, r.vec_id, r.cos) for r in exp.collect())
+    assert kg == ke
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    tail = plan.split("PartitionFilters", 1)[1][:300]
+    assert "pivot" in tail
+
+
+def test_persisted_ivf_kmeans_centroids_roundtrip(spark, tmp_path):
+    """The artifact also persists TRAINED centroids (negative pids never
+    collide with data ids) and probing stays self-consistent."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = similarity.ivf_train_kmeans(emb, nlist=8, sample=500)
+    cents = [(-(i + 1), v) for i, (_, v) in enumerate(cents)]
+    path = str(tmp_path / "ivf_km")
+    similarity.build_ivf_index(emb, path, centroids=cents)
+    got = similarity.probe_ivf_index(spark, path, queries, k=5, nprobe=3)
+    exp = similarity.cosine_topk_ivf(emb, queries, k=5, centroids=cents,
+                                     nprobe=3)
+    kg = sorted((r.q_id, r.rnk, r.vec_id, r.cos) for r in got.collect())
+    ke = sorted((r.q_id, r.rnk, r.vec_id, r.cos) for r in exp.collect())
+    assert kg == ke

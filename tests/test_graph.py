@@ -85,3 +85,49 @@ def test_dedup_cc_differs_from_greedy_on_v_family(spark):
     # pairs: (1,3) and (2,3); J(1,2) ≈ 0.49 < 0.55
     assert greedy == {1, 2}
     assert cc == {1}
+
+
+def test_cc_adversarial_single_giant_component(spark):
+    """r4 verdict item 8: ALL nodes form ONE component (the worst case
+    for the alternating-star round count and any bucket-cap interplay) —
+    50k nodes wired as a path (max diameter) plus long-range chords that
+    mimic LSH bucket edges. Asserts the single component label is the
+    global minimum for every node AND the round count stays within the
+    O(log² n) budget (no max_iter blowup)."""
+    n = 50_000
+    rng = np.random.default_rng(7)
+    path = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    chords = np.stack([rng.integers(0, n, 5_000),
+                       rng.integers(0, n, 5_000)], axis=1)
+    edges = np.concatenate([path, chords])
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"]),
+        "id_a long, id_b long")
+    out = connected_components(df, max_iter=30)
+    agg = out.agg(F.count("*").alias("n"),
+                  F.countDistinct("component").alias("ncomp"),
+                  F.min("component").alias("mn"),
+                  F.max("component").alias("mx")).first()
+    assert agg["n"] == n
+    assert agg["ncomp"] == 1
+    assert agg["mn"] == 0 and agg["mx"] == 0
+
+
+def test_cc_giant_component_via_dedup_pipeline(spark):
+    """The same worst case through the DEDUP entry point: a corpus where
+    every doc chains to the next by shared text (one giant near-dup
+    family) keeps exactly the minimum doc id."""
+    from mbrngq_spark.operators.dedup import dedup_pipeline
+
+    n = 300
+    rows = []
+    # doc i shares a long run of tokens with doc i+1 → a Jaccard chain
+    words = [f"w{j}" for j in range(n + 40)]
+    for i in range(n):
+        rows.append((i, " ".join(words[i:i + 40])))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dedup_pipeline(docs, threshold=0.6, num_hashes=16, bands=16,
+                         clustering="cc")
+    keep = sorted(r.doc_id for r in out.collect())
+    assert keep == [0]

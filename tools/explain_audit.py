@@ -236,6 +236,62 @@ def main() -> int:
           len(geo_ex) >= 1 and all("query_id" in e for e in geo_ex),
           f"exchanges={geo_ex}")
 
+    # --- geodetic distributed range / ε-join ---------------------------------
+    # large-Q twins: planning must run on executors (ArrowEvalPython /
+    # MapInPandas stage), and every row shuffle stays keyed by the
+    # candidate keys (cell / query_id for range; ca / cb for the ε-join)
+    from mbrngq_spark.operators.geodetic import (
+        geodetic_pairs_distributed, geodetic_range_distributed)
+    qdf_geo = spark.createDataFrame(pd.DataFrame({
+        "query_id": list(range(40)),
+        "qlat": [(i * 7) % 160 - 80.0 for i in range(40)],
+        "qlon": [(i * 37) % 360 - 180.0 for i in range(40)]}))
+    gr = geodetic_range_distributed(spark, docs_ll, qdf_geo, 500_000.0,
+                                    res=5)
+    p = plan_of(gr, execute=True)
+    sections.append(("geodetic range (distributed)", p))
+    check("geo range dist: planner runs on executors (mapInPandas)",
+          "MapInPandas" in p)
+    gr_ex = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", p)
+    check("geo range dist: every row shuffle keyed by cell/query_id",
+          all(("cell" in e) or ("query_id" in e) for e in gr_ex),
+          f"exchanges={gr_ex}")
+    gp = geodetic_pairs_distributed(spark, docs_ll.limit(400), 600_000.0,
+                                    res=4)
+    p = plan_of(gp, execute=True)
+    sections.append(("geodetic pairs (distributed)", p))
+    check("geo pairs dist: cell-pair planning on executors (mapInPandas)",
+          "MapInPandas" in p)
+    gp_ex = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", p)
+    check("geo pairs dist: every row shuffle keyed by ca/cb",
+          all(("ca" in e) or ("cb" in e) for e in gp_ex),
+          f"exchanges={gp_ex}")
+
+    # --- persisted IVF artifact: probe = partition pruning -------------------
+    import shutil
+    import tempfile
+
+    from mbrngq_spark.operators.similarity import build_ivf_index, \
+        probe_ivf_index
+    emb_t = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q_emb = emb_t.filter(F.col("vec_id") < 3) \
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    ivf_tmp = tempfile.mkdtemp(prefix="plan_audit_ivf_")
+    try:
+        build_ivf_index(emb_t, ivf_tmp, nlist=16)
+        pr = probe_ivf_index(spark, ivf_tmp, q_emb, k=5, nprobe=4)
+        p = plan_of(pr, execute=True)
+        sections.append(("persisted IVF probe", p))
+        check("ivf artifact: probe scan is partition-pruned on pivot",
+              "PartitionFilters" in p and "pivot" in
+              p.split("PartitionFilters", 1)[1][:300])
+        check("ivf artifact: query side broadcast, rank keyed by q_id",
+              "BroadcastHashJoin" in p and all(
+                  "q_id" in e for e in re.findall(
+                      r"Exchange hashpartitioning\(([^)]+)\)", p)))
+    finally:
+        shutil.rmtree(ivf_tmp, ignore_errors=True)
+
     # --- index write partition pruning --------------------------------------
     indexed, _ = build_index(docs_geo, IndexLayout())
     path = "/tmp/plan_audit_idx"
