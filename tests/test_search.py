@@ -115,3 +115,29 @@ def test_bm25_no_match_queries_emit_nothing(spark):
     q = spark.createDataFrame(
         pd.DataFrame({"q_id": [0, 1], "q_text": ["zz yy", ""]}))
     assert bm25_topk(docs, q, k=5).count() == 0
+
+
+def test_bm25_artifact_equals_live_and_prunes(spark, tmp_path):
+    """r4 verdict nit: the persisted BM25 artifact (postings + stats)
+    answers identically to the live path with NO corpus-sized job — the
+    postings scan is partition-pruned to the query terms' hash
+    buckets."""
+    from mbrngq_spark.operators.search import (
+        bm25_topk, bm25_topk_from_artifact, build_bm25_artifact)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    q = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+        .alias("q_text"))
+    path = str(tmp_path / "bm25")
+    build_bm25_artifact(docs, path, n_buckets=16)
+    got = bm25_topk_from_artifact(spark, path, q, k=10)
+    exp = bm25_topk(docs, q, k=10)
+    kg = sorted((r.q_id, r.rnk, r.doc_id, r.score) for r in got.collect())
+    ke = sorted((r.q_id, r.rnk, r.doc_id, r.score) for r in exp.collect())
+    assert kg == ke
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "tb" in plan.split("PartitionFilters", 1)[1][:300]
