@@ -977,6 +977,28 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.length("text").cast("long").alias("text_len"))
 
 
+def _q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF ARTIFACT under the hard oracle (r4 verdict item
+    6): build the partitioned inverted-list artifact in a run-scoped temp
+    dir, then answer probes from it — partition-pruned scan, no in-session
+    corpus state. The oracle is the SAME relational pivot-IVF replay as
+    the in-session path (identical pivots, assignment and probing), so a
+    wrong assignment written to disk, a lost list partition, or a probe
+    that scans the wrong lists all break the hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ivf_gate_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.build_ivf_index(emb, tmp, nlist=16)
+    queries = emb.filter(F.col("vec_id") < 4) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    out = similarity.probe_ivf_index(spark, tmp, queries, k=10, nprobe=4)
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def _q_geo_ngq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NGQ on the sphere (r4 verdict item 5): the flagship group query
     with the great-circle metric over the lat/lon corpus mapping —
@@ -1010,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_ngq": _q_geo_ngq,
         "bpe_train": _q_bpe_train,
         "html_extract": _q_html_extract,
+        "ann_ivf_persisted": _q_ann_ivf_persisted,
         "spatial_range": _q_spatial_range,
         "spatial_knn": _q_spatial_knn,
         "spatial_nearest": _q_spatial_nearest,    # ties + capped (merged)
@@ -2220,6 +2243,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_ngq": geo_ngq,
         "bpe_train": bpe_train,
         "html_extract": html_extract,
+        "ann_ivf_persisted": ann_ivf_topk,
         "spatial_range": spatial_range,
         "spatial_knn": spatial_knn,
         "spatial_nearest": spatial_nearest,
