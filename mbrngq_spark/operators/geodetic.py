@@ -655,3 +655,41 @@ def geodetic_pairs_distributed(spark: SparkSession, docs_ll: DataFrame,
             .filter((F.col("dist_m") <= eps_m)
                     & (F.col("a_id") < F.col("b_id")))
             .select("a_id", "b_id", "dist_m"))
+
+
+def geodetic_nearest_group_distributed(spark: SparkSession,
+                                       docs_ll: DataFrame,
+                                       queries_df: DataFrame, m: int,
+                                       k: int = 5, L: int = 8,
+                                       res: int = 5,
+                                       id_col: str = "doc_id") -> DataFrame:
+    """geodetic_nearest_group for LARGE query batches: queries stay a
+    Spark DataFrame end-to-end — the per-category planners run per Arrow
+    batch inside mapInPandas (plan_geo_cells_distributed per category,
+    each category's counts broadcast as slim numpy arrays), candidates
+    join docs by (cell, category), queries re-join by query_id, then the
+    same fixed-L haversine refine. Result contract identical to the
+    driver-planned path (pytest asserts equality)."""
+    d = docs_ll.withColumn("cell", geo_cell_col(res))
+    stats = d.groupBy("category", "cell").count().toPandas()
+    cands = None
+    for c in range(m):
+        st_c = stats[stats["category"] == c][["cell", "count"]] \
+            .reset_index(drop=True)
+        p = plan_geo_cells_distributed(spark, st_c, queries_df, L, res) \
+            .withColumn("category", F.lit(c).cast("int"))
+        cands = p if cands is None else cands.unionByName(p)
+    dist = F.round(haversine_col(F.col("lat"), F.col("lon"),
+                                 F.col("qlat"), F.col("qlon")), 2)
+    w = Window.partitionBy("query_id", "category") \
+              .orderBy(F.col("dq").asc(), F.col(id_col).asc())
+    topL = (d.join(cands, ["cell", "category"])
+            .join(queries_df.select("query_id", "qlat", "qlon"), "query_id")
+            .withColumn("dq", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= L)
+            .select("query_id", "category", id_col, "lat", "lon", "dq"))
+    return (topL.repartition("query_id").groupBy("query_id")
+            .applyInPandas(_geo_group_refine(m, k, id_col),
+                           schema="query_id long, group_rank long, "
+                                  "members string, min_dist double"))

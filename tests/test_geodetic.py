@@ -275,3 +275,30 @@ def test_distributed_geo_pairs_equals_driver_planned(spark, kind):
     kb = sorted((r.a_id, r.b_id, r.dist_m) for r in b)
     assert ka == kb
     assert len(ka) > 0
+
+
+def test_distributed_geo_ngq_equals_driver_planned(spark):
+    """Large-Q parity for the spherical NGQ: distributed planning must
+    match the driver-planned path row for row."""
+    from mbrngq_spark.operators.geodetic import (
+        geodetic_nearest_group, geodetic_nearest_group_distributed)
+
+    rng = np.random.default_rng(4242)
+    docs_pd = _corpus(rng, "uniform", n=1200)
+    docs_pd["category"] = np.arange(len(docs_pd)) % 3
+    docs = spark.createDataFrame(docs_pd)
+    nq = 500
+    qpd = pd.DataFrame({
+        "query_id": np.arange(nq),
+        "qlat": rng.uniform(-90, 90, nq),
+        "qlon": rng.uniform(-180, 180, nq)})
+    a = geodetic_nearest_group(spark, docs, qpd, m=3, k=3, L=4,
+                               res=4).collect()
+    qdf = spark.createDataFrame(qpd).repartition(7)
+    b = geodetic_nearest_group_distributed(spark, docs, qdf, m=3, k=3,
+                                           L=4, res=4).collect()
+    ka = sorted((r.query_id, r.group_rank, r.members, r.min_dist)
+                for r in a)
+    kb = sorted((r.query_id, r.group_rank, r.members, r.min_dist)
+                for r in b)
+    assert ka == kb

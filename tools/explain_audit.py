@@ -267,6 +267,31 @@ def main() -> int:
           all(("ca" in e) or ("cb" in e) for e in gp_ex),
           f"exchanges={gp_ex}")
 
+    # --- HTML extraction: pure projection --------------------------------
+    from mbrngq_spark.operators.extract import extract_html
+    he = extract_html(docs_t.select(
+        "doc_id", F.concat(F.lit("<p>"), F.col("text"),
+                           F.lit("</p>")).alias("html")))
+    p = plan_of(he, execute=True)
+    sections.append(("html extraction", p))
+    check("html extract: map-only (no Exchange anywhere)",
+          "Exchange" not in p)
+
+    # --- geodetic NGQ: doc side broadcast, one rank + one refine shuffle ----
+    from mbrngq_spark.operators.geodetic import geodetic_nearest_group
+    docs_ll_cat = docs_ll.join(
+        docs_geo.select("doc_id", "category"), "doc_id")
+    gn = geodetic_nearest_group(spark, docs_ll_cat, qgeo, m=3, k=3, L=4,
+                                res=4)
+    p = plan_of(gn, execute=True)
+    sections.append(("geodetic NGQ", p))
+    check("geo ngq: candidates and queries join docs via broadcast",
+          p.count("BroadcastHashJoin") >= 2)
+    gn_ex = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", p)
+    check("geo ngq: every row shuffle is query_id-keyed",
+          len(gn_ex) >= 1 and all("query_id" in e for e in gn_ex),
+          f"exchanges={gn_ex}")
+
     # --- persisted IVF artifact: probe = partition pruning -------------------
     import shutil
     import tempfile
