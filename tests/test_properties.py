@@ -94,3 +94,33 @@ def test_quantize_clamps_to_grid(data):
     x = data.draw(st.floats(-1e6, 1e6, allow_nan=False))
     ix = int(grid.np_quantize(np.array([x]), 0.0, 100.0, res)[0])
     assert 0 <= ix < (1 << res)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=0,
+                max_size=12),
+       st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "c")]))
+def test_merge_pair_fold_matches_python(spark, toks, pair):
+    """The JVM fold in text._merge_pair_col is exactly the leftmost-
+    non-overlapping single-pair merge, for ANY token sequence including
+    overlap chains (aaa) and merged-token collisions (ab + c)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mbrngq_spark.operators.text import _merge_pair_col
+
+    a, b = pair
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    df = spark.createDataFrame(pd.DataFrame({"toks": [toks]}),
+                               "toks array<string>")
+    got = list(df.select(_merge_pair_col(F.col("toks"), a, b)
+                         .alias("m")).first()["m"])
+    assert got == out
