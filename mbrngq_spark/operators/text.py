@@ -211,6 +211,27 @@ def _merge_pair_col(toks: Column, a: str, b: str) -> Column:
         ).otherwise(F.concat(acc, F.array(t))))
 
 
+# adjacent pairs via zip_with of two slices — length-0 slices make this
+# SAFE for fully-merged single-token words (sequence(1, 0) is DESCENDING
+# in Spark, so the index form errors under ANSI there)
+_PAIR_EXPR = ("zip_with(slice(tokens, 1, size(tokens) - 1), "
+              "slice(tokens, 2, size(tokens) - 1), "
+              "(x, y) -> struct(x AS a, y AS b))")
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """One training round's pair statistics over the (w, cnt, tokens)
+    vocabulary: corpus-weighted adjacent-pair position counts — ONE
+    pair-keyed shuffle with map-side partial aggregation (plan-audit
+    asserted); the caller takes the (n desc, a, b) argmax via
+    orderBy().limit(1), which plans as TakeOrderedAndProject (per-
+    partition top-1 + driver merge), never a global sort shuffle."""
+    return (vocab
+            .filter(F.size("tokens") > 1)
+            .select("cnt", F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+            .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n")))
+
+
 def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
               min_count: int = 2) -> list[tuple[str, str, int]]:
     """Learn a BPE merges table from a corpus — returns
@@ -230,18 +251,9 @@ def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
              .withColumn("tokens", F.split("w", "")))
     vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    # adjacent pairs via zip_with of two slices — length-0 slices make
-    # this SAFE for fully-merged single-token words (sequence(1, 0) is
-    # DESCENDING in Spark, so the index form errors under ANSI there)
-    pair_expr = F.expr(
-        "zip_with(slice(tokens, 1, size(tokens) - 1), "
-        "slice(tokens, 2, size(tokens) - 1), "
-        "(x, y) -> struct(x AS a, y AS b))")
+    pair_expr = F.expr(_PAIR_EXPR)
     for _ in range(num_merges):
-        best = (vocab
-                .filter(F.size("tokens") > 1)
-                .select("cnt", F.explode(pair_expr).alias("p"))
-                .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n"))
+        best = (pair_counts(vocab)
                 .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
                 .limit(1).collect())
         if not best or best[0]["n"] < min_count:

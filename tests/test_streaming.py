@@ -446,3 +446,34 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     key = lambda r: (r.user_id, r.click_id, r.view_id_r)
     assert sorted(map(key, got)) == sorted(map(key, batch))
     assert len(batch) > 100              # the fixture actually joins
+
+
+def test_streaming_html_extraction_matches_batch(spark, tmp_path):
+    """The extraction head of the pipeline is stateless map-only, so it
+    runs unchanged under Structured Streaming — the streamed output must
+    equal the batch output row for row (the engine's batch≡stream twin
+    discipline applied to the r5 extraction operator)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mbrngq_spark.operators.extract import extract_html
+
+    src = str(tmp_path / "html_src")
+    rows = pd.DataFrame({
+        "doc_id": range(40),
+        "html": [f"<h1>T{i}</h1><script>var x={i};</script>"
+                 f"<p>body {i} &amp; tail</p>" for i in range(40)]})
+    spark.createDataFrame(rows).write.parquet(src)
+
+    batch = {(r.doc_id, r.text) for r in
+             extract_html(spark.read.parquet(src)).collect()}
+
+    stream = (spark.readStream
+              .schema("doc_id long, html string").parquet(src))
+    q = (extract_html(stream).select("doc_id", "text")
+         .writeStream.format("memory").queryName("html_s")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.text) for r in
+           spark.sql("SELECT * FROM html_s").collect()}
+    assert got == batch and len(got) == 40

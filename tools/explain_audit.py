@@ -267,6 +267,23 @@ def main() -> int:
           all(("ca" in e) or ("cb" in e) for e in gp_ex),
           f"exchanges={gp_ex}")
 
+    # --- BPE training round: partial agg + top-1, never a global sort -----
+    from mbrngq_spark.operators.text import pair_counts
+    vocab_t = (docs_t
+               .select(F.explode(F.filter(F.split(F.col("text"), " "),
+                                          lambda t: t != F.lit("")))
+                       .alias("w"))
+               .groupBy("w").agg(F.count("*").alias("cnt"))
+               .withColumn("tokens", F.split("w", "")))
+    bp = pair_counts(vocab_t).orderBy(F.desc("n"), F.asc("a"), F.asc("b")) \
+        .limit(1)
+    p = plan_of(bp, execute=True)
+    sections.append(("bpe training round", p))
+    check("bpe train: pair count has map-side partial aggregation",
+          p.count("HashAggregate") >= 2 or "partial_sum" in p)
+    check("bpe train: argmax is TakeOrderedAndProject, not a global sort",
+          "TakeOrderedAndProject" in p and "Sort " not in p)
+
     # --- HTML extraction: pure projection --------------------------------
     from mbrngq_spark.operators.extract import extract_html
     he = extract_html(docs_t.select(
