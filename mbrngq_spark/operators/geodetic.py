@@ -19,10 +19,22 @@ kernel and a cell-pruned kNN whose pruning is PROVABLY lossless:
   matrix, so antimeridian neighbors are found without box-wrap logic.
   Candidates broadcast-join the docs, exact haversine + rank finish.
 
+The same exact-bounds machinery powers the whole spherical tier:
+``geodetic_range`` (radius query), ``geodetic_pairs`` (ε-self-join via a
+cell-PAIR candidate table — the planar 3×3 neighborhood is wrong on a
+lat/lon grid), ``geodetic_nearest_group`` (the flagship NGQ with the
+haversine metric), and ``geodetic_point_in_polygon`` (wrap-normalized
+PNPOLY). Every planner has a DRIVER-planned path (pandas queries,
+candidates broadcast) and a DISTRIBUTED twin (queries/probe cells stay
+DataFrames; planning runs per Arrow batch in mapInPandas with the
+≤ 4^res-row stats broadcast as slim numpy arrays) — equality-pytested
+against each other.
+
 Distances are rounded to 2 dp (centimeter grain) BEFORE ranking: sin/
 cos/asin differ by ~1 ulp across libms, which is ~1e-8 m at earth
 scale — far below the grain, so ranks are reproducible across engines
-(the BM25/ANN rounding discipline).
+(the BM25/ANN rounding discipline); every pruning radius is padded by
+the rounding half-grain (_ROUND_PAD_M).
 """
 
 from __future__ import annotations
@@ -693,3 +705,90 @@ def geodetic_nearest_group_distributed(spark: SparkSession,
             .applyInPandas(_geo_group_refine(m, k, id_col),
                            schema="query_id long, group_rank long, "
                                   "members string, min_dist double"))
+
+
+def geodetic_point_in_polygon(docs_ll: DataFrame, polys: pd.DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Point-in-polygon on the lat/lon sphere — the spherical analog of
+    pip.point_in_polygon_join, completing the geodetic tier's parity
+    with the planar one.
+
+    Contract: polygon edges are straight lines in (lat, lon') where
+    lon' is the longitude WRAP-NORMALIZED to the polygon's own frame —
+    ``lon' = pmod(lon − anchor + 540, 360) − 180`` with anchor = the
+    polygon's first vertex longitude. That makes antimeridian-crossing
+    polygons well-defined (all vertices and test points land in one
+    continuous 360° window centered on the polygon) while keeping the
+    decision pure PNPOLY arithmetic — deterministic, engine-portable
+    (pmod(+positive) ≡ DuckDB fmod — the module's wrap discipline), and
+    exactly reproducible by the NumPy twin the pytest sweeps. Polygons
+    spanning a pole or ≥ 180° of longitude are out of contract (as rect
+    query windows are for the planar engine).
+
+    ``polys``: pandas (poly_id, vlat: list, vlon: list). The polygon
+    table is broadcast (map-only for the corpus); a bbox prefilter in
+    the normalized frame cuts the PNPOLY work to candidate rows."""
+    spark = docs_ll.sparkSession
+    rows = []
+    for r in polys.itertuples(index=False):
+        anchor = float(r.vlon[0])
+        nlon = [((v - anchor + 540.0) % 360.0) - 180.0 for v in r.vlon]
+        rows.append((int(r.poly_id), anchor,
+                     [float(v) for v in r.vlat], nlon,
+                     min(r.vlat), max(r.vlat), min(nlon), max(nlon)))
+    pdf = pd.DataFrame(rows, columns=["poly_id", "anchor", "vlat", "vlon",
+                                      "lat0", "lat1", "lon0", "lon1"])
+    pdf_schema = ("poly_id long, anchor double, vlat array<double>, "
+                  "vlon array<double>, lat0 double, lat1 double, "
+                  "lon0 double, lon1 double")
+    p = F.broadcast(spark.createDataFrame(pdf, pdf_schema))
+    d = docs_ll.crossJoin(p)
+    nlon = F.pmod(F.col("lon") - F.col("anchor") + 540.0,
+                  F.lit(360.0)) - 180.0
+    cand = d.withColumn("nlon", nlon).filter(
+        (F.col("lat") >= F.col("lat0")) & (F.col("lat") <= F.col("lat1"))
+        & (F.col("nlon") >= F.col("lon0"))
+        & (F.col("nlon") <= F.col("lon1")))
+
+    # PNPOLY even-odd over the normalized frame, as one aggregate fold
+    # across edge indices (JVM-side, no UDF): edge i pairs vertex i with
+    # vertex (i-1+n)%n
+    n_expr = F.size("vlat")
+    idx = F.sequence(F.lit(0), n_expr - 1)
+
+    def edge_flip(i):
+        j = F.pmod(i - 1 + n_expr, n_expr)
+        yi = F.element_at(F.col("vlat"), (i + 1).cast("int"))
+        yj = F.element_at(F.col("vlat"), (j + 1).cast("int"))
+        xi = F.element_at(F.col("vlon"), (i + 1).cast("int"))
+        xj = F.element_at(F.col("vlon"), (j + 1).cast("int"))
+        crosses = (yi > F.col("lat")) != (yj > F.col("lat"))
+        xcut = (xj - xi) * (F.col("lat") - yi) / (yj - yi) + xi
+        return F.when(crosses & (F.col("nlon") < xcut), 1).otherwise(0)
+
+    flips = F.aggregate(idx, F.lit(0),
+                        lambda acc, i: acc + edge_flip(i))
+    return (cand.withColumn("__in", F.pmod(flips, F.lit(2)) == 1)
+            .filter(F.col("__in"))
+            .select("poly_id", id_col))
+
+
+def np_geodetic_pip(lat, lon, vlat, vlon):
+    """NumPy twin of geodetic_point_in_polygon for one polygon
+    (vectorized over points): same anchor normalization, same PNPOLY
+    pairing and operand order."""
+    anchor = vlon[0]
+    nvlon = np.mod(np.asarray(vlon) - anchor + 540.0, 360.0) - 180.0
+    nlon = np.mod(np.asarray(lon) - anchor + 540.0, 360.0) - 180.0
+    lat = np.asarray(lat)
+    inside = np.zeros(len(lat), dtype=bool)
+    n = len(vlat)
+    for i in range(n):
+        j = (i - 1 + n) % n
+        yi, yj = vlat[i], vlat[j]
+        xi, xj = nvlon[i], nvlon[j]
+        crosses = (yi > lat) != (yj > lat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xcut = (xj - xi) * (lat - yi) / (yj - yi) + xi
+        inside ^= crosses & (nlon < xcut)
+    return inside

@@ -302,3 +302,34 @@ def test_distributed_geo_ngq_equals_driver_planned(spark):
     kb = sorted((r.query_id, r.group_rank, r.members, r.min_dist)
                 for r in b)
     assert ka == kb
+
+
+def test_geodetic_pip_matches_numpy_twin(spark):
+    """Spherical PIP: wrap-normalized PNPOLY equals the NumPy twin on a
+    corpus straddling the antimeridian, for polygons that cross it and
+    ones that don't."""
+    from mbrngq_spark.operators.geodetic import (
+        geodetic_point_in_polygon, np_geodetic_pip)
+
+    rng = np.random.default_rng(31)
+    docs_pd = pd.DataFrame({
+        "doc_id": np.arange(3000),
+        "lat": rng.uniform(-60, 60, 3000),
+        "lon": rng.uniform(-180, 180, 3000)})
+    polys = pd.DataFrame({
+        "poly_id": [0, 1],
+        # 0: antimeridian-crossing quad (175E..-175E); 1: plain triangle
+        "vlat": [[-20.0, -20.0, 25.0, 25.0], [10.0, 40.0, 25.0]],
+        "vlon": [[170.0, -170.0, -165.0, 172.0], [-30.0, -20.0, 5.0]]})
+    docs = spark.createDataFrame(docs_pd)
+    got = {(r.poly_id, r.doc_id) for r in
+           geodetic_point_in_polygon(docs, polys).collect()}
+    exp = set()
+    for r in polys.itertuples(index=False):
+        mask = np_geodetic_pip(docs_pd.lat.to_numpy(),
+                               docs_pd.lon.to_numpy(),
+                               list(r.vlat), list(r.vlon))
+        exp |= {(r.poly_id, int(d))
+                for d in docs_pd.doc_id.to_numpy()[mask]}
+    assert got == exp
+    assert len(got) > 50   # both polygons actually catch points
