@@ -106,3 +106,15 @@ def test_train_bpe_stops_when_counts_dry():
     nothing."""
     exp = train_bpe_reference({"a": 1, "b": 1, "c": 1}, 10)
     assert exp == []
+
+
+def test_train_bpe_empty_and_trivial_corpora(spark):
+    """Spark path edge cases: empty corpus and single-char vocab learn
+    nothing (no crash, no bogus merges)."""
+    import pandas as pd
+
+    empty = spark.createDataFrame(pd.DataFrame({"text": []}),
+                                  "text string")
+    assert train_bpe(empty, num_merges=5) == []
+    chars = spark.createDataFrame(pd.DataFrame({"text": ["a b c"]}))
+    assert train_bpe(chars, num_merges=5) == []

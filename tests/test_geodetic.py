@@ -333,3 +333,37 @@ def test_geodetic_pip_matches_numpy_twin(spark):
                 for d in docs_pd.doc_id.to_numpy()[mask]}
     assert got == exp
     assert len(got) > 50   # both polygons actually catch points
+
+
+def test_geo_ngq_clustered_sweep(spark):
+    """Stress the spherical NGQ where pruning matters: three dense
+    clusters (one per category) far apart — the island regime on the
+    sphere. Pruned fixed-L path must still equal the exhaustive twin."""
+    from mbrngq_spark.operators.geodetic import (
+        geodetic_nearest_group, geodetic_nearest_group_bruteforce)
+
+    rng = np.random.default_rng(77)
+    n = 3000
+    centers = [(70.0, 170.0), (-40.0, -60.0), (5.0, 60.0)]
+    lat = np.concatenate([
+        np.clip(rng.normal(c[0], 3, n // 3), -90, 90) for c in centers])
+    lon = np.concatenate([
+        np.mod(rng.normal(c[1], 3, n // 3) + 180, 360) - 180
+        for c in centers])
+    docs_pd = pd.DataFrame({
+        "doc_id": np.arange(n), "lat": lat, "lon": lon,
+        "category": np.repeat([0, 1, 2], n // 3)})
+    docs = spark.createDataFrame(docs_pd)
+    queries = pd.DataFrame({
+        "query_id": np.arange(4),
+        "qlat": [70.0, -40.0, 0.0, 89.0],
+        "qlon": [170.0, -60.0, 0.0, -179.0]})
+    a = geodetic_nearest_group(spark, docs, queries, m=3, k=6, L=8,
+                               res=5).collect()
+    b = geodetic_nearest_group_bruteforce(spark, docs, queries, m=3,
+                                          k=6, L=8).collect()
+    ka = sorted((r.query_id, r.group_rank, r.members, r.min_dist)
+                for r in a)
+    kb = sorted((r.query_id, r.group_rank, r.members, r.min_dist)
+                for r in b)
+    assert ka == kb and len(ka) == 24
