@@ -281,6 +281,69 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
             .select(q_id_col, id_col, "cos", "rnk"))
 
 
+def build_ivf_snapshot(corpus: DataFrame, path: str, nlist: int = 16,
+                       centroids: list[tuple[int, list[float]]]
+                       | None = None,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """The IVF artifact on the engine's own TABLE layer: inverted lists
+    written as a SnapshotTable clustered by ``pivot`` (range+sort write →
+    tight per-file min/max bounds), pivots in a sibling table. The probe
+    reads with ``where=("pivot", "in", probed)`` so manifest-stat file
+    skipping plays the partition-pruning role — and the artifact gains
+    the whole snapshot feature set for free: atomic commits, time travel,
+    CoW delete of vectors, compaction. Returns (lists_table,
+    pivots_used)."""
+    from mbrngq_spark.plans.snapshots import SnapshotTable
+    spark = corpus.sparkSession
+    pivots = centroids or [(r[0], list(r[1])) for r in
+                           corpus.select(id_col, vec_col).orderBy(id_col)
+                           .limit(nlist).collect()]
+    structs = _pivot_structs(F.col(vec_col), pivots)
+    t = SnapshotTable(spark, f"{path}/lists_t")
+    t.create(corpus.withColumn("pivot", F.array_min(structs)["pid"]),
+             cluster_by="pivot", target_files=max(8, len(pivots)))
+    (spark.createDataFrame(
+        pd.DataFrame({"pid": [p for p, _ in pivots],
+                      "pvec": [v for _, v in pivots]}),
+        "pid long, pvec array<double>")
+     .write.mode("overwrite").parquet(f"{path}/pivots"))
+    return t, pivots
+
+
+def probe_ivf_snapshot(spark: SparkSession, path: str, queries: DataFrame,
+                       k: int, nprobe: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       q_id_col: str = "q_id") -> DataFrame:
+    """Probe the snapshot-backed IVF artifact: manifest-stat file
+    skipping via the pushed ``pivot IN`` predicate (the table's
+    ``last_scan`` records how many files were skipped — asserted by
+    pytest), then the same broadcast-join + rank as probe_ivf_index."""
+    from mbrngq_spark.plans.snapshots import SnapshotTable
+    pivots = [(int(r.pid), list(r.pvec)) for r in
+              spark.read.parquet(f"{path}/pivots").collect()]
+    q = (queries
+         .withColumn("probe", F.transform(
+             F.slice(F.array_sort(_pivot_structs(F.col(vec_col), pivots)),
+                     1, nprobe),
+             lambda s: s["pid"]))
+         .select(q_id_col, F.col(vec_col).alias("q_vec"),
+                 F.explode("probe").alias("pivot")))
+    probed = sorted({int(r.pivot) for r in
+                     q.select("pivot").distinct().collect()})
+    t = SnapshotTable(spark, f"{path}/lists_t")
+    lists = t.read(where=("pivot", "in", probed))
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / \
+        (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))
+    scored = (lists.join(F.broadcast(q), "pivot")
+              .withColumn("cos", F.round(cos, 6)))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                             F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(q_id_col, id_col, "cos", "rnk")), t
+
+
 def _band_buckets_udf(planes: np.ndarray, bands: int):
     """Vectorized Arrow UDF: embedding → array<long> of per-band hyperplane
     sign buckets (band b uses plane rows [b·P, (b+1)·P)). One NumPy matmul

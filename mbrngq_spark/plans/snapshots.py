@@ -86,12 +86,16 @@ def _pred_excludes(op: str, value, mn, mx) -> bool:
         return mx < value
     if op in ("=", "=="):
         return value < mn or value > mx
+    if op == "in":
+        # excluded iff EVERY candidate value falls outside [mn, mx]
+        return all(v < mn or v > mx for v in value)
     raise ValueError(f"unsupported predicate op: {op}")
 
 
 _OPS = {"<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
         ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
-        "=": lambda c, v: c == v, "==": lambda c, v: c == v}
+        "=": lambda c, v: c == v, "==": lambda c, v: c == v,
+        "in": lambda c, v: c.isin(list(v))}
 
 
 def _json_val(v):
@@ -294,7 +298,7 @@ class SnapshotTable:
         exactly the manifest's files — never uncommitted writes.
 
         ``where`` — optional pushed predicate as (col, op, value) tuples
-        (AND-combined; op ∈ <, <=, >, >=, =): files whose manifest min/max
+        (AND-combined; op ∈ <, <=, >, >=, =, in): files whose manifest min/max
         bounds provably exclude every row are SKIPPED before the scan
         (Iceberg's manifest-stat pruning), and the predicates are then also
         applied as real row filters, so results are exact even for files
@@ -331,7 +335,9 @@ class SnapshotTable:
             reader = reader.schema(T.StructType.fromJson(man["schema"]))
         df = reader.parquet(*files)
         for col, op, val in preds:
-            df = df.filter(_OPS[op](F.col(col), F.lit(val)))
+            # raw value, not F.lit: Column comparisons coerce scalars, and
+            # the 'in' op needs the python list for isin
+            df = df.filter(_OPS[op](F.col(col), val))
         return df
 
     def _touched_files(self, cond) -> tuple[list[str], list[dict]]:

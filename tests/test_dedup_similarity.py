@@ -342,3 +342,40 @@ def test_persisted_ivf_kmeans_centroids_roundtrip(spark, tmp_path):
     kg = sorted((r.q_id, r.rnk, r.vec_id, r.cos) for r in got.collect())
     ke = sorted((r.q_id, r.rnk, r.vec_id, r.cos) for r in exp.collect())
     assert kg == ke
+
+
+def test_snapshot_ivf_probe_skips_files_and_matches(spark, tmp_path):
+    """The SnapshotTable-backed IVF artifact: clustered write gives tight
+    per-file pivot bounds, the probe's pushed 'pivot IN' predicate skips
+    files via manifest stats (not a full scan), and results equal the
+    in-session IVF path."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    path = str(tmp_path / "ivf_snap")
+    similarity.build_ivf_snapshot(emb, path, nlist=16)
+    got, t = similarity.probe_ivf_snapshot(spark, path, queries, k=10,
+                                           nprobe=4)
+    kg = sorted((r.q_id, r.rnk, r.vec_id, r.cos) for r in got.collect())
+    exp = similarity.cosine_topk_ivf(emb, queries, k=10, nlist=16, nprobe=4)
+    ke = sorted((r.q_id, r.rnk, r.vec_id, r.cos) for r in exp.collect())
+    assert kg == ke
+    # the probe must have pruned: at nprobe=4/nlist=16 over >=8 clustered
+    # files, some files hold only unprobed pivots
+    assert t.last_scan["skipped"] > 0, t.last_scan
+    assert t.last_scan["files"] >= 8
+
+
+def test_snapshot_in_predicate_row_exactness(spark, tmp_path):
+    """The new 'in' pushdown is also a real row filter: values outside
+    the probed set never leak through even within kept files."""
+    from mbrngq_spark.plans.snapshots import SnapshotTable
+
+    import pandas as pd
+    t = SnapshotTable(spark, str(tmp_path / "tin"))
+    t.create(spark.createDataFrame(
+        pd.DataFrame({"k": list(range(100)), "v": list(range(100))})),
+        cluster_by="k", target_files=8)
+    out = t.read(where=("k", "in", [3, 50, 97]))
+    assert sorted(r.k for r in out.collect()) == [3, 50, 97]
+    assert t.last_scan["skipped"] > 0
