@@ -281,6 +281,68 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
             .select(q_id_col, id_col, "cos", "rnk"))
 
 
+def build_lsh_index(corpus: DataFrame, path: str, dim: int,
+                    n_planes: int = 8, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist the hyperplane-LSH structure (the bucket half of the
+    verdict's 'IVF lists / LSH buckets' artifact pair): the corpus with
+    its sign bucket, written partitionBy('bucket') (≤ 2^n_planes
+    directories), plus a 1-row meta table carrying (dim, n_planes,
+    seed) so the probe derives the IDENTICAL hyperplanes. A probe's
+    multiprobe mask set becomes a static ``bucket IN`` partition
+    filter."""
+    spark = corpus.sparkSession
+    planes = _hyperplanes(dim, n_planes, seed)
+    (corpus.withColumn("bucket", _bucket_col(F.col(vec_col), planes))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{path}/buckets"))
+    (spark.createDataFrame([(dim, n_planes, seed)],
+                           "dim int, n_planes int, seed int")
+     .write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def probe_lsh_index(spark: SparkSession, path: str, queries: DataFrame,
+                    k: int, probe_radius: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    q_id_col: str = "q_id") -> DataFrame:
+    """Query the persisted LSH artifact: rebuild the hyperplanes from
+    the meta row, bucket the queries, explode the multiprobe masks, and
+    read ONLY the probed bucket partitions (static ``bucket IN`` filter
+    — ≤ |masks|·|Q| distinct ids, collapsed to ≤ 2^n_planes). Exact
+    scoring + rank; result contract identical to cosine_topk_lsh
+    (pytest asserts equality)."""
+    import itertools
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    planes = _hyperplanes(int(meta.dim), int(meta.n_planes),
+                          int(meta.seed))
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        for bits in itertools.combinations(range(int(meta.n_planes)), r):
+            masks.append(sum(1 << b for b in bits))
+    q = (queries
+         .withColumn("q_bucket", _bucket_col(F.col(vec_col), planes))
+         .select(q_id_col, F.col(vec_col).alias("q_vec"),
+                 F.explode(F.array(*[F.col("q_bucket")
+                                     .bitwiseXOR(F.lit(m))
+                                     for m in masks])).alias("bucket")))
+    probed = sorted({int(r.bucket) for r in
+                     q.select("bucket").distinct().collect()})
+    c = (spark.read.parquet(f"{path}/buckets")
+         .filter(F.col("bucket").isin(probed))
+         .withColumn("bucket", F.col("bucket").cast("long")))
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / \
+        (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .withColumn("cos", F.round(cos, 6)))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                             F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(q_id_col, id_col, "cos", "rnk"))
+
+
 def build_ivf_snapshot(corpus: DataFrame, path: str, nlist: int = 16,
                        centroids: list[tuple[int, list[float]]]
                        | None = None,

@@ -379,3 +379,23 @@ def test_snapshot_in_predicate_row_exactness(spark, tmp_path):
     out = t.read(where=("k", "in", [3, 50, 97]))
     assert sorted(r.k for r in out.collect()) == [3, 50, 97]
     assert t.last_scan["skipped"] > 0
+
+
+def test_persisted_lsh_probe_equals_in_session(spark, tmp_path):
+    """The LSH-bucket artifact answers multiprobe queries identically to
+    cosine_topk_lsh, with the probed mask set pruning the scan to
+    bucket partitions."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 4) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    path = str(tmp_path / "lsh")
+    similarity.build_lsh_index(emb, path, dim=dim)
+    got = similarity.probe_lsh_index(spark, path, queries, k=10)
+    exp = similarity.cosine_topk_lsh(emb, queries, k=10, dim=dim)
+    kg = sorted((r.q_id, r.rnk, r.vec_id, r.cos) for r in got.collect())
+    ke = sorted((r.q_id, r.rnk, r.vec_id, r.cos) for r in exp.collect())
+    assert kg == ke
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:400]
