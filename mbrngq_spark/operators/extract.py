@@ -9,7 +9,10 @@ projection over the corpus scan.
 
 Every rule lives in ONE ordered table (_RULES) that generates BOTH the
 pandas implementation and the DuckDB oracle SQL (html_extract_sql), so the
-two cannot drift. Patterns stay inside the Python-re ∩ RE2 common subset
+two cannot drift. Contract: tags are delimited by the first '>' (an
+attribute value containing a literal '>' splits the tag — the standard
+regex-extractor tradeoff; full HTML5 tokenization is out of scope for a
+boilerplate stripper). Patterns stay inside the Python-re ∩ RE2 common subset
 (no lookaround, no backreferences; ``(?s)`` dotall + lazy ``.*?`` are
 shared semantics), the PII_PATTERNS discipline.
 """
