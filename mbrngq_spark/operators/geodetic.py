@@ -149,7 +149,8 @@ def _rect_haversine_bounds(qlat, qlon, lat0, lat1, lon0, lon1):
 
 
 def plan_geo_cells(stats: pd.DataFrame, queries: pd.DataFrame, k: int,
-                   res: int) -> pd.DataFrame:
+                   res: int, max_dist_m: float | None = None) \
+        -> pd.DataFrame:
     """The counts-only planner: (cell, count) stats + (query_id, qlat,
     qlon) queries → (query_id, cell) candidate pairs, losslessly
     covering every possible great-circle top-k answer.
@@ -158,7 +159,13 @@ def plan_geo_cells(stats: pd.DataFrame, queries: pd.DataFrame, k: int,
     one lock-step binary search over the SAT for all queries at once,
     then one (Q, C) bounds matrix — no per-query Python loop, so large
     query batches plan at NumPy speed (and the whole planner can run per
-    Arrow batch inside mapInPandas for distributed Q)."""
+    Arrow batch inside mapInPandas for distributed Q).
+
+    ``max_dist_m`` (the radius-capped kNN contract — the spherical twin
+    of the planar furthestDistance cap, RTree.cs:454-474) clamps every
+    per-query radius: docs beyond the cap are excluded from the answer
+    by the caller's filter, so cells with MINDIST past cap+half-grain
+    cannot contribute — pruning stays lossless."""
     n = 1 << res
     dlat, dlon = 180.0 / n, 360.0 / n
     cells = stats["cell"].to_numpy(np.int64)
@@ -180,7 +187,14 @@ def plan_geo_cells(stats: pd.DataFrame, queries: pd.DataFrame, k: int,
     if nq == 0 or len(cells) == 0:
         return pd.DataFrame({"query_id": [], "cell": []})
     if total < k:
-        keep = np.ones((nq, len(cells)), dtype=bool)
+        if max_dist_m is None:
+            keep = np.ones((nq, len(cells)), dtype=bool)
+        else:
+            mind, _ = _rect_haversine_bounds(
+                qlat[:, None], qlon[:, None],
+                lat0_all[None, :], lat0_all[None, :] + dlat,
+                lon0_all[None, :], lon0_all[None, :] + dlon)
+            keep = mind <= max_dist_m + _ROUND_PAD_M
     else:
         cy = np.clip(((qlat + 90.0) / dlat).astype(np.int64), 0, n - 1)
         cx = np.clip(((qlon + 180.0) / dlon).astype(np.int64), 0, n - 1)
@@ -208,7 +222,10 @@ def plan_geo_cells(stats: pd.DataFrame, queries: pd.DataFrame, k: int,
         radius = _rect_haversine_bounds(
             qlat, qlon,
             -90.0 + by0 * dlat, -90.0 + (by1 + 1) * dlat,
-            -180.0 + bx0 * dlon, -180.0 + (bx1 + 1) * dlon)[1] + _ROUND_PAD_M
+            -180.0 + bx0 * dlon, -180.0 + (bx1 + 1) * dlon)[1]
+        if max_dist_m is not None:
+            radius = np.minimum(radius, max_dist_m)
+        radius = radius + _ROUND_PAD_M
         # (Q, C) exact-MINDIST matrix via broadcasting
         mind, _ = _rect_haversine_bounds(
             qlat[:, None], qlon[:, None],
@@ -229,18 +246,22 @@ def geo_cell_col(res: int) -> Column:
 
 def geodetic_knn(spark: SparkSession, docs_ll: DataFrame,
                  queries: pd.DataFrame, k: int = 10,
-                 res: int = 6, id_col: str = "doc_id") -> DataFrame:
+                 res: int = 6, id_col: str = "doc_id",
+                 max_dist_m: float | None = None) -> DataFrame:
     """Top-k nearest docs per query point by great-circle distance.
     ``docs_ll``: (id_col, lat, lon); ``queries``: (query_id, qlat, qlon).
     Returns (query_id, doc_id, dist_m, rnk) — dist_m rounded to 2 dp,
-    ties by doc_id. Pruning is lossless: pytest asserts equality with
-    the exhaustive scan; the gate's DuckDB oracle IS the exhaustive
-    scan."""
+    ties by doc_id. ``max_dist_m`` is the radius cap (the spherical twin
+    of the planar furthestDistance contract): answers beyond it are
+    excluded, so some queries return fewer than k rows, and the planner
+    prunes cells past the cap. Pruning is lossless: pytest asserts
+    equality with the exhaustive scan; the gate's DuckDB oracle IS the
+    exhaustive scan."""
     d = docs_ll.withColumn("cell", geo_cell_col(res))
 
     # tiny counts table to the driver (≤ 4^res rows) — the planner input
     stats = d.groupBy("cell").count().toPandas()
-    plan = plan_geo_cells(stats, queries, k, res)
+    plan = plan_geo_cells(stats, queries, k, res, max_dist_m)
     cand = spark.createDataFrame(plan, "query_id long, cell long")
     qdf = spark.createDataFrame(
         queries[["query_id", "qlat", "qlon"]],
@@ -251,8 +272,10 @@ def geodetic_knn(spark: SparkSession, docs_ll: DataFrame,
                                  F.col("qlat"), F.col("qlon")), 2)
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(),
                                                F.col(id_col).asc())
-    return (joined.withColumn("dist_m", dist)
-            .withColumn("rnk", F.row_number().over(w))
+    out = joined.withColumn("dist_m", dist)
+    if max_dist_m is not None:
+        out = out.filter(F.col("dist_m") <= max_dist_m)
+    return (out.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("query_id", id_col, "dist_m",
                     F.col("rnk").cast("long").alias("rnk")))
@@ -260,7 +283,8 @@ def geodetic_knn(spark: SparkSession, docs_ll: DataFrame,
 
 def geodetic_knn_bruteforce(spark: SparkSession, docs_ll: DataFrame,
                             queries: pd.DataFrame, k: int = 10,
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            max_dist_m: float | None = None) -> DataFrame:
     """Exhaustive reference twin (broadcast cross join + rank)."""
     qdf = spark.createDataFrame(
         queries[["query_id", "qlat", "qlon"]],
@@ -269,8 +293,10 @@ def geodetic_knn_bruteforce(spark: SparkSession, docs_ll: DataFrame,
                                  F.col("qlat"), F.col("qlon")), 2)
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(),
                                                F.col(id_col).asc())
-    return (docs_ll.crossJoin(F.broadcast(qdf))
-            .withColumn("dist_m", dist)
+    bf = docs_ll.crossJoin(F.broadcast(qdf)).withColumn("dist_m", dist)
+    if max_dist_m is not None:
+        bf = bf.filter(F.col("dist_m") <= max_dist_m)
+    return (bf
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("query_id", id_col, "dist_m",

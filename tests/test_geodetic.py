@@ -367,3 +367,25 @@ def test_geo_ngq_clustered_sweep(spark):
     kb = sorted((r.query_id, r.group_rank, r.members, r.min_dist)
                 for r in b)
     assert ka == kb and len(ka) == 24
+
+
+@pytest.mark.parametrize("kind", ["uniform", "polar", "antimeridian"])
+def test_geodetic_knn_radius_capped(spark, kind):
+    """Radius-capped spherical kNN (the furthestDistance contract on the
+    sphere): pruned path equals the capped exhaustive twin; some queries
+    return fewer than k rows and the cap prunes planner cells."""
+    rng = np.random.default_rng(hash(kind) % 2**31 + 5)
+    docs = spark.createDataFrame(_corpus(rng, kind, n=2500))
+    queries = pd.DataFrame({
+        "query_id": np.arange(6),
+        "qlat": [0.0, 89.5, -89.0, 45.0, 10.0, 60.0],
+        "qlon": [0.0, 13.0, -100.0, 179.9, -179.9, 120.0]})
+    cap = 900_000.0
+    a = geodetic_knn(spark, docs, queries, k=7, res=5,
+                     max_dist_m=cap).collect()
+    b = geodetic_knn_bruteforce(spark, docs, queries, k=7,
+                                max_dist_m=cap).collect()
+    ka = sorted((r.query_id, r.rnk, r.doc_id, r.dist_m) for r in a)
+    kb = sorted((r.query_id, r.rnk, r.doc_id, r.dist_m) for r in b)
+    assert ka == kb
+    assert all(r.dist_m <= cap for r in a)
