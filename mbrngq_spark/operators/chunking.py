@@ -25,6 +25,7 @@ retry, and the DuckDB oracle can value-check every boundary.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -54,6 +55,82 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
         ln.alias("tok_len"),
         F.array_join(F.slice("__ts", (start + 1).cast("int"),
                              ln.cast("int")), " ").alias("chunk_text"))
+
+
+def chunk_spans(docs: DataFrame, budget: int = 32,
+                media_cost: int = 1, id_col: str = "doc_id",
+                spans_col: str = "spans") -> DataFrame:
+    """Span-aware chunking for INTERLEAVED documents (the input_hint
+    table: ``spans: array<struct<kind, text, media_ref, offset>>``) —
+    the multimodal twin of chunk_documents.
+
+    Packs each document's span sequence into chunks of ≤ ``budget``
+    tokens IN ORDER: a text span costs its whitespace token count and
+    may be SPLIT at token boundaries when it straddles a chunk edge; a
+    media span costs ``media_cost`` and is ATOMIC (never split, never
+    reordered — a media reference is one unit for a training sequence).
+    A chunk is closed exactly when adding the next unit would exceed the
+    budget, so every chunk except a doc's last is full-to-budget for
+    text-only runs.
+
+    INVARIANT (the north rule's span-sequence equality THROUGH the
+    chunker, pytest-asserted): concatenating a doc's chunks in
+    (chunk_idx, position) order and merging adjacent text pieces
+    reproduces the original (kind, text, media_ref, order) sequence
+    token for token.
+
+    Execution: one Arrow-batched mapInPandas — map-only, no shuffle; the
+    per-doc loop is bounded by the span count (≤ a few dozen in real
+    layouts), and output rows are the exploded chunk members:
+    (doc_id, chunk_idx, pos_in_chunk, kind, text, media_ref,
+    src_offset, piece_idx, n_tokens)."""
+    if budget < 1 or media_cost < 1 or media_cost > budget:
+        raise ValueError("need 1 <= media_cost <= budget")
+    # inherit the id type — the input_hint table carries STRING doc ids
+    # (the ngq._refine_schema discipline)
+    id_t = docs.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_t}, chunk_idx long, pos_in_chunk long, "
+                  "kind string, text string, media_ref string, "
+                  "src_offset int, piece_idx long, n_tokens long")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, spans in zip(pdf[id_col], pdf[spans_col]):
+                chunk, pos, used = 0, 0, 0
+                for s in spans:
+                    kind = s["kind"]
+                    if kind == "text":
+                        toks = [t for t in (s["text"] or "").split(" ")
+                                if t]
+                        piece = 0
+                        while toks:
+                            room = budget - used
+                            if room == 0:
+                                chunk, pos, used = chunk + 1, 0, 0
+                                room = budget
+                            take, toks = toks[:room], toks[room:]
+                            rows.append((did, chunk, pos, "text",
+                                         " ".join(take), "",
+                                         s["offset"], piece, len(take)))
+                            pos += 1
+                            used += len(take)
+                            piece += 1
+                    else:
+                        if used + media_cost > budget:
+                            chunk, pos, used = chunk + 1, 0, 0
+                        rows.append((did, chunk, pos, kind, "",
+                                     s["media_ref"], s["offset"], 0,
+                                     media_cost))
+                        pos += 1
+                        used += media_cost
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    id_col, "chunk_idx", "pos_in_chunk", "kind", "text",
+                    "media_ref", "src_offset", "piece_idx", "n_tokens"])
+
+    return docs.select(id_col, spans_col).mapInPandas(gen,
+                                                      schema=out_schema)
 
 
 def staged_partial_sums(chunks: DataFrame, id_col: str = "doc_id") \

@@ -63,3 +63,77 @@ def test_chunking_rejects_bad_overlap(spark):
     ddf = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
     with pytest.raises(ValueError):
         chunk_documents(ddf, 32, 32)
+
+
+def test_chunk_spans_reassembly_invariant(spark):
+    """Span-aware chunking of the INTERLEAVED spans table: concatenating
+    each doc's chunks in (chunk_idx, pos_in_chunk) order and merging
+    adjacent text pieces reproduces the original (kind, text, media_ref,
+    order) sequence token for token — the north rule's invariant THROUGH
+    the chunker. Media spans are atomic; no chunk exceeds the budget."""
+    from mbrngq_spark.operators.chunking import chunk_spans
+    from mbrngq_spark.sources.synth import documents_spans
+
+    budget = 4
+    docs = documents_spans(spark, 300)
+    spans_by_doc = {r.doc_id: r.spans for r in docs.collect()}
+    out = chunk_spans(docs, budget=budget).collect()
+
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx,
+                                        r.pos_in_chunk)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    assert set(by_doc) == set(spans_by_doc)
+    for did, rows in by_doc.items():
+        # budget compliance per chunk
+        used = {}
+        for r in rows:
+            used[r.chunk_idx] = used.get(r.chunk_idx, 0) + r.n_tokens
+        assert all(v <= budget for v in used.values()), (did, used)
+        # reassemble: merge adjacent text pieces of the same source span
+        seq = []
+        for r in rows:
+            if (r.kind == "text" and seq and seq[-1][0] == "text"
+                    and seq[-1][3] == r.src_offset):
+                seq[-1] = ("text", seq[-1][1] + " " + r.text, "",
+                           r.src_offset)
+            else:
+                seq.append((r.kind, r.text, r.media_ref, r.src_offset))
+        exp = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in spans_by_doc[did]
+               if not (s["kind"] == "text" and not s["text"])]
+        assert seq == exp, did
+
+
+def test_chunk_spans_splits_long_text_atomically_media(spark):
+    """A long text span splits across chunks at token boundaries; a
+    media span that would overflow opens a new chunk instead of
+    splitting."""
+    import pandas as pd
+
+    from mbrngq_spark.operators.chunking import chunk_spans
+
+    spans = [
+        {"kind": "text", "text": " ".join(f"w{i}" for i in range(7)),
+         "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "ref://x/1",
+         "offset": 1},
+        {"kind": "text", "text": "a b", "media_ref": "", "offset": 2},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "spans": [spans]}),
+        "doc_id long, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>")
+    out = sorted(chunk_spans(df, budget=3).collect(),
+                 key=lambda r: (r.chunk_idx, r.pos_in_chunk))
+    got = [(r.chunk_idx, r.kind, r.text, r.media_ref, r.n_tokens)
+           for r in out]
+    assert got == [
+        (0, "text", "w0 w1 w2", "", 3),
+        (1, "text", "w3 w4 w5", "", 3),
+        (2, "text", "w6", "", 1),
+        (2, "image", "", "ref://x/1", 1),
+        (2, "text", "a", "", 1),
+        (3, "text", "b", "", 1),
+    ]
