@@ -482,3 +482,100 @@ def contamination_check(docs: DataFrame, eval_docs: DataFrame,
                  F.array_join(F.transform(
                      matched_ids, lambda x: x.cast("string")), ",")
                  .alias("eval_ids")))
+
+
+# --- substring-level exact dedup (shared verbatim passages) ------------------
+#
+# The document-level tiers above drop WHOLE near-identical documents; a
+# production pipeline also scrubs long VERBATIM passages repeated across
+# otherwise-distinct documents (licenses, boilerplate, templated spans) —
+# the within-document analog of contamination_check, reusing its shingle
+# discipline: positional word n-grams hashed ONCE to int64 JVM-side
+# (xxhash64), so everything corpus-sized that moves is (id, pos, long).
+
+
+def positional_shingles(docs: DataFrame, n: int,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, h): xxhash64 of the word n-gram starting at 0-based token
+    offset ``pos`` — one row per FULL n-gram (docs shorter than ``n``
+    tokens emit nothing; no padded partial shingles, unlike shingles_col,
+    because a span must map back to exact token offsets). Map-only,
+    JVM-side."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda j: F.xxhash64(F.concat_ws(" ", F.slice(toks, j, n))))
+    return (docs
+            .filter(F.size(toks) >= n)
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(sh).alias("pos", "h")))
+
+
+def shared_substring_spans(docs: DataFrame, n: int = 2 * SHINGLE_N,
+                           min_run: int = 2, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Flag maximal verbatim passages shared ACROSS documents: runs of
+    ``min_run``+ consecutive positional ``n``-gram shingles each appearing
+    in >= 2 DISTINCT docs, merged per doc into maximal token spans.
+    Returns (id_col, span_start, span_len) — 0-based token offsets; a run
+    of shingle positions [p0..p1] covers tokens [p0, p1 + n - 1].
+
+    Scale shape: a shingle is "shared" via ONE hash-keyed aggregation
+    (countDistinct ids per int64 hash — never a self-join, so a
+    degenerate boilerplate shingle in a million docs is one aggregate
+    row, not 10^12 pairs), then ONE hash-keyed join back flags positions;
+    the island merge shuffles (id, pos, g) rows once by doc. Every
+    corpus-sized exchange is keyed by an int64 hash or the doc id."""
+    from pyspark.sql import Window
+
+    pos = positional_shingles(docs, n, text_col, id_col)
+    shared = (pos.groupBy("h")
+              .agg(F.count_distinct("id").alias("nd"))
+              .filter(F.col("nd") >= 2)
+              .select("h"))
+    flagged = pos.join(shared, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = (flagged
+            .withColumn("g", F.col("pos") - F.row_number().over(w))
+            .groupBy("id", "g")
+            .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"),
+                 F.count("*").alias("run_len"))
+            .filter(F.col("run_len") >= min_run))
+    return runs.select(F.col("id").alias(id_col),
+                       F.col("p0").cast("long").alias("span_start"),
+                       (F.col("p1") - F.col("p0") + n).cast("long")
+                       .alias("span_len"))
+
+
+def scrub_substring_spans(docs: DataFrame, spans: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Remove the flagged token ranges from each document's text, keeping
+    every surviving token in original order (the span-sequence
+    invariant — pytest-asserted). Docs with no flagged spans pass through
+    byte-identical. Returns ``docs`` with ``text_col`` rewritten plus
+    ``n_tokens_kept``.
+
+    The per-doc span list is bounded by len(doc)/n, so the collect_list
+    is row-local metadata, not a corpus-sized state; the token filter is
+    one JVM-side higher-order expression (no Python)."""
+    sp = (spans.groupBy(id_col)
+          .agg(F.collect_list(F.struct("span_start", "span_len"))
+               .alias("__spans")))
+    empty = F.array().cast(
+        "array<struct<span_start:bigint,span_len:bigint>>")
+    joined = (docs.join(sp, id_col, "left")
+              .withColumn("__spans", F.coalesce(F.col("__spans"), empty)))
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"])
+            & (i < s["span_start"] + s["span_len"])))
+    return (joined
+            .withColumn("__kept", kept)
+            .withColumn(text_col, F.concat_ws(" ", F.col("__kept")))
+            .withColumn("n_tokens_kept", F.size("__kept").cast("long"))
+            .drop("__spans", "__kept"))

@@ -223,9 +223,16 @@ def plan_geo_cells(stats: pd.DataFrame, queries: pd.DataFrame, k: int,
             qlat, qlon,
             -90.0 + by0 * dlat, -90.0 + (by1 + 1) * dlat,
             -180.0 + bx0 * dlon, -180.0 + (bx1 + 1) * dlon)[1]
+        # Double rounding on the k-covering path: the radius bounds the
+        # kth doc's UNROUNDED distance, so the kth ROUNDED distance can be
+        # up to radius+half-grain, and a competitor that rounds into that
+        # same centimeter bucket (winning the doc_id tiebreak) sits at
+        # true distance up to radius+one full grain — pad by a FULL grain
+        # here. The max_dist_m cap filters a single rounded value, so its
+        # half-grain pad stays tight.
+        radius = radius + 2 * _ROUND_PAD_M
         if max_dist_m is not None:
-            radius = np.minimum(radius, max_dist_m)
-        radius = radius + _ROUND_PAD_M
+            radius = np.minimum(radius, max_dist_m + _ROUND_PAD_M)
         # (Q, C) exact-MINDIST matrix via broadcasting
         mind, _ = _rect_haversine_bounds(
             qlat[:, None], qlon[:, None],
@@ -789,7 +796,11 @@ def geodetic_point_in_polygon(docs_ll: DataFrame, polys: pd.DataFrame,
         xi = F.element_at(F.col("vlon"), (i + 1).cast("int"))
         xj = F.element_at(F.col("vlon"), (j + 1).cast("int"))
         crosses = (yi > F.col("lat")) != (yj > F.col("lat"))
-        xcut = (xj - xi) * (F.col("lat") - yi) / (yj - yi) + xi
+        # try_divide: horizontal edges (yj == yi) must not raise under
+        # ANSI even if Catalyst reorders the And — crosses is false for
+        # them, so the NULL xcut never decides a flip (false & NULL →
+        # false), and when crosses is true yj != yi by construction.
+        xcut = (xj - xi) * F.try_divide(F.col("lat") - yi, yj - yi) + xi
         return F.when(crosses & (F.col("nlon") < xcut), 1).otherwise(0)
 
     flips = F.aggregate(idx, F.lit(0),

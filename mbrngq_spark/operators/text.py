@@ -316,14 +316,19 @@ def bpe_train_fixture(n_words: int = 120) -> list[tuple[str, int]]:
     SQL) carries the pure-Python trainer's expected merge sequence as
     literals. hashlib.md5 is the only dependency; no RNG."""
     import hashlib
-    words = []
+    agg: dict[str, int] = {}
     for i in range(n_words):
         h = hashlib.md5(f"bpe/{i}".encode()).hexdigest()
         ln = 3 + int(h[3], 16) % 5
         w = "".join(chr(ord("a") + int(c, 16) % 26) for c in h[:ln])
         cnt = 1 + int(h[6:8], 16) % 40
-        words.append((w, cnt))
-    return words
+        # SUM duplicate draws (the 16-nibble → 26-letter map can collide
+        # at larger n_words): the Spark corpus groupBy-sums word counts,
+        # and dict(fixture) would silently keep only the LAST count —
+        # aggregating here keeps both trainers byte-identical at any
+        # n_words, and first-occurrence order keeps the list stable.
+        agg[w] = agg.get(w, 0) + cnt
+    return list(agg.items())
 
 
 def fingerprint_col(text: Column) -> Column:
