@@ -1022,6 +1022,99 @@ def _q_geo_ngq(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   res=5)
 
 
+SUBSTR_N = 4          # positional shingle width (tokens)
+SUBSTR_MIN_RUN = 2    # min consecutive shared shingles per flagged run
+SUBSTR_DOCLIM = 400
+
+_SUBSTR_HEADER = "shared header quick brown fox jumps over the lazy dog "
+_SUBSTR_LICENSE = (" license block alpha beta gamma delta epsilon"
+                   " zeta eta theta")
+_SUBSTR_TMPL_A = " template "
+_SUBSTR_TMPL_B = " lorem ipsum dolor sit amet consectetur adipiscing"
+
+
+def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (r5 verdict item 1): verbatim passages
+    shared ACROSS distinct documents (licenses / headers / templated
+    spans planted deterministically from doc_id) flagged as maximal token
+    spans — positional n-gram shingles xxhash64'd JVM-side, shared-ness
+    decided by ONE hash-keyed countDistinct aggregation (never a
+    self-join), islands merged per doc — then scrubbed with a JVM-side
+    positional token filter. part 'spans' = the flagged (doc_id,
+    span_start, span_len) set; part 'scrub' = per-doc surviving token
+    count + md5 of the scrubbed text, so a span off by one token breaks
+    the gate twice. The oracle recomputes both parts relationally on the
+    same planted corpus (string shingles instead of hashes — equal
+    grouping semantics)."""
+    from mbrngq_spark.operators.dedup import (scrub_substring_spans,
+                                              shared_substring_spans)
+    did = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(did < SUBSTR_DOCLIM)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.pmod(did, 5) == 0, F.lit(_SUBSTR_HEADER))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.pmod(did, 4) == 0, F.lit(_SUBSTR_LICENSE))
+            .otherwise(F.lit("")),
+            F.when(F.pmod(did, 7) == 0,
+                   F.concat(F.lit(_SUBSTR_TMPL_A),
+                            F.pmod(did, 3).cast("string"),
+                            F.lit(_SUBSTR_TMPL_B)))
+            .otherwise(F.lit(""))).alias("text"))
+    spans = shared_substring_spans(planted, n=SUBSTR_N,
+                                   min_run=SUBSTR_MIN_RUN)
+    scrubbed = scrub_substring_spans(planted, spans)
+    p_spans = spans.select(
+        F.lit("spans").alias("part"), "doc_id", "span_start", "span_len",
+        F.lit("").alias("h"))
+    p_scrub = scrubbed.select(
+        F.lit("scrub").alias("part"), "doc_id",
+        F.lit(-1).cast("long").alias("span_start"),
+        F.col("n_tokens_kept").alias("span_len"),
+        F.md5("text").alias("h"))
+    return p_spans.unionByName(p_scrub)
+
+
+def _q_text_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text guards, BOTH classifiers in one gate (the
+    50-entry rotation rule: single-operator gates merge into tagged
+    unions as new gates land). part 'langid' = trigram-profile language
+    ID; part 'pii' = planted email/phone/IPv4 counts — schemas
+    harmonized (counts -1 on the langid face, lang_pred '' on the pii
+    face)."""
+    lang = _q_text_langid(spark, sf_dir).select(
+        F.lit("langid").alias("part"), "doc_id", "lang_pred",
+        F.lit(-1).cast("long").alias("n_email"),
+        F.lit(-1).cast("long").alias("n_phone"),
+        F.lit(-1).cast("long").alias("n_ipv4"))
+    pii = _q_text_pii(spark, sf_dir).select(
+        F.lit("pii").alias("part"), "doc_id",
+        F.lit("").alias("lang_pred"),
+        F.col("n_email").cast("long"),
+        F.col("n_phone").cast("long"),
+        F.col("n_ipv4").cast("long"))
+    return lang.unionByName(pii)
+
+
+def _q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join pair, BOTH families in one gate (50-entry rotation):
+    part 'rect' = rect×rect intersects join (a_id=rect_id, b_id=doc_id,
+    dist -1); part 'eps' = grid-bucketed ε-distance self-join with the
+    exact rounded distance."""
+    rect = _q_spatial_rect_join(spark, sf_dir).select(
+        F.lit("rect").alias("part"),
+        F.col("rect_id").cast("long").alias("a_id"),
+        F.col("doc_id").cast("long").alias("b_id"),
+        F.lit(-1.0).alias("dist"))
+    eps = _q_spatial_distance_join(spark, sf_dir).select(
+        F.lit("eps").alias("part"), F.col("a_id").cast("long"),
+        F.col("b_id").cast("long"), "dist")
+    return rect.unionByName(eps)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ≤ 50 entries BY CONTRACT: the round driver checks at most 50, so
     # overlapping gates are consolidated (part/method-tagged unions) and
@@ -1029,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # riskiest/newest gates lead.
     return {
         "spatial_ngq": _q_spatial_ngq,            # m3 + m5 (merged)
+        "dedup_substring": _q_dedup_substring,    # spans + scrub (r6)
         "geo_ngq": _q_geo_ngq,
         "bpe_train": _q_bpe_train,
         "html_extract": _q_html_extract,
@@ -1046,15 +1140,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc": _q_dedup_cc,
         "spatial_pip": _q_spatial_pip,
         "spatial_bounds": _q_spatial_bounds,
-        "spatial_rect_join": _q_spatial_rect_join,
-        "spatial_distance_join": _q_spatial_distance_join,
+        "spatial_joins": _q_spatial_joins,        # rect + eps (merged r6)
         "dedup_exact": _q_dedup_exact,
         "text_features": _q_text_features,
         "ann_topk": _q_ann_topk,                  # exact + lsh + ivf (merged)
         "dedup_jaccard": _q_dedup_jaccard,
         "events_sessionize": _q_events_sessionize,
         "agg_stats": _q_agg_stats,                # moments + quantiles (merged)
-        "text_langid": _q_text_langid,
+        "text_guards": _q_text_guards,            # langid + pii (merged r6)
         "embedding_near_dups": _q_embedding_near_dups,
         "simhash_dups": _q_simhash_dups,          # h0 + md5 (merged)
         "media_features": _q_media_features,
@@ -1076,7 +1169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_rollup": _q_calendar_rollup,    # month + hour (merged)
         "window_top_orders": _q_window_top_orders,
         "events_asof": _q_events_asof,
-        "text_pii": _q_text_pii,
         "corpus_sample": _q_corpus_sample,
     }
 
@@ -2238,8 +2330,94 @@ def oracle_sql() -> dict[str, str]:
         FROM seeds
     """
 
+    # dedup_substring: the oracle rebuilds the SAME planted corpus from
+    # doc_id arithmetic, re-derives shared positional shingles with plain
+    # string grouping (the engine groups xxhash64 of the same strings —
+    # identical equivalence classes), merges islands with the same
+    # gaps-and-islands window, and rebuilds the scrubbed text per doc.
+    _sn = SUBSTR_N
+    dedup_substring = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN '{_SUBSTR_HEADER}'
+                      ELSE '' END
+                 || text
+                 || CASE WHEN doc_id % 4 = 0 THEN '{_SUBSTR_LICENSE}'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN '{_SUBSTR_TMPL_A}' || (doc_id % 3)
+                         || '{_SUBSTR_TMPL_B}'
+                    ELSE '' END AS text
+          FROM documents WHERE doc_id < {SUBSTR_DOCLIM}),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+        pos AS (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - {_sn - 1})) AS p
+                FROM toks WHERE len(t) >= {_sn}),
+        sh AS (SELECT doc_id, p,
+                      array_to_string(t[p:p+{_sn - 1}], ' ') AS s
+               FROM pos),
+        shared AS (SELECT s FROM sh
+                   GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        flag AS (SELECT doc_id, p FROM sh
+                 WHERE s IN (SELECT s FROM shared)),
+        isl AS (SELECT doc_id, p,
+                       p - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY p) AS g
+                FROM flag),
+        runs AS (SELECT doc_id, min(p) AS p0, max(p) AS p1, count(*) AS rl
+                 FROM isl GROUP BY doc_id, g),
+        spans AS (SELECT doc_id, CAST(p0 - 1 AS BIGINT) AS span_start,
+                         CAST(p1 - p0 + {_sn} AS BIGINT) AS span_len
+                  FROM runs WHERE rl >= {SUBSTR_MIN_RUN}),
+        tokpos AS (SELECT doc_id, t,
+                          unnest(generate_series(1, len(t))) AS tp
+                   FROM toks),
+        keep AS (SELECT k.doc_id, k.tp, k.t[k.tp] AS tok
+                 FROM tokpos k
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM spans s
+                   WHERE s.doc_id = k.doc_id
+                     AND k.tp - 1 >= s.span_start
+                     AND k.tp - 1 < s.span_start + s.span_len)),
+        scrub AS (
+          SELECT p.doc_id,
+                 coalesce(k.ntok, CAST(0 AS BIGINT)) AS ntok,
+                 md5(coalesce(k.txt, '')) AS h
+          FROM planted p LEFT JOIN (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+                   string_agg(tok, ' ' ORDER BY tp) AS txt
+            FROM keep GROUP BY doc_id) k USING (doc_id))
+        SELECT 'spans' AS part, doc_id, span_start, span_len, '' AS h
+        FROM spans
+        UNION ALL
+        SELECT 'scrub', doc_id, CAST(-1 AS BIGINT), ntok, h FROM scrub
+    """
+
+    text_guards = f"""
+        SELECT 'langid' AS part, doc_id, lang_pred,
+               CAST(-1 AS BIGINT) AS n_email,
+               CAST(-1 AS BIGINT) AS n_phone,
+               CAST(-1 AS BIGINT) AS n_ipv4
+        FROM ({text_langid})
+        UNION ALL
+        SELECT 'pii', doc_id, '', CAST(n_email AS BIGINT),
+               CAST(n_phone AS BIGINT), CAST(n_ipv4 AS BIGINT)
+        FROM ({text_pii})
+    """
+
+    spatial_joins = f"""
+        SELECT 'rect' AS part, CAST(rect_id AS BIGINT) AS a_id,
+               CAST(doc_id AS BIGINT) AS b_id,
+               CAST(-1.0 AS DOUBLE) AS dist
+        FROM ({spatial_rect_join})
+        UNION ALL
+        SELECT 'eps', CAST(a_id AS BIGINT), CAST(b_id AS BIGINT), dist
+        FROM ({spatial_distance_join})
+    """
+
     return {
         "spatial_ngq": spatial_ngq,
+        "dedup_substring": dedup_substring,
         "geo_ngq": geo_ngq,
         "bpe_train": bpe_train,
         "html_extract": html_extract,
@@ -2257,8 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cc": dedup_cc,
         "spatial_pip": spatial_pip,
         "spatial_bounds": spatial_bounds,
-        "spatial_rect_join": spatial_rect_join,
-        "spatial_distance_join": spatial_distance_join,
+        "spatial_joins": spatial_joins,
         "dedup_exact": dedup_exact,
         "text_features": text_features,
         "ann_topk": ann_topk,
@@ -2279,7 +2456,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_roundtrip": snapshot_roundtrip,
         "events_pivot": events_pivot,
         "corpus_decontam": corpus_decontam,
-        "text_langid": text_langid,
+        "text_guards": text_guards,
         "agg_pricing": agg_pricing,
         "join_orders_nation": join_orders_nation,
         "set_ops": set_ops,
@@ -2287,6 +2464,5 @@ def oracle_sql() -> dict[str, str]:
         "calendar_rollup": calendar_rollup,
         "window_top_orders": window_top_orders,
         "events_asof": events_asof,
-        "text_pii": text_pii,
         "corpus_sample": corpus_sample,
     }

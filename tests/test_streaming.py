@@ -477,3 +477,100 @@ def test_streaming_html_extraction_matches_batch(spark, tmp_path):
     got = {(r.doc_id, r.text) for r in
            spark.sql("SELECT * FROM html_s").collect()}
     assert got == batch and len(got) == 40
+
+
+def test_streaming_substring_scrub_matches_batch(spark, tmp_path):
+    """The substring-dedup SCRUB runs unchanged under Structured
+    Streaming as a stream-static join: span detection is corpus-global
+    (batch, cross-doc aggregation), the resulting span table is static,
+    and scrub_substring_spans' token filter is stateless map-only — so
+    streamed scrub output must equal the batch scrub row for row (the
+    batch≡stream twin discipline applied to the r6 scrub operator)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mbrngq_spark.operators.dedup import (scrub_substring_spans,
+                                              shared_substring_spans)
+
+    src = str(tmp_path / "scrub_src")
+    boiler = "common license text shared across these docs verbatim"
+    rows = pd.DataFrame({
+        "doc_id": range(30),
+        "text": [f"doc {i} opening words {boiler} unique tail {i * 7}"
+                 if i % 2 == 0 else f"unshared body {i} with no passage"
+                 for i in range(30)]})
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+
+    docs = spark.read.parquet(src)
+    spans = shared_substring_spans(docs, n=4, min_run=2) \
+        .localCheckpoint(eager=True)     # static side, computed once
+    batch = {(r.doc_id, r.text, r.n_tokens_kept) for r in
+             scrub_substring_spans(docs, spans).collect()}
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string").parquet(src))
+    q = (scrub_substring_spans(stream, spans)
+         .select("doc_id", "text", "n_tokens_kept")
+         .writeStream.format("memory").queryName("scrub_s")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.text, r.n_tokens_kept) for r in
+           spark.sql("SELECT * FROM scrub_s").collect()}
+    assert got == batch and len(got) == 30
+    # the shared passage really was scrubbed from every even doc
+    assert all(boiler not in t for d, t, _ in got if d % 2 == 0)
+
+
+def test_failure_injection_substring_scrub_exactly_once(spark, tmp_path):
+    """Exactly-once under an injected mid-batch crash for the scrub
+    path: rows hit storage, the checkpoint never commits, the restart
+    replays the batch — dynamic partition overwrite must leave exactly
+    one scrubbed copy of every source row."""
+    import pandas as pd
+    import pyspark.errors
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mbrngq_spark.operators.dedup import (scrub_substring_spans,
+                                              shared_substring_spans)
+    from mbrngq_spark.streaming.query_stream import _write_idempotent
+
+    src = str(tmp_path / "src")
+    boiler = "repeated boilerplate passage planted in every document here"
+    for b in range(3):
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [b * 10 + i for i in range(10)],
+                          "text": [f"doc {b * 10 + i} says {boiler} end"
+                                   for i in range(10)]}),
+            "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    docs = spark.read.parquet(src)
+    spans = shared_substring_spans(docs, n=4, min_run=2) \
+        .localCheckpoint(eager=True)
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed-once"
+
+    def handle(df, bid):
+        _write_idempotent(scrub_substring_spans(df, spans), bid, outp)
+        if bid == 1 and not marker.exists():
+            marker.write_text("x")
+            raise RuntimeError("injected")
+
+    def run():
+        q = (spark.readStream.schema("doc_id long, text string")
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .writeStream.foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        run()
+    assert marker.exists()
+    run()
+    got = spark.read.parquet(outp)
+    assert got.count() == 30
+    assert got.select("doc_id").distinct().count() == 30
+    assert got.filter(F.col("text").contains(boiler)).count() == 0
