@@ -912,6 +912,7 @@ def _q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_TRAIN_MERGES = 24
+BPE_BYTES_MERGES = 16
 BPE_TRAIN_DOCLIM = 200
 
 
@@ -939,6 +940,19 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                      columns=["idx", "a", "b", "n"]),
         "idx long, a string, b string, n long") \
         .select(F.lit("merge").alias("part"), "idx", "a", "b", "n")
+    # part 'bytes' (r5 verdict item 3): GPT-style BYTE-level training —
+    # regex pretokens (spaces ride on the token) over the UTF-8 byte
+    # alphabet; the oracle carries train_bpe_bytes_reference's expected
+    # sequence over the same rebuilt corpus as literals
+    merges_b = train_bpe(corpus, num_merges=BPE_BYTES_MERGES,
+                         byte_level=True)
+    mrows_b = spark.createDataFrame(
+        pd.DataFrame([(i, a, b, n)
+                      for i, (a, b, n) in enumerate(merges_b)],
+                     columns=["idx", "a", "b", "n"]),
+        "idx long, a string, b string, n long") \
+        .select(F.lit("bytes").alias("part"), "idx", "a", "b", "n")
+    mrows = mrows.unionByName(mrows_b)
     pairs = [(a, b) for a, b, _ in merges]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .filter(F.col("doc_id") < BPE_TRAIN_DOCLIM)
@@ -2155,17 +2169,30 @@ def oracle_sql() -> dict[str, str]:
     # pure-Python reference trainer's merge sequence over the SAME
     # deterministic fixture corpus as literals, and replays token counts
     # with the replace chain generated from ITS learned table
-    from mbrngq_spark.operators.text import bpe_train_fixture, \
-        train_bpe_reference
-    _exp_merges = train_bpe_reference(dict(bpe_train_fixture()),
-                                      BPE_TRAIN_MERGES)
-    _mvals = ", ".join(
-        f"(CAST({i} AS BIGINT), '{a}', '{b}', CAST({n} AS BIGINT))"
-        for i, (a, b, n) in enumerate(_exp_merges))
+    from mbrngq_spark.operators.text import (bpe_train_fixture,
+                                             train_bpe_bytes_reference,
+                                             train_bpe_reference)
+    _fixture = bpe_train_fixture()
+    _exp_merges = train_bpe_reference(dict(_fixture), BPE_TRAIN_MERGES)
+    _exp_bytes = train_bpe_bytes_reference(
+        [" ".join([w] * c) for w, c in _fixture], BPE_BYTES_MERGES)
+
+    def _esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    def _mvals(ms):
+        return ", ".join(
+            f"(CAST({i} AS BIGINT), '{_esc(a)}', '{_esc(b)}', "
+            f"CAST({n} AS BIGINT))"
+            for i, (a, b, n) in enumerate(ms))
+
     _learned_pairs = [(a, b) for a, b, _ in _exp_merges]
     bpe_train = f"""
         SELECT 'merge' AS part, idx, a, b, n
-        FROM (VALUES {_mvals}) t(idx, a, b, n)
+        FROM (VALUES {_mvals(_exp_merges)}) t(idx, a, b, n)
+        UNION ALL
+        SELECT 'bytes', idx, a, b, n
+        FROM (VALUES {_mvals(_exp_bytes)}) tb(idx, a, b, n)
         UNION ALL
         SELECT 'tokens', doc_id, '', '',
                {text.bpe_count_sql('text', _learned_pairs)}

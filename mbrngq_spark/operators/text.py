@@ -232,8 +232,67 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
             .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n")))
 
 
+# --- byte-level alphabet + pretokenizer (GPT-style) --------------------------
+#
+# Real tokenizers train over UTF-8 BYTES of regex pretokens, not characters
+# of whitespace words. The byte alphabet is the public GPT-2 printable
+# remapping (every byte gets a distinct printable char, so tokens stay
+# plain strings and the char-level trainer machinery — _PAIR_EXPR,
+# _merge_pair_col, the (count desc, pair asc) total order — is reused
+# verbatim; UTF-8 keeps code-point order == byte order, so Spark's binary
+# string sort and Python's str compare agree on the tie-break).
+#
+# The pretokenizer is the standard contraction/letters/digits/other/space
+# split, kept in the Java∩Python regex subset (ASCII classes, no \p{L})
+# so re.findall and regexp_extract_all produce identical streams.
+
+BYTE_PRETOK_RE = (r"'(?:s|t|re|ve|m|ll|d)"
+                  r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte↔printable-unicode bijection: printable ASCII
+    and Latin-1 blocks map to themselves, the rest shift to 256+n."""
+    bs = (list(range(33, 127)) + list(range(161, 173))
+          + list(range(174, 256)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def byte_symbols(word: str) -> list[str]:
+    """UTF-8 bytes of ``word`` as GPT-2 printable symbols (pure Python —
+    the reference trainer's and the vocab UDF's shared init)."""
+    m = bytes_to_unicode()
+    return [m[b] for b in word.encode("utf-8")]
+
+
+def pretokenize(text: str) -> list[str]:
+    """Pure-Python twin of the Spark-side regexp_extract_all pretokenize."""
+    import re
+    return re.findall(BYTE_PRETOK_RE, text)
+
+
+def _byte_syms_udf():
+    """Vectorized word → byte-symbol array. Runs over the DISTINCT-word
+    vocabulary only (post word-count collapse — tiny vs the corpus), so
+    the one Python touchpoint in byte-level training is vocab-sized and
+    map-only."""
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def to_syms(w: pd.Series) -> pd.Series:
+        m = bytes_to_unicode()
+        return w.map(lambda s: [m[b] for b in s.encode("utf-8")])
+    return to_syms
+
+
 def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
-              min_count: int = 2) -> list[tuple[str, str, int]]:
+              min_count: int = 2, byte_level: bool = False,
+              local_above: int | None = None) -> list[tuple[str, str, int]]:
     """Learn a BPE merges table from a corpus — returns
     [(a, b, pair_count), ...] in merge order (causally ordered by
     construction, so it feeds n_tokens_bpe_col / bpe_count_sql /
@@ -241,15 +300,41 @@ def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
 
     The per-round driver traffic is ONE argmax row; everything corpus-
     sized stays distributed. Stops early when no pair reaches
-    ``min_count``."""
+    ``min_count``.
+
+    ``byte_level``: GPT-style training — regex pretokens (BYTE_PRETOK_RE,
+    spaces kept on the token) over the UTF-8 byte alphabet instead of
+    whitespace words over characters.
+
+    ``local_above``: hybrid trainer for production merge counts. One
+    Spark round per merge is the right shape while rounds are few, but a
+    50k-merge vocab would pay 50k sequential shuffle rounds — and after
+    the ONE distributed word-count collapse the distinct-word vocabulary
+    is driver-sized. Above the threshold the collapsed (word, cnt) table
+    is collected ONCE and training finishes driver-side via
+    train_bpe_reference — identical semantics (pytest-asserted equality
+    at the threshold boundary), Spark scheduling off the critical path."""
     spark = docs.sparkSession
-    vocab = (docs
-             .select(F.explode(F.filter(F.split(F.col(text_col), " "),
-                                        lambda t: t != F.lit("")))
-                     .alias("w"))
-             .groupBy("w").agg(F.count("*").alias("cnt"))
-             .withColumn("tokens", F.split("w", "")))
+    if byte_level:
+        words = F.regexp_extract_all(F.col(text_col),
+                                     F.lit(BYTE_PRETOK_RE), F.lit(0))
+        vocab = (docs
+                 .select(F.explode(words).alias("w"))
+                 .groupBy("w").agg(F.count("*").alias("cnt"))
+                 .withColumn("tokens", _byte_syms_udf()(F.col("w"))))
+    else:
+        vocab = (docs
+                 .select(F.explode(F.filter(F.split(F.col(text_col), " "),
+                                            lambda t: t != F.lit("")))
+                         .alias("w"))
+                 .groupBy("w").agg(F.count("*").alias("cnt"))
+                 .withColumn("tokens", F.split("w", "")))
     vocab = vocab.localCheckpoint(eager=True)
+    if local_above is not None and num_merges > local_above:
+        wc = {r["w"]: int(r["cnt"])
+              for r in vocab.select("w", "cnt").collect()}
+        return train_bpe_reference(wc, num_merges, min_count,
+                                   byte_level=byte_level)
     merges: list[tuple[str, str, int]] = []
     pair_expr = F.expr(_PAIR_EXPR)
     for _ in range(num_merges):
@@ -274,12 +359,16 @@ def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
 
 def train_bpe_reference(word_counts: dict[str, int],
                         num_merges: int,
-                        min_count: int = 2) -> list[tuple[str, str, int]]:
+                        min_count: int = 2,
+                        byte_level: bool = False) \
+        -> list[tuple[str, str, int]]:
     """Pure-Python twin of train_bpe (the pytest ground truth and the
     DuckDB-oracle generator for the bpe_train gate): same position-level
     pair counting, same (count desc, pair asc) tie-break, same leftmost-
-    non-overlapping merge."""
-    vocab = {w: list(w) for w in word_counts}
+    non-overlapping merge. ``byte_level`` inits each word as its UTF-8
+    byte symbols (caller pretokenizes — see train_bpe_bytes_reference)."""
+    vocab = {w: (byte_symbols(w) if byte_level else list(w))
+             for w in word_counts}
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -307,6 +396,19 @@ def train_bpe_reference(word_counts: dict[str, int],
                     i += 1
             vocab[w] = out
     return merges
+
+
+def train_bpe_bytes_reference(texts: list[str], num_merges: int,
+                              min_count: int = 2) \
+        -> list[tuple[str, str, int]]:
+    """Pure-Python twin of train_bpe(byte_level=True) on raw documents:
+    pretokenize with the SAME regex, count pretokens, train over byte
+    symbols."""
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in pretokenize(t):
+            wc[w] = wc.get(w, 0) + 1
+    return train_bpe_reference(wc, num_merges, min_count, byte_level=True)
 
 
 def bpe_train_fixture(n_words: int = 120) -> list[tuple[str, int]]:

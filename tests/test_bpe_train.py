@@ -118,3 +118,58 @@ def test_train_bpe_empty_and_trivial_corpora(spark):
     assert train_bpe(empty, num_merges=5) == []
     chars = spark.createDataFrame(pd.DataFrame({"text": ["a b c"]}))
     assert train_bpe(chars, num_merges=5) == []
+
+
+def test_byte_level_matches_reference_on_fixture(spark):
+    """Byte-level training (GPT-style pretokens + UTF-8 byte alphabet)
+    equals the pure-Python byte reference on the same rebuilt docs —
+    including the space-carrying 'Ġ'-prefixed symbols."""
+    from mbrngq_spark.operators.text import (byte_symbols,
+                                             train_bpe_bytes_reference)
+
+    words = bpe_train_fixture()
+    texts = [" ".join([w] * c) for w, c in words]
+    corpus = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = train_bpe(corpus, num_merges=12, byte_level=True)
+    exp = train_bpe_bytes_reference(texts, 12)
+    assert got == exp and len(got) == 12
+    # the space byte really participates (pretokens carry ' ')
+    space_sym = byte_symbols(" ")[0]
+    assert any(space_sym in a + b for a, b, _ in got)
+
+
+def test_pretokenize_twins_agree(spark):
+    """re.findall and regexp_extract_all produce identical pretoken
+    streams for the shared pattern (the cross-engine premise of the
+    byte-level trainer)."""
+    from pyspark.sql import functions as F
+
+    from mbrngq_spark.operators.text import BYTE_PRETOK_RE, pretokenize
+
+    texts = ["it's a test-case, no?  two  spaces",
+             "don't stop 123abc x9 !!",
+             "", "   ", "tab\tsep and.dots..."]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = [list(r["p"]) for r in
+           df.select(F.regexp_extract_all(
+               F.col("text"), F.lit(BYTE_PRETOK_RE), F.lit(0))
+               .alias("p")).collect()]
+    assert got == [pretokenize(t) for t in texts]
+
+
+def test_hybrid_trainer_equality_at_threshold_boundary(spark):
+    """local_above semantics: num_merges <= local_above stays fully
+    distributed, num_merges > local_above finishes driver-side — both
+    must learn the SAME table (char and byte level), so the hybrid is a
+    pure scheduling change."""
+    words = bpe_train_fixture()
+    texts = [" ".join([w] * c) for w, c in words]
+    corpus = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    m = 10
+    dist = train_bpe(corpus, m)                          # no threshold
+    at = train_bpe(corpus, m, local_above=m)             # boundary: dist
+    above = train_bpe(corpus, m, local_above=m - 1)      # hybrid path
+    assert dist == at == above and len(dist) == m
+    bdist = train_bpe(corpus, m, byte_level=True)
+    bhyb = train_bpe(corpus, m, byte_level=True, local_above=0)
+    assert bdist == bhyb and len(bdist) == m
