@@ -814,6 +814,49 @@ def _q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("sla_hours")))
 
 
+def _q_sql_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops + FULL OUTER join as one part-tagged union (r6 rotation:
+    two single-category SQL gates merged to free a driver slot for
+    text_quality_clf while keeping both oracle-checked)."""
+    sets = _q_set_ops(spark, sf_dir).select(
+        F.lit("sets").alias("part"), F.col("tag").alias("key"),
+        F.col("k").cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("b"))
+    outer = _q_join_outer(spark, sf_dir).select(
+        F.lit("outer").alias("part"), F.col("priority").alias("key"),
+        F.col("n_orders").alias("a"), F.col("sla_hours").alias("b"))
+    return sets.unionByName(outer)
+
+
+def _q_text_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier (r5 verdict item 5): distributed
+    logistic regression over the text-feature columns on the md5-derived
+    labeled seed fixture — per-row int64-quantized gradient contributions
+    summed exactly (order-independent), so the learned weights equal
+    quality.train_quality_reference's bit-for-bit (the oracle's weight
+    source). part 'weight' = the coefficients (6dp); part 'score' =
+    sigmoid(w·x) over the real documents table with the learned weights
+    (map-only scoring — at 100 TB this is a pure-codegen projection)."""
+    import pandas as pd
+
+    from mbrngq_spark.operators import quality as Q
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"text": Q.quality_fixture()}))
+    w = Q.train_quality_classifier(corpus)
+    wrows = spark.createDataFrame(
+        pd.DataFrame([(j, round(wj, 6)) for j, wj in enumerate(w)],
+                     columns=["id", "value"]),
+        "id long, value double") \
+        .select(F.lit("weight").alias("part"), "id", "value")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = Q.score_quality(docs, w).select(
+        F.lit("score").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("quality_score").alias("value"))
+    return wrows.unionByName(scores)
+
+
 def _q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH calendar rollups in one gate (driver 50-entry window):
     part 'month' = per-month order counts + value over orders (month as
@@ -1136,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # riskiest/newest gates lead.
     return {
         "spatial_ngq": _q_spatial_ngq,            # m3 + m5 (merged)
+        "text_quality_clf": _q_text_quality_clf,  # weights + scores (r6)
         "dedup_substring": _q_dedup_substring,    # spans + scrub (r6)
         "geo_ngq": _q_geo_ngq,
         "bpe_train": _q_bpe_train,
@@ -1178,8 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontam": _q_corpus_decontam,
         "agg_pricing": _q_agg_pricing,
         "join_orders_nation": _q_join_orders_nation,
-        "set_ops": _q_set_ops,
-        "join_outer": _q_join_outer,
+        "sql_relational": _q_sql_relational,      # sets + outer (merged r6)
         "calendar_rollup": _q_calendar_rollup,    # month + hour (merged)
         "window_top_orders": _q_window_top_orders,
         "events_asof": _q_events_asof,
@@ -1859,6 +1902,34 @@ def oracle_sql() -> dict[str, str]:
           ON agg.o_orderpriority = dim.o_orderpriority
     """
 
+    sql_relational = f"""
+        SELECT 'sets' AS part, tag AS key, CAST(k AS BIGINT) AS a,
+               CAST(-1 AS BIGINT) AS b
+        FROM ({set_ops}) s
+        UNION ALL
+        SELECT 'outer', priority, n_orders, sla_hours
+        FROM ({join_outer}) o
+    """
+
+    # text_quality_clf: the oracle cannot iterate in SQL, so (the
+    # bpe_train discipline) it carries the NumPy reference trainer's
+    # weights — bit-equal to the distributed trainer's by the quantized-
+    # gradient construction — as literals, and replays sigmoid(w·x)
+    # scoring over the documents table from those literals
+    from mbrngq_spark.operators import quality as Qm
+    _qc_w = Qm.train_quality_reference(Qm.quality_fixture())
+    _qc_wvals = ", ".join(
+        f"(CAST({j} AS BIGINT), CAST({round(wj, 6)!r} AS DOUBLE))"
+        for j, wj in enumerate(_qc_w))
+    text_quality_clf = f"""
+        SELECT 'weight' AS part, id, value
+        FROM (VALUES {_qc_wvals}) w(id, value)
+        UNION ALL
+        SELECT 'score', CAST(doc_id AS BIGINT),
+               {Qm.quality_score_sql('text', _qc_w)}
+        FROM documents
+    """
+
     calendar_rollup = """
         SELECT 'month' AS part,
                substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS bucket,
@@ -2486,8 +2557,8 @@ def oracle_sql() -> dict[str, str]:
         "text_guards": text_guards,
         "agg_pricing": agg_pricing,
         "join_orders_nation": join_orders_nation,
-        "set_ops": set_ops,
-        "join_outer": join_outer,
+        "sql_relational": sql_relational,
+        "text_quality_clf": text_quality_clf,
         "calendar_rollup": calendar_rollup,
         "window_top_orders": window_top_orders,
         "events_asof": events_asof,
