@@ -25,6 +25,7 @@ retry, and the DuckDB oracle can value-check every boundary.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -81,7 +82,10 @@ def chunk_spans(docs: DataFrame, budget: int = 32,
 
     Execution: one Arrow-batched mapInPandas — map-only, no shuffle; the
     per-doc loop is bounded by the span count (≤ a few dozen in real
-    layouts), and output rows are the exploded chunk members:
+    layouts) and a text span's pieces come from NumPy prefix sums over
+    token lengths (cut points + character offsets into the normalized
+    string), not token-list slicing — the piece loop is O(pieces), never
+    O(tokens·pieces). Output rows are the exploded chunk members:
     (doc_id, chunk_idx, pos_in_chunk, kind, text, media_ref,
     src_offset, piece_idx, n_tokens)."""
     if budget < 1 or media_cost < 1 or media_cost > budget:
@@ -103,19 +107,32 @@ def chunk_spans(docs: DataFrame, budget: int = 32,
                     if kind == "text":
                         toks = [t for t in (s["text"] or "").split(" ")
                                 if t]
-                        piece = 0
-                        while toks:
-                            room = budget - used
-                            if room == 0:
-                                chunk, pos, used = chunk + 1, 0, 0
-                                room = budget
-                            take, toks = toks[:room], toks[room:]
-                            rows.append((did, chunk, pos, "text",
-                                         " ".join(take), "",
-                                         s["offset"], piece, len(take)))
-                            pos += 1
-                            used += len(take)
-                            piece += 1
+                        ntok = len(toks)
+                        if ntok == 0:
+                            continue
+                        if used == budget:
+                            chunk, pos, used = chunk + 1, 0, 0
+                        # piece cut points at [budget-used, +budget, ...];
+                        # char offsets via prefix sum so each piece is one
+                        # O(1) slice of the normalized string
+                        cuts = np.arange(budget - used, ntok, budget)
+                        starts = np.concatenate(([0], cuts))
+                        ends = np.append(cuts, ntok)
+                        norm = " ".join(toks)
+                        off = np.concatenate(
+                            ([0], np.cumsum(
+                                np.fromiter((len(t) + 1 for t in toks),
+                                            np.int64, ntok))))
+                        npieces = len(starts)
+                        rows.extend(
+                            (did, chunk + i, pos if i == 0 else 0, "text",
+                             norm[off[a]:off[b] - 1], "", s["offset"], i,
+                             int(b - a))
+                            for i, (a, b) in enumerate(zip(starts, ends)))
+                        chunk += npieces - 1
+                        pos = (pos if npieces == 1 else 0) + 1
+                        used = ((used if npieces == 1 else 0)
+                                + int(ends[-1] - starts[-1]))
                     else:
                         if used + media_cost > budget:
                             chunk, pos, used = chunk + 1, 0, 0
