@@ -857,6 +857,48 @@ def _q_text_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wrows.unionByName(scores)
 
 
+def _q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL cardinality sketch (r6, engine-new): distinct-count
+    register sketches whose state is bit-identical across Spark / DuckDB
+    / Python (md5 register + leading-zero rank, int64-exact harmonic
+    sum — operators/sketch.py). Parts: 'reg' = the full register state
+    per event_type (the mergeable artifact a lineage/metrics row would
+    carry); 'est_users' = distinct user_id per event_type (small-range
+    linear-counting branch); 'est_parts' = distinct l_partkey per
+    l_returnflag (raw-estimator branch); 'merged' = the global user
+    estimate computed by MERGING the per-type sketches register-wise —
+    the oracle recomputes it DIRECTLY from the raw rows, so the hash
+    match proves merge(sketch per part) == sketch(whole), the property
+    that lets 10^12-doc metrics roll up without re-reading data."""
+    from mbrngq_spark.operators import sketch as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    by_type = SK.hll_sketch(ev, ["event_type"], "user_id")
+    reg = by_type.select(
+        F.lit("reg").alias("part"), F.col("event_type").alias("key"),
+        F.col("register").alias("id"), F.col("rho").alias("a"),
+        F.lit(-1.0).alias("value"))
+    est_u = SK.hll_estimate(by_type, ["event_type"]).select(
+        F.lit("est_users").alias("part"), F.col("event_type").alias("key"),
+        F.lit(-1).cast("long").alias("id"),
+        F.col("n_registers").alias("a"), F.col("estimate").alias("value"))
+    est_p = SK.hll_estimate(
+        SK.hll_sketch(li, ["l_returnflag"], "l_partkey"),
+        ["l_returnflag"]).select(
+        F.lit("est_parts").alias("part"), F.col("l_returnflag").alias("key"),
+        F.lit(-1).cast("long").alias("id"),
+        F.col("n_registers").alias("a"), F.col("estimate").alias("value"))
+    merged = SK.hll_estimate(
+        SK.hll_merge([by_type.withColumn("event_type", F.lit("all"))],
+                     ["event_type"]),
+        ["event_type"]).select(
+        F.lit("merged").alias("part"), F.col("event_type").alias("key"),
+        F.lit(-1).cast("long").alias("id"),
+        F.col("n_registers").alias("a"), F.col("estimate").alias("value"))
+    return reg.unionByName(est_u).unionByName(est_p).unionByName(merged)
+
+
 def _q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH calendar rollups in one gate (driver 50-entry window):
     part 'month' = per-month order counts + value over orders (month as
@@ -1179,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # riskiest/newest gates lead.
     return {
         "spatial_ngq": _q_spatial_ngq,            # m3 + m5 (merged)
+        "cardinality_sketch": _q_cardinality_sketch,  # HLL regs+est (r6)
         "text_quality_clf": _q_text_quality_clf,  # weights + scores (r6)
         "dedup_substring": _q_dedup_substring,    # spans + scrub (r6)
         "geo_ngq": _q_geo_ngq,
@@ -1930,6 +1973,34 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # cardinality_sketch: DuckDB rebuilds the identical HLL register
+    # state (md5 register + leading-zero rank) and the identical
+    # int64-exact estimate; the 'merged' part is recomputed DIRECTLY
+    # from raw rows, so a hash match proves Spark's register-wise merge
+    # of per-type sketches equals the sketch of the whole stream
+    from mbrngq_spark.operators import sketch as SKm
+    _sk_reg, _sk_rho = SKm.hll_register_sql("user_id")
+    cardinality_sketch = f"""
+        SELECT 'reg' AS part, event_type AS key, register AS id, a,
+               CAST(-1.0 AS DOUBLE) AS value
+        FROM (
+            SELECT event_type, {_sk_reg} AS register, max({_sk_rho}) AS a
+            FROM events GROUP BY 1, 2
+        ) r
+        UNION ALL
+        SELECT 'est_users', key, CAST(-1 AS BIGINT), n_registers, estimate
+        FROM ({SKm.hll_estimate_sql("events", "event_type",
+                                    "user_id", "key")}) eu
+        UNION ALL
+        SELECT 'est_parts', key, CAST(-1 AS BIGINT), n_registers, estimate
+        FROM ({SKm.hll_estimate_sql("lineitem", "l_returnflag",
+                                    "l_partkey", "key")}) ep
+        UNION ALL
+        SELECT 'merged', key, CAST(-1 AS BIGINT), n_registers, estimate
+        FROM ({SKm.hll_estimate_sql("events", "'all'",
+                                    "user_id", "key")}) em
+    """
+
     calendar_rollup = """
         SELECT 'month' AS part,
                substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS bucket,
@@ -2559,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_nation": join_orders_nation,
         "sql_relational": sql_relational,
         "text_quality_clf": text_quality_clf,
+        "cardinality_sketch": cardinality_sketch,
         "calendar_rollup": calendar_rollup,
         "window_top_orders": window_top_orders,
         "events_asof": events_asof,

@@ -1,0 +1,191 @@
+"""Mergeable cardinality sketches (HyperLogLog) with cross-engine-exact
+registers.
+
+At 10^12 documents, "distinct docs per tile / users per day / tokens per
+shard" cannot be a count-distinct (one corpus-sized shuffle per key and a
+driver-sized distinct set); the standard answer is an HLL register
+sketch: fixed 2^P-register state per key, built with ONE map-side-
+combinable ``max`` aggregation, mergeable across partitions / days /
+snapshots by register-wise ``max``. Spark's ``approx_count_distinct`` IS
+that sketch, but its HLL++ register layout is engine-private — nothing
+else can verify or merge it. This module builds the sketch from public
+arithmetic so the register state itself is portable and value-checkable:
+
+* item hash = md5 of the item's string bytes — bit-identical in the JVM,
+  DuckDB, and Python (the `simhash_md5_pairs` discipline);
+* register index = first 2 hex nibbles (P=8 → 256 registers); rank rho =
+  1 + leading zero BITS of the next 13 nibbles (52 bits), derived with
+  string arithmetic (strip leading '0' nibbles + a 4-way CASE on the
+  first surviving nibble) — no float log2 anywhere;
+* the estimator's harmonic sum runs in INTEGER arithmetic:
+  sum(2^(53-rho)) as int64 (max 256 * 2^53 < 2^63), absent registers
+  contributing 2^53 — exact and order-independent, so Spark's shuffle
+  order and DuckDB's scan order produce the IDENTICAL double estimate;
+* the only transcendental (ln in the small-range correction) is rounded
+  to EST_DP before any hashing/comparison (CLAUDE.md libm-vs-JVM rule).
+
+The reference has no sketch tier (its Count is exact, RTree.cs); this is
+engine-new for the 100 TB metrics path (north_star's per-partition
+metrics rows: a lineage row can carry a 256-byte register state and the
+daily rollup merges them without re-reading data).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8                       # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_RHO_BITS = 52               # rank drawn from 13 hex nibbles
+POW53 = 1 << 53                 # integer weight of an empty register
+# alpha_256, precomputed once in Python so both engines embed the same
+# double literal instead of re-deriving it in their own float order
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+EST_DP = 4
+
+
+# --- register derivation: one definition, three engines ----------------------
+
+def hll_register_cols(item: Column) -> tuple[Column, Column]:
+    """(register, rho) Columns from md5(item-as-string). Pure codegen'd
+    string/CASE arithmetic — exact, no transcendentals."""
+    h = F.md5(item.cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    hex13 = F.substring(h, 3, 13)
+    stripped = F.regexp_replace(hex13, "^0+", "")
+    nz = F.lit(13) - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    bits = (F.when(first.isin(*"89abcdef"), 4)
+             .when(first.isin(*"4567"), 3)
+             .when(first.isin("2", "3"), 2)
+             .otherwise(1))
+    rho = F.when(F.length(stripped) == 0, F.lit(HLL_RHO_BITS + 1)) \
+        .otherwise(nz * 4 + (F.lit(5) - bits)).cast("long")
+    return reg, rho
+
+
+def hll_register_sql(item_expr: str) -> tuple[str, str]:
+    """DuckDB∩Spark-dialect twins of hll_register_cols (same op order).
+    Register decode is per-nibble strpos (DuckDB has no conv)."""
+    h = f"md5(CAST({item_expr} AS VARCHAR))"
+    nib = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    reg = (f"CAST({nib.format(h=h, i=1)} * 16 "
+           f"+ {nib.format(h=h, i=2)} AS BIGINT)")
+    stripped = f"regexp_replace(substr({h}, 3, 13), '^0+', '')"
+    first = f"substr({stripped}, 1, 1)"
+    bits = (f"(CASE WHEN {first} >= '8' THEN 4 "
+            f"WHEN {first} >= '4' THEN 3 "
+            f"WHEN {first} >= '2' THEN 2 ELSE 1 END)")
+    rho = (f"CAST(CASE WHEN length({stripped}) = 0 THEN {HLL_RHO_BITS + 1} "
+           f"ELSE (13 - length({stripped})) * 4 + (5 - {bits}) "
+           f"END AS BIGINT)")
+    return reg, rho
+
+
+def hll_register_py(item: str) -> tuple[int, int]:
+    """Pure-Python twin (pytest ground truth)."""
+    h = hashlib.md5(item.encode()).hexdigest()
+    reg = int(h[:2], 16)
+    v = int(h[2:15], 16)
+    rho = HLL_RHO_BITS + 1 if v == 0 else HLL_RHO_BITS - v.bit_length() + 1
+    return reg, rho
+
+
+# --- sketch build / merge / estimate -----------------------------------------
+
+def hll_sketch(df: DataFrame, key_cols: list[str], item_col: str) -> DataFrame:
+    """(key..., register, rho) — the sketch state, one map-side-
+    combinable max aggregation (at 100 TB: partials are 256 longs per
+    key per task; the shuffle moves sketches, not items). Only registers
+    that were hit appear; absent rows mean rho 0."""
+    reg, rho = hll_register_cols(F.col(item_col))
+    return (df.select(*key_cols, reg.alias("register"), rho.alias("__rho"))
+              .groupBy(*key_cols, "register")
+              .agg(F.max("__rho").alias("rho")))
+
+
+def hll_merge(sketches: list[DataFrame], key_cols: list[str]) -> DataFrame:
+    """Union of sketch states → register-wise max. Merging N days /
+    partitions / snapshots never touches the underlying items."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*key_cols, "register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(key..., n_registers, estimate) from the sketch state. The
+    harmonic sum is int64-exact (order-independent); estimate is the
+    standard HLL form with the small-range (linear-counting) correction,
+    rounded to EST_DP."""
+    weight = F.round(F.pow(F.lit(2.0), F.lit(53) - F.col("rho"))) \
+        .cast("long")
+    agg = sketch.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(weight).alias("__s_hit"))
+    zeros = F.lit(HLL_M) - F.col("n_registers")
+    s_int = F.col("__s_hit") + zeros * F.lit(POW53)
+    # the numerator literal is the SAME Python-precomputed double the SQL
+    # twin embeds — neither engine re-derives it in its own float order
+    raw = (F.lit(HLL_ALPHA * HLL_M * HLL_M * float(POW53))
+           / s_int.cast("double"))
+    small = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M))
+                                        / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (zeros > 0), small) \
+        .otherwise(raw)
+    return agg.select(*key_cols, "n_registers",
+                      F.round(est, EST_DP).alias("estimate"))
+
+
+def hll_estimate_sql(table_expr: str, key_expr: str, item_expr: str,
+                     key_name: str = "key") -> str:
+    """DuckDB twin: registers → estimate in one query. The estimator
+    numerator alpha*m^2*2^53 is precomputed in Python and embedded as ONE
+    double literal (repr round-trips exactly) so neither engine re-derives
+    it in its own multiplication order; the harmonic sum is the same
+    int64-exact form as the Column version."""
+    reg, rho = hll_register_sql(item_expr)
+    numer = repr(HLL_ALPHA * HLL_M * HLL_M * float(POW53))
+    raw = (f"({numer} / CAST(s_hit + ({HLL_M} - n_registers)"
+           f" * CAST({POW53} AS BIGINT) AS DOUBLE))")
+    return f"""
+        WITH regs AS (
+            SELECT {key_expr} AS {key_name}, {reg} AS register,
+                   max({rho}) AS rho
+            FROM {table_expr}
+            GROUP BY 1, 2
+        ), agg AS (
+            SELECT {key_name},
+                   CAST(count(*) AS BIGINT) AS n_registers,
+                   CAST(sum(CAST(round(pow(2.0, 53 - rho)) AS BIGINT))
+                        AS BIGINT) AS s_hit
+            FROM regs GROUP BY 1
+        )
+        SELECT {key_name}, n_registers,
+               round(CASE WHEN {raw} <= {2.5 * HLL_M!r}
+                          AND n_registers < {HLL_M}
+                     THEN {float(HLL_M)!r}
+                          * ln({float(HLL_M)!r}
+                               / CAST({HLL_M} - n_registers AS DOUBLE))
+                     ELSE {raw}
+                     END, {EST_DP}) AS estimate
+        FROM agg
+    """
+
+
+def hll_estimate_py(items: list[str]) -> float:
+    """Pure-Python twin of sketch→estimate (pytest ground truth)."""
+    regs = [0] * HLL_M
+    for it in items:
+        r, rho = hll_register_py(it)
+        regs[r] = max(regs[r], rho)
+    s_int = sum(1 << (53 - v) for v in regs)
+    zeros = regs.count(0)
+    raw = HLL_ALPHA * HLL_M * HLL_M * float(POW53) / float(s_int)
+    if raw <= 2.5 * HLL_M and zeros > 0:
+        return round(HLL_M * math.log(HLL_M / zeros), EST_DP)
+    return round(raw, EST_DP)

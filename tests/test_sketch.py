@@ -1,0 +1,81 @@
+"""HLL cardinality sketch: cross-engine-exact registers, merge algebra,
+partition invariance, and estimator accuracy (the 100 TB metrics path —
+sketches move, items don't)."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mbrngq_spark.operators import sketch as S
+
+
+def _items(tag: str, n: int) -> list[str]:
+    return [hashlib.md5(f"{tag}/{i}".encode()).hexdigest()[:12]
+            for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = ([("a", it) for it in _items("x", 700)]
+            + [("b", it) for it in _items("y", 60)]
+            # overlap: half of b's items also appear under a
+            + [("a", it) for it in _items("y", 30)])
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "item"])).localCheckpoint()
+
+
+def test_register_twins_bit_equal(spark, frame):
+    reg, rho = S.hll_register_cols(F.col("item"))
+    rows = frame.select("item", reg.alias("r"), rho.alias("p")).collect()
+    for r in rows:
+        assert (r["r"], r["p"]) == S.hll_register_py(r["item"])
+
+
+def test_merge_equals_direct(spark, frame):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) register-for-register
+    — the property that lets daily/partition sketches roll up without
+    re-reading items."""
+    a = frame.filter(F.col("k") == "a").withColumn("k", F.lit("all"))
+    b = frame.filter(F.col("k") == "b").withColumn("k", F.lit("all"))
+    direct = S.hll_sketch(frame.withColumn("k", F.lit("all")),
+                          ["k"], "item")
+    merged = S.hll_merge([S.hll_sketch(a, ["k"], "item"),
+                          S.hll_sketch(b, ["k"], "item")], ["k"])
+    sym = direct.exceptAll(merged).union(merged.exceptAll(direct))
+    assert sym.count() == 0
+
+
+def test_partitioning_invariance(spark, frame):
+    """Shuffle layout must not change the estimate (the int64-exact
+    harmonic sum is order-independent by construction)."""
+    outs = []
+    for parts in (1, 13):
+        est = S.hll_estimate(
+            S.hll_sketch(frame.repartition(parts), ["k"], "item"), ["k"])
+        outs.append({r["k"]: (r["n_registers"], r["estimate"])
+                     for r in est.collect()})
+    assert outs[0] == outs[1]
+
+
+def test_estimate_matches_python_twin_and_exact(spark, frame):
+    pdf = frame.toPandas()
+    est = {r["k"]: r["estimate"]
+           for r in S.hll_estimate(S.hll_sketch(frame, ["k"], "item"),
+                                   ["k"]).collect()}
+    for k, grp in pdf.groupby("k"):
+        items = grp["item"].tolist()
+        assert est[k] == S.hll_estimate_py(items)
+        exact = len(set(items))
+        assert abs(est[k] / exact - 1) < 0.12, (k, est[k], exact)
+
+
+def test_sketch_is_one_partial_aggregation(spark, frame):
+    """The sketch build must plan as partial+final hash aggregate around
+    ONE register-keyed exchange — at scale the shuffle carries register
+    partials, never items."""
+    plan = S.hll_sketch(frame, ["k"], "item")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "partial_max" in plan or "partial" in plan.lower()
+    assert plan.count("Exchange") <= 2  # AQE prints Final+Initial trees

@@ -334,6 +334,20 @@ def main() -> int:
     finally:
         shutil.rmtree(ivf_tmp, ignore_errors=True)
 
+    # --- HLL cardinality sketch: one register-keyed partial-agg shuffle ------
+    from mbrngq_spark.operators.sketch import hll_sketch
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan_of(hll_sketch(ev, ["event_type"], "user_id"))
+    sections.append(("HLL sketch build", p))
+    check("sketch: register max has map-side partial aggregation",
+          "partial_max" in p)
+    sk_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", p)
+    check("sketch: every exchange keyed by (key, register) — the shuffle "
+          "moves register partials, never items",
+          len(sk_exchanges) >= 1
+          and all("register" in e for e in sk_exchanges),
+          f"exchanges={sk_exchanges}")
+
     # --- index write partition pruning --------------------------------------
     indexed, _ = build_index(docs_geo, IndexLayout())
     path = "/tmp/plan_audit_idx"
