@@ -67,11 +67,19 @@ def committed_units(spark: SparkSession, ckpt_path: str, run_id: str) -> set[int
 def run_checkpointed(spark: SparkSession, run_id: str, units: list[int],
                      process: Callable[[int], DataFrame],
                      out_path: str, ckpt_path: str,
-                     fail_on: Callable[[int], bool] | None = None) -> dict:
+                     fail_on: Callable[[int], bool] | None = None,
+                     sketch_item: str | None = None) -> dict:
     """Process every unit not yet committed; returns summary stats.
 
     ``process(unit_id) -> DataFrame`` is the per-partition job body.
-    ``fail_on`` is a test hook simulating a crash before commit."""
+    ``fail_on`` is a test hook simulating a crash before commit.
+    ``sketch_item``: optionally name a column of the unit output — each
+    committed unit then also persists an HLL register sketch of that
+    column (north_star metrics rows: 256 longs per unit), and
+    ``rollup_unit_sketches`` later estimates run-wide distinct items by
+    register-wise max WITHOUT re-reading any unit data. The sketch is
+    written before the commit row (write-ahead, same as the data), so a
+    crash-resumed unit rewrites both idempotently."""
     done = committed_units(spark, ckpt_path, run_id)
     attempted = skipped = 0
     for u in units:
@@ -81,6 +89,14 @@ def run_checkpointed(spark: SparkSession, run_id: str, units: list[int],
         t0 = time.time()
         df = process(u)
         df.write.mode("overwrite").parquet(f"{out_path}/unit={u}")
+        if sketch_item is not None:
+            from mbrngq_spark.operators.sketch import hll_sketch
+            written0 = spark.read.parquet(f"{out_path}/unit={u}")
+            (hll_sketch(written0.withColumn("__k", F.lit("all")),
+                        ["__k"], sketch_item)
+             .drop("__k")
+             .write.mode("overwrite")
+             .parquet(f"{out_path}/__sketch/unit={u}"))
         if fail_on is not None and fail_on(u):
             raise RuntimeError(f"simulated crash after writing unit {u}")
         written = spark.read.parquet(f"{out_path}/unit={u}")
@@ -94,6 +110,22 @@ def run_checkpointed(spark: SparkSession, run_id: str, units: list[int],
         attempted += 1
     return {"attempted": attempted, "skipped": skipped,
             "total": len(units)}
+
+
+def rollup_unit_sketches(spark: SparkSession, out_path: str,
+                         ckpt_path: str, run_id: str) -> DataFrame:
+    """Run-wide distinct-item estimate from the per-unit register
+    sketches alone — register-wise max over committed units, then the
+    standard estimator. Never touches unit data; merging N units reads
+    N × ≤256 rows. Returns (key='all', n_registers, estimate)."""
+    from mbrngq_spark.operators.sketch import hll_estimate
+
+    done = sorted(committed_units(spark, ckpt_path, run_id))
+    paths = [f"{out_path}/__sketch/unit={u}" for u in done]
+    merged = (spark.read.parquet(*paths)
+              .groupBy("register").agg(F.max("rho").alias("rho"))
+              .withColumn("key", F.lit("all")))
+    return hll_estimate(merged, ["key"])
 
 
 def audit_lineage(spark: SparkSession, out_path: str, ckpt_path: str,

@@ -1,0 +1,117 @@
+"""Streaming + lineage integration of the HLL sketch: batch≡stream
+register equality, idempotent-merge exactly-once under an injected
+crash-replay, and the checkpointed per-unit metrics rollup."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mbrngq_spark.operators import sketch as S
+from mbrngq_spark.plans.checkpoint import (rollup_unit_sketches,
+                                           run_checkpointed)
+from mbrngq_spark.streaming.sketch_stream import (hll_sketch_stream,
+                                                  merge_sketch_into)
+
+SRC_SCHEMA = "k string, item string"
+
+
+def _pdf(batch: int, n: int = 120) -> pd.DataFrame:
+    rows = [("a" if i % 3 else "b",
+             hashlib.md5(f"it/{batch}/{i}".encode()).hexdigest()[:10])
+            for i in range(n)]
+    return pd.DataFrame(rows, columns=["k", "item"])
+
+
+def test_stream_sketch_equals_batch(spark, tmp_path):
+    """complete-mode streaming registers == batch registers on the same
+    rows. State is bounded (≤ keys × 256) so no watermark is needed."""
+    src = str(tmp_path / "src")
+    frames = [_pdf(b) for b in range(4)]
+    for pdf in frames:
+        spark.createDataFrame(pdf, SRC_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(SRC_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (hll_sketch_stream(stream, ["k"], "item")
+         .writeStream.format("memory").queryName("hll_s")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["k"], r["register"]): r["rho"]
+           for r in spark.sql("select * from hll_s").collect()}
+    batch = spark.createDataFrame(pd.concat(frames), SRC_SCHEMA)
+    exp = {(r["k"], r["register"]): r["rho"]
+           for r in S.hll_sketch(batch, ["k"], "item").collect()}
+    assert got == exp
+
+
+def test_merge_sink_exactly_once_by_idempotence(spark, tmp_path):
+    """Crash AFTER a batch is merged into the state table, BEFORE the
+    stream checkpoint commits; the restart replays that batch. Because
+    register-wise max-merge is idempotent, the replay must leave the
+    state byte-identical to the batch sketch of all rows — no (run_id,
+    batch_id) bookkeeping needed."""
+    import pyspark.errors
+
+    src = str(tmp_path / "src")
+    frames = [_pdf(b) for b in range(3)]
+    for pdf in frames:
+        spark.createDataFrame(pdf, SRC_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed-once"
+    inner = merge_sketch_into(spark, state, ["k"], "item", "k string")
+
+    def handle(df, bid):
+        inner(df, bid)
+        if bid == 1 and not marker.exists():
+            marker.write_text("x")   # merged but never checkpointed
+            raise RuntimeError("injected")
+
+    def run():
+        q = (spark.readStream.schema(SRC_SCHEMA)
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .writeStream.foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        run()
+    assert marker.exists()
+    run()                            # replays the merged batch
+    got = {(r["k"], r["register"]): r["rho"]
+           for r in spark.read.parquet(state).collect()}
+    batch = spark.createDataFrame(pd.concat(frames), SRC_SCHEMA)
+    exp = {(r["k"], r["register"]): r["rho"]
+           for r in S.hll_sketch(batch, ["k"], "item").collect()}
+    assert got == exp
+
+
+def test_checkpoint_unit_sketch_rollup(spark, tmp_path):
+    """Per-unit metrics sketches roll up to the estimate of the whole
+    run (merge == direct by the sketch algebra), including after a
+    crash-resume, without re-reading unit data."""
+    frames = {u: _pdf(u, 150) for u in range(3)}
+
+    def process(u):
+        return spark.createDataFrame(frames[u], SRC_SCHEMA)
+
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    with pytest.raises(RuntimeError):
+        run_checkpointed(spark, "r1", [0, 1, 2], process, outp, ckpt,
+                         fail_on=lambda u: u == 1, sketch_item="item")
+    stats = run_checkpointed(spark, "r1", [0, 1, 2], process, outp, ckpt,
+                             sketch_item="item")
+    assert stats["skipped"] == 1 and stats["attempted"] == 2
+    est = rollup_unit_sketches(spark, outp, ckpt, "r1").collect()[0]
+    allpdf = pd.concat(frames.values())
+    direct = S.hll_estimate(
+        S.hll_sketch(spark.createDataFrame(allpdf, SRC_SCHEMA)
+                     .withColumn("key", F.lit("all")), ["key"], "item"),
+        ["key"]).collect()[0]
+    assert (est["n_registers"], est["estimate"]) == \
+        (direct["n_registers"], direct["estimate"])
+    exact = allpdf["item"].nunique()
+    assert abs(est["estimate"] / exact - 1) < 0.12
