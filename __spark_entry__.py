@@ -159,15 +159,26 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-tagged union: 'driver' = pandas-planned cover + Arrow-UDF
+    refine (pip.point_in_polygon_join); 'dist' = fully distributed twin
+    (JVM sequence/explode cover + Column PNPOLY fold,
+    pip.point_in_polygon_join_distributed) — same membership, both
+    value-checked against the cross-product triangle oracle."""
     import pandas as pd
+    from mbrngq_spark.operators.pip import point_in_polygon_join_distributed
     docs_geo = H.load_docs_geo(spark, sf_dir)
     polys = pd.DataFrame({
         "poly_id": [t[0] for t in H.TRIANGLES],
         "vx": [[t[1], t[3], t[5]] for t in H.TRIANGLES],
         "vy": [[t[2], t[4], t[6]] for t in H.TRIANGLES],
     })
-    return point_in_polygon_join(spark, docs_geo, polys) \
-        .select("poly_id", "doc_id")
+    drv = (point_in_polygon_join(spark, docs_geo, polys)
+           .select(F.lit("driver").alias("part"), "poly_id", "doc_id"))
+    polys_df = spark.createDataFrame(
+        polys, "poly_id long, vx array<double>, vy array<double>")
+    dist = (point_in_polygon_join_distributed(docs_geo, polys_df)
+            .select(F.lit("dist").alias("part"), "poly_id", "doc_id"))
+    return drv.unionByName(dist)
 
 
 def _q_spatial_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,12 +1570,17 @@ def oracle_sql() -> dict[str, str]:
     def cross(ax, ay, bx, by, px, py):
         return f"(({bx}-{ax})*({py}-{ay}) - ({by}-{ay})*({px}-{ax}))"
     spatial_pip = f"""
-        WITH g AS ({geo})
-        SELECT t.poly_id, g.doc_id
-        FROM g CROSS JOIN {H.tri_values_sql()}
-        WHERE {cross('t.x1', 't.y1', 't.x2', 't.y2', 'g.x', 'g.y')} > 0
-          AND {cross('t.x2', 't.y2', 't.x3', 't.y3', 'g.x', 'g.y')} > 0
-          AND {cross('t.x3', 't.y3', 't.x1', 't.y1', 'g.x', 'g.y')} > 0
+        WITH g AS ({geo}),
+        hits AS (
+          SELECT t.poly_id, g.doc_id
+          FROM g CROSS JOIN {H.tri_values_sql()}
+          WHERE {cross('t.x1', 't.y1', 't.x2', 't.y2', 'g.x', 'g.y')} > 0
+            AND {cross('t.x2', 't.y2', 't.x3', 't.y3', 'g.x', 'g.y')} > 0
+            AND {cross('t.x3', 't.y3', 't.x1', 't.y1', 'g.x', 'g.y')} > 0
+        )
+        SELECT 'driver' AS part, poly_id, doc_id FROM hits
+        UNION ALL
+        SELECT 'dist' AS part, poly_id, doc_id FROM hits
     """
 
     spatial_bounds = f"""

@@ -50,6 +50,43 @@ def test_pip_count_sanity(spark, docs_geo):
         assert 0 < k < n
 
 
+def test_pip_distributed_equals_driver(spark, docs_geo):
+    """Distributed twin (JVM cover + Column PNPOLY fold) ≡ driver-planned
+    path on the concave fixtures — poly 0's first edge is HORIZONTAL
+    (vy 40→40), so this also proves the try_divide guard under ANSI."""
+    from mbrngq_spark.operators.pip import point_in_polygon_join_distributed
+
+    polys_df = spark.createDataFrame(
+        POLYS, "poly_id long, vx array<double>, vy array<double>")
+    exp = point_in_polygon_join(spark, docs_geo, POLYS).toPandas()
+    for bc in (True, False):
+        got = point_in_polygon_join_distributed(
+            docs_geo, polys_df, broadcast_cover=bc).toPandas()
+        assert (set(map(tuple, got[["poly_id", "doc_id"]].to_numpy()))
+                == set(map(tuple, exp[["poly_id", "doc_id"]].to_numpy()))), bc
+
+
+def test_pip_distributed_axis_aligned_rectangle(spark, docs_geo):
+    """Every edge horizontal or vertical — the worst case for the PNPOLY
+    division; result must equal the plain closed/open rect membership the
+    even-odd rule implies (left/bottom edges in, right/top out for a CCW
+    rect traversed with strict < comparisons)."""
+    from mbrngq_spark.operators.pip import point_in_polygon_join_distributed
+
+    x0, x1, y0, y1 = 20.0, 60.0, 30.0, 70.0
+    polys_df = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [7],
+                      "vx": [[x0, x1, x1, x0]],
+                      "vy": [[y0, y0, y1, y1]]}),
+        "poly_id long, vx array<double>, vy array<double>")
+    got = point_in_polygon_join_distributed(docs_geo, polys_df).toPandas()
+    pdf = docs_geo.toPandas()
+    exp_mask = np_pip(pdf.x.to_numpy(), pdf.y.to_numpy(),
+                      np.array([x0, x1, x1, x0]), np.array([y0, y0, y1, y1]))
+    assert set(got["doc_id"]) == set(pdf.doc_id[exp_mask])
+    assert len(got) > 0
+
+
 def test_tile_vector_assignment(spark, docs_geo):
     got = tile_vector_assignment(spark, docs_geo, POLYS, res=4).toPandas()
     # ground truth: PIP oracle + row-major tile encode

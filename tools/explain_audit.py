@@ -294,6 +294,21 @@ def main() -> int:
     check("html extract: map-only (no Exchange anywhere)",
           "Exchange" not in p)
 
+    # --- distributed PIP: JVM cover + Column PNPOLY, zero Python ---------
+    import pandas as pd
+    from mbrngq_spark.operators.pip import point_in_polygon_join_distributed
+    polys_df = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0], "vx": [[10.0, 50.0, 30.0]],
+                      "vy": [[10.0, 12.0, 50.0]]}),
+        "poly_id long, vx array<double>, vy array<double>")
+    pp = point_in_polygon_join_distributed(docs_geo, polys_df)
+    p = plan_of(pp, execute=True)
+    sections.append(("distributed point-in-polygon", p))
+    check("pip dist: cover + PNPOLY refine are pure Column math "
+          "(no Python eval anywhere)", "EvalPython" not in p)
+    check("pip dist: candidate join is broadcast (doc side never shuffled)",
+          "BroadcastHashJoin" in p and "Exchange hashpartitioning" not in p)
+
     # --- geodetic NGQ: doc side broadcast, one rank + one refine shuffle ----
     from mbrngq_spark.operators.geodetic import geodetic_nearest_group
     docs_ll_cat = docs_ll.join(
