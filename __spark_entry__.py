@@ -907,7 +907,35 @@ def _q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("merged").alias("part"), F.col("event_type").alias("key"),
         F.lit(-1).cast("long").alias("id"),
         F.col("n_registers").alias("a"), F.col("estimate").alias("value"))
-    return reg.unionByName(est_u).unionByName(est_p).unionByName(merged)
+    # count-min parts (r6): 'cm_reg' = the exact counter state per
+    # event_type over user_id (mergeable-by-SUM artifact); 'cm_est' =
+    # point-queries for user_ids 0..11 per event_type (min over the D
+    # hashed cells — the overestimate-only bound); 'cm_merged' = global
+    # counters computed by MERGING the per-type sketches, while the
+    # oracle recomputes them DIRECTLY from raw rows (merge == direct,
+    # counter-exact because CMS merge is integer addition).
+    cm_by_type = SK.cm_sketch(ev, ["event_type"], "user_id")
+    cm_reg = cm_by_type.select(
+        F.lit("cm_reg").alias("part"), F.col("event_type").alias("key"),
+        (F.col("row") * SK.CM_W + F.col("col")).alias("id"),
+        F.col("cnt").alias("a"), F.lit(-1.0).alias("value"))
+    probes = (ev.select("event_type").distinct()
+              .crossJoin(spark.range(12).select(
+                  F.col("id").alias("user_id"))))
+    cm_est = SK.cm_query(cm_by_type, probes, ["event_type"],
+                         "user_id").select(
+        F.lit("cm_est").alias("part"), F.col("event_type").alias("key"),
+        F.col("user_id").alias("id"), F.col("est").alias("a"),
+        F.lit(-1.0).alias("value"))
+    cm_merged = SK.cm_merge(
+        [cm_by_type.withColumn("event_type", F.lit("all"))],
+        ["event_type"]).select(
+        F.lit("cm_merged").alias("part"), F.col("event_type").alias("key"),
+        (F.col("row") * SK.CM_W + F.col("col")).alias("id"),
+        F.col("cnt").alias("a"), F.lit(-1.0).alias("value"))
+    return (reg.unionByName(est_u).unionByName(est_p).unionByName(merged)
+            .unionByName(cm_reg).unionByName(cm_est)
+            .unionByName(cm_merged))
 
 
 def _q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2015,6 +2043,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'merged', key, CAST(-1 AS BIGINT), n_registers, estimate
         FROM ({SKm.hll_estimate_sql("events", "'all'",
                                     "user_id", "key")}) em
+        UNION ALL
+        SELECT 'cm_reg', key, row * {SKm.CM_W} + col, cnt,
+               CAST(-1.0 AS DOUBLE)
+        FROM ({SKm.cm_counters_sql("events", "event_type", "user_id")}) cr
+        UNION ALL
+        SELECT 'cm_est', key, item, est, CAST(-1.0 AS DOUBLE)
+        FROM ({SKm.cm_query_sql(
+            SKm.cm_counters_sql("events", "event_type", "user_id"),
+            "SELECT DISTINCT event_type AS key, u AS item FROM events, "
+            "(SELECT unnest(generate_series(0, 11)) AS u)")}) cq
+        UNION ALL
+        SELECT 'cm_merged', key, row * {SKm.CM_W} + col, cnt,
+               CAST(-1.0 AS DOUBLE)
+        FROM ({SKm.cm_counters_sql("events", "'all'", "user_id")}) cm
     """
 
     calendar_rollup = """

@@ -189,3 +189,139 @@ def hll_estimate_py(items: list[str]) -> float:
     if raw <= 2.5 * HLL_M and zeros > 0:
         return round(HLL_M * math.log(HLL_M / zeros), EST_DP)
     return round(raw, EST_DP)
+
+
+# --- count-min sketch: mergeable-by-SUM frequency counters -------------------
+#
+# The frequency-side companion of the HLL tier: "how often does token /
+# url / user X occur per shard" at 10^12 rows cannot be an exact groupBy
+# per candidate set (one corpus-sized shuffle per question); a count-min
+# sketch is a fixed D×W counter grid per key, built with ONE map-side-
+# combinable SUM aggregation, mergeable across partitions / days /
+# snapshots by counter-wise ADDITION (strictly mergeable — no max
+# semantics needed), and point-queried as min over the D hashed cells
+# (an overestimate, never an underestimate, by construction). Counters
+# are integer sums → the sketch STATE is bit-exact across Spark, DuckDB
+# and Python with no rounding discipline at all; bucket d of an item is
+# byte d of its md5 (the same public-hash trick as the HLL register).
+
+CM_D = 4                        # hash rows
+CM_W = 256                      # buckets per row (one md5 byte)
+
+
+def cm_bucket_col(item: Column, d: int) -> Column:
+    """Bucket of ``item`` in hash row ``d`` (byte d of md5) — codegen'd."""
+    h = F.md5(item.cast("string"))
+    return F.conv(F.substring(h, 2 * d + 1, 2), 16, 10).cast("long")
+
+
+def cm_bucket_sql(item_expr: str, d: int) -> str:
+    """DuckDB twin of cm_bucket_col (per-nibble strpos decode)."""
+    h = f"md5(CAST({item_expr} AS VARCHAR))"
+    nib = f"(strpos('0123456789abcdef', substr({h}, {{i}}, 1)) - 1)"
+    return (f"CAST({nib.format(i=2 * d + 1)} * 16 "
+            f"+ {nib.format(i=2 * d + 2)} AS BIGINT)")
+
+
+def cm_bucket_py(item: str, d: int) -> int:
+    """Pure-Python twin (pytest ground truth)."""
+    return int(hashlib.md5(item.encode()).hexdigest()[2 * d:2 * d + 2], 16)
+
+
+def cm_sketch(df: DataFrame, key_cols: list[str], item_col: str,
+              weight_col: str | None = None) -> DataFrame:
+    """(key..., row, col, cnt) — the counter state, one map-side-
+    combinable SUM aggregation (partials are ≤ D·W longs per key per
+    task; the shuffle moves counters, not items). Absent (row, col)
+    cells are exact zeros."""
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    cells = F.array(*[
+        F.struct(F.lit(d).cast("long").alias("row"),
+                 cm_bucket_col(F.col(item_col), d).alias("col"))
+        for d in range(CM_D)])
+    return (df.select(*key_cols, F.explode(cells).alias("c"),
+                      w.alias("__w"))
+              .select(*key_cols, F.col("c.row").alias("row"),
+                      F.col("c.col").alias("col"), "__w")
+              .groupBy(*key_cols, "row", "col")
+              .agg(F.sum("__w").alias("cnt")))
+
+
+def cm_merge(sketches: list[DataFrame], key_cols: list[str]) -> DataFrame:
+    """Union of counter states → counter-wise SUM. Merging N days /
+    partitions / snapshots never touches the underlying items, and —
+    unlike HLL — merge is exact: counters add."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*key_cols, "row", "col").agg(
+        F.sum("cnt").alias("cnt"))
+
+
+def cm_query(sketch: DataFrame, probes: DataFrame, key_cols: list[str],
+             item_col: str) -> DataFrame:
+    """Point-query: (key..., item, est) where est = min over the D rows
+    of the item's counter cell (0 when the cell was never hit). The
+    probe side explodes to D rows and LEFT-joins the sketch — the
+    sketch is the small side (≤ D·W rows per key) so Catalyst
+    broadcasts it; the corpus is never touched."""
+    cells = F.array(*[
+        F.struct(F.lit(d).cast("long").alias("row"),
+                 cm_bucket_col(F.col(item_col), d).alias("col"))
+        for d in range(CM_D)])
+    p = (probes.select(*key_cols, F.col(item_col).alias("__item"),
+                       F.explode(cells).alias("c"))
+         .select(*key_cols, "__item", F.col("c.row").alias("row"),
+                 F.col("c.col").alias("col")))
+    joined = p.join(F.broadcast(sketch), [*key_cols, "row", "col"], "left")
+    return (joined.groupBy(*key_cols, "__item")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("est"))
+            .withColumnRenamed("__item", item_col))
+
+
+def cm_counters_sql(table_expr: str, key_expr: str, item_expr: str,
+                    weight_expr: str = "1") -> str:
+    """DuckDB twin of cm_sketch: UNION ALL over the D fixed hash rows
+    (key, row, col, cnt) — counter-exact vs the Spark state."""
+    parts = [
+        f"SELECT {key_expr} AS key, CAST({d} AS BIGINT) AS row, "
+        f"{cm_bucket_sql(item_expr, d)} AS col, "
+        f"CAST(sum({weight_expr}) AS BIGINT) AS cnt "
+        f"FROM {table_expr} GROUP BY 1, 3"
+        for d in range(CM_D)]
+    return " UNION ALL ".join(parts)
+
+
+def cm_query_sql(counters_sql: str, probes_sql: str,
+                 item_expr: str = "item") -> str:
+    """DuckDB twin of cm_query: probes × D rows LEFT JOIN the counter
+    CTE, min(coalesce(cnt, 0)) per (key, item). ``probes_sql`` must
+    yield (key, item)."""
+    probe_rows = " UNION ALL ".join(
+        f"SELECT key, {item_expr} AS item, CAST({d} AS BIGINT) AS row, "
+        f"{cm_bucket_sql(item_expr, d)} AS col FROM probes"
+        for d in range(CM_D))
+    return f"""
+        WITH counters AS ({counters_sql}),
+        probes AS ({probes_sql}),
+        cells AS ({probe_rows})
+        SELECT cells.key, cells.item,
+               CAST(min(coalesce(counters.cnt, 0)) AS BIGINT) AS est
+        FROM cells LEFT JOIN counters
+          ON cells.key = counters.key AND cells.row = counters.row
+         AND cells.col = counters.col
+        GROUP BY 1, 2
+    """
+
+
+def cm_query_py(items: list[str], probe: str) -> int:
+    """Pure-Python twin: build the counters, query one probe."""
+    counters: dict[tuple[int, int], int] = {}
+    for it in items:
+        for d in range(CM_D):
+            c = (d, cm_bucket_py(it, d))
+            counters[c] = counters.get(c, 0) + 1
+    return min(counters.get((d, cm_bucket_py(probe, d)), 0)
+               for d in range(CM_D))

@@ -78,3 +78,52 @@ def merge_sketch_into(spark: SparkSession, state_path: str,
         merged.write.mode("overwrite").parquet(state_path)
 
     return handle
+
+
+# --- streaming count-min: per-batch deltas, idempotent by PATH ---------------
+
+CM_STATE_SCHEMA = "row long, col long, cnt long"
+
+
+def cm_sketch_stream(stream: DataFrame, key_cols: list[str],
+                     item_col: str) -> DataFrame:
+    """(key..., row, col, cnt) as a streaming aggregation — identical
+    expression tree to the batch ``cm_sketch``, state bounded at
+    keys × D × W rows forever, so complete-mode output equals the batch
+    counters row-for-row."""
+    from mbrngq_spark.operators.sketch import cm_sketch
+    return cm_sketch(stream, key_cols, item_col)
+
+
+def merge_cm_sketch_into(spark: SparkSession, state_path: str,
+                         key_cols: list[str], item_col: str):
+    """foreachBatch handler factory for the count-min state.
+
+    CMS merge is SUM — NOT idempotent — so the HLL trick (re-merge a
+    replayed batch into one state table) would double-count after a
+    crash between merge and checkpoint commit. The honest shape is a
+    per-batch DELTA directory: each micro-batch's counter sketch is
+    written (mode=overwrite) to ``state_path/batch=<id>``; a replayed
+    batch overwrites its own directory with identical content, so
+    exactly-once falls out of PATH idempotence instead of algebra.
+    ``read_cm_state`` sums the deltas — itself a counter-wise merge, so
+    the rollup never re-reads items."""
+    from mbrngq_spark.operators.sketch import cm_sketch
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (cm_sketch(batch_df, key_cols, item_col)
+         .write.mode("overwrite")
+         .parquet(f"{state_path}/batch={batch_id}"))
+
+    return handle
+
+
+def read_cm_state(spark: SparkSession, state_path: str, key_cols: list[str],
+                  key_schema: str) -> DataFrame:
+    """Fold the per-batch counter deltas into the live sketch
+    (counter-wise sum across batch directories)."""
+    df = (spark.read.schema(f"{key_schema}, {CM_STATE_SCHEMA}")
+          .option("basePath", state_path)
+          .parquet(f"{state_path}/batch=*"))
+    return (df.groupBy(*key_cols, "row", "col")
+            .agg(F.sum("cnt").alias("cnt")))

@@ -79,3 +79,77 @@ def test_sketch_is_one_partial_aggregation(spark, frame):
         .executedPlan().toString()
     assert "partial_max" in plan or "partial" in plan.lower()
     assert plan.count("Exchange") <= 2  # AQE prints Final+Initial trees
+
+
+# --- count-min sketch --------------------------------------------------------
+
+def test_cm_bucket_twins_bit_equal(spark, frame):
+    cols = [cm for d in range(S.CM_D)
+            for cm in [S.cm_bucket_col(F.col("item"), d).alias(f"b{d}")]]
+    rows = frame.select("item", *cols).collect()
+    for r in rows:
+        for d in range(S.CM_D):
+            assert r[f"b{d}"] == S.cm_bucket_py(r["item"], d), (r["item"], d)
+
+
+def test_cm_merge_equals_direct_counter_exact(spark, frame):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) counter-for-counter —
+    CMS merge is exact addition, stronger than HLL's max algebra."""
+    a = frame.filter(F.col("k") == "a").withColumn("k", F.lit("all"))
+    b = frame.filter(F.col("k") == "b").withColumn("k", F.lit("all"))
+    direct = S.cm_sketch(frame.withColumn("k", F.lit("all")), ["k"], "item")
+    merged = S.cm_merge([S.cm_sketch(a, ["k"], "item"),
+                         S.cm_sketch(b, ["k"], "item")], ["k"])
+    sym = direct.exceptAll(merged).union(merged.exceptAll(direct))
+    assert sym.count() == 0
+
+
+def test_cm_query_overestimates_never_underestimates(spark, frame):
+    """est(x) >= true count(x) for every occurring item (the count-min
+    guarantee), and == under no collisions; absent items still return a
+    collision-bounded overestimate (>= 0)."""
+    sk = S.cm_sketch(frame, ["k"], "item")
+    probes = frame.select("k", "item").distinct()
+    est = {(r["k"], r["item"]): r["est"]
+           for r in S.cm_query(sk, probes, ["k"], "item").collect()}
+    truth = frame.groupBy("k", "item").count().collect()
+    for r in truth:
+        assert est[(r["k"], r["item"])] >= r["count"], (r["k"], r["item"])
+
+
+def test_cm_query_matches_python_twin(spark, frame):
+    pdf = frame.toPandas()
+    items_a = pdf[pdf.k == "a"]["item"].tolist()
+    sk = S.cm_sketch(frame.filter(F.col("k") == "a"), ["k"], "item")
+    probe_items = sorted(set(items_a))[:20] + ["never-seen-item"]
+    probes = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * len(probe_items), "item": probe_items}))
+    got = {r["item"]: r["est"]
+           for r in S.cm_query(sk, probes, ["k"], "item").collect()}
+    for it in probe_items:
+        assert got[it] == S.cm_query_py(items_a, it), it
+
+
+def test_cm_weighted_and_partition_invariance(spark, frame):
+    """Weighted counts thread through, and shuffle layout never changes
+    the counter state (integer sums are order-independent)."""
+    wf = frame.withColumn("w", (F.length("item") % 3 + 1).cast("long"))
+    outs = []
+    for parts in (1, 13):
+        sk = S.cm_sketch(wf.repartition(parts), ["k"], "item",
+                         weight_col="w")
+        outs.append({(r["k"], r["row"], r["col"]): r["cnt"]
+                     for r in sk.collect()})
+    assert outs[0] == outs[1]
+    total_w = wf.agg(F.sum("w")).collect()[0][0]
+    per_row = {}
+    for (k, row, col), cnt in outs[0].items():
+        per_row[row] = per_row.get(row, 0) + cnt
+    assert all(v == total_w for v in per_row.values())
+
+
+def test_cm_sketch_is_one_partial_aggregation(spark, frame):
+    plan = S.cm_sketch(frame, ["k"], "item")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert plan.count("Exchange") <= 2

@@ -115,3 +115,72 @@ def test_checkpoint_unit_sketch_rollup(spark, tmp_path):
         (direct["n_registers"], direct["estimate"])
     exact = allpdf["item"].nunique()
     assert abs(est["estimate"] / exact - 1) < 0.12
+
+
+def test_cm_stream_sketch_equals_batch(spark, tmp_path):
+    """Streaming count-min counters == batch counters on the same rows
+    (state bounded at keys × D × W)."""
+    from mbrngq_spark.streaming.sketch_stream import cm_sketch_stream
+
+    src = str(tmp_path / "src")
+    frames = [_pdf(b) for b in range(3)]
+    for pdf in frames:
+        spark.createDataFrame(pdf, SRC_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(SRC_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (cm_sketch_stream(stream, ["k"], "item")
+         .writeStream.format("memory").queryName("cm_s")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["k"], r["row"], r["col"]): r["cnt"]
+           for r in spark.sql("select * from cm_s").collect()}
+    batch = spark.createDataFrame(pd.concat(frames), SRC_SCHEMA)
+    exp = {(r["k"], r["row"], r["col"]): r["cnt"]
+           for r in S.cm_sketch(batch, ["k"], "item").collect()}
+    assert got == exp
+
+
+def test_cm_merge_sink_exactly_once_by_path(spark, tmp_path):
+    """CMS merge is SUM (not idempotent), so the crash-replay contract
+    moves from algebra to PATH: a replayed batch overwrites its own
+    delta directory, and the summed state equals the batch sketch of
+    all rows — double-counting would be caught as 2× counters."""
+    import pyspark.errors
+    from mbrngq_spark.streaming.sketch_stream import (merge_cm_sketch_into,
+                                                      read_cm_state)
+
+    src = str(tmp_path / "src")
+    frames = [_pdf(b) for b in range(3)]
+    for pdf in frames:
+        spark.createDataFrame(pdf, SRC_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed-once"
+    inner = merge_cm_sketch_into(spark, state, ["k"], "item")
+
+    def handle(df, bid):
+        inner(df, bid)
+        if bid == 1 and not marker.exists():
+            marker.write_text("x")   # delta written, never checkpointed
+            raise RuntimeError("injected")
+
+    def run():
+        q = (spark.readStream.schema(SRC_SCHEMA)
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .writeStream.foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        run()
+    assert marker.exists()
+    run()                            # replays the written batch
+    got = {(r["k"], r["row"], r["col"]): r["cnt"]
+           for r in read_cm_state(spark, state, ["k"],
+                                  "k string").collect()}
+    batch = spark.createDataFrame(pd.concat(frames), SRC_SCHEMA)
+    exp = {(r["k"], r["row"], r["col"]): r["cnt"]
+           for r in S.cm_sketch(batch, ["k"], "item").collect()}
+    assert got == exp
