@@ -178,7 +178,30 @@ def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         polys, "poly_id long, vx array<double>, vy array<double>")
     dist = (point_in_polygon_join_distributed(docs_geo, polys_df)
             .select(F.lit("dist").alias("part"), "poly_id", "doc_id"))
-    return drv.unionByName(dist)
+    # spherical parts: same lat/lon corpus mapping as the geo_* gates;
+    # 'geo' = driver-planned broadcast PNPOLY, 'geo_dist' = celled
+    # distributed twin — both against the unrolled-literal PNPOLY
+    # predicate recomputed in DuckDB (incl. the antimeridian quad)
+    from mbrngq_spark.operators.geodetic import (
+        geodetic_point_in_polygon, geodetic_point_in_polygon_distributed)
+    docs_ll = docs_geo.select(
+        "doc_id",
+        (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    gpolys = pd.DataFrame({
+        "poly_id": [p[0] for p in GEO_POLYS],
+        "vlat": [p[1] for p in GEO_POLYS],
+        "vlon": [p[2] for p in GEO_POLYS]})
+    geo = (geodetic_point_in_polygon(docs_ll, gpolys)
+           .select(F.lit("geo").alias("part"), "poly_id", "doc_id"))
+    gpolys_df = spark.createDataFrame(
+        gpolys, "poly_id long, vlat array<double>, vlon array<double>")
+    geo_dist = (geodetic_point_in_polygon_distributed(docs_ll, gpolys_df,
+                                                      res=5)
+                .select(F.lit("geo_dist").alias("part"), "poly_id",
+                        "doc_id"))
+    return (drv.unionByName(dist).unionByName(geo)
+            .unionByName(geo_dist))
 
 
 def _q_spatial_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,6 +560,44 @@ GEO_QUERIES = [
     (3, 30.0, 100.0),
     (4, -89.5, 0.0),        # deep south
 ]
+
+# spherical polygons for the spatial_pip 'geo'/'geo_dist' parts:
+# 10 = antimeridian-crossing quad, 11 = plain triangle, 12 = concave
+# arrow with a HORIZONTAL edge (try_divide / oracle-edge-skip stress)
+GEO_POLYS = [
+    (10, [-20.0, -20.0, 25.0, 25.0], [170.0, -170.0, -165.0, 172.0]),
+    (11, [10.0, 40.0, 25.0], [-30.0, -20.0, 5.0]),
+    (12, [-50.0, -50.0, -30.0, -45.0, -25.0],
+     [40.0, 80.0, 60.0, 55.0, 45.0]),
+]
+
+
+def _geo_pip_pred_sql(vlat: list, vlon: list) -> str:
+    """DuckDB predicate twin of the wrap-normalized PNPOLY fold, with
+    the polygon's vertices UNROLLED as double literals (the polygons
+    are gate fixtures, known at SQL-generation time). Vertex
+    normalization happens here in Python — the same expression the
+    driver path evaluates, and pmod≡fmod≡Python-% for the positive
+    operands the +540 shift guarantees. Horizontal edges are skipped at
+    generation time (crosses is identically false for them — the SQL
+    analog of the try_divide guard). Association order of xcut matches
+    the Column fold exactly: (xj−xi) * ((lat−yi)/(yj−yi)) + xi."""
+    anchor = float(vlon[0])
+    nv = [((v - anchor + 540.0) % 360.0) - 180.0 for v in vlon]
+    nlon = f"(fmod(lon - ({anchor!r}) + 540.0, 360.0) - 180.0)"
+    terms = []
+    n = len(vlat)
+    for i in range(n):
+        j = (i - 1) % n
+        yi, yj = float(vlat[i]), float(vlat[j])
+        xi, xj = nv[i], nv[j]
+        if yi == yj:
+            continue
+        terms.append(
+            f"CASE WHEN (({yi!r} > lat) <> ({yj!r} > lat)) AND {nlon} < "
+            f"({xj!r} - {xi!r}) * ((lat - {yi!r}) / ({yj!r} - {yi!r})) "
+            f"+ {xi!r} THEN 1 ELSE 0 END")
+    return "(" + " + ".join(terms) + ") % 2 = 1"
 
 
 def _q_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1609,6 +1670,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'driver' AS part, poly_id, doc_id FROM hits
         UNION ALL
         SELECT 'dist' AS part, poly_id, doc_id FROM hits
+        UNION ALL
+        SELECT part, poly_id, doc_id FROM (
+          WITH ll AS (SELECT doc_id, y * 1.8 - 90.0 AS lat,
+                             x * 3.6 - 180.0 AS lon FROM ({geo})),
+          ghits AS ({" UNION ALL ".join(
+              f"SELECT CAST({pid} AS BIGINT) AS poly_id, doc_id FROM ll "
+              f"WHERE {_geo_pip_pred_sql(vlat, vlon)}"
+              for pid, vlat, vlon in GEO_POLYS)})
+          SELECT 'geo' AS part, poly_id, doc_id FROM ghits
+          UNION ALL
+          SELECT 'geo_dist' AS part, poly_id, doc_id FROM ghits
+        ) g2
     """
 
     spatial_bounds = f"""

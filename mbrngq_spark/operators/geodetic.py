@@ -783,11 +783,18 @@ def geodetic_point_in_polygon(docs_ll: DataFrame, polys: pd.DataFrame,
         & (F.col("nlon") >= F.col("lon0"))
         & (F.col("nlon") <= F.col("lon1")))
 
-    # PNPOLY even-odd over the normalized frame, as one aggregate fold
-    # across edge indices (JVM-side, no UDF): edge i pairs vertex i with
-    # vertex (i-1+n)%n
+    return (cand.withColumn("__in", F.pmod(_pnpoly_flips(), F.lit(2)) == 1)
+            .filter(F.col("__in"))
+            .select("poly_id", id_col))
+
+
+def _pnpoly_flips() -> Column:
+    """PNPOLY even-odd crossing count over the normalized frame, as one
+    aggregate fold across edge indices (JVM-side, no UDF): edge i pairs
+    vertex i with vertex (i-1+n)%n. Reads row columns ``vlat``/``vlon``
+    (vertex arrays, vlon already wrap-normalized) and ``lat``/``nlon``
+    (the test point in the same frame)."""
     n_expr = F.size("vlat")
-    idx = F.sequence(F.lit(0), n_expr - 1)
 
     def edge_flip(i):
         j = F.pmod(i - 1 + n_expr, n_expr)
@@ -803,10 +810,78 @@ def geodetic_point_in_polygon(docs_ll: DataFrame, polys: pd.DataFrame,
         xcut = (xj - xi) * F.try_divide(F.col("lat") - yi, yj - yi) + xi
         return F.when(crosses & (F.col("nlon") < xcut), 1).otherwise(0)
 
-    flips = F.aggregate(idx, F.lit(0),
-                        lambda acc, i: acc + edge_flip(i))
-    return (cand.withColumn("__in", F.pmod(flips, F.lit(2)) == 1)
-            .filter(F.col("__in"))
+    return F.aggregate(F.sequence(F.lit(0), n_expr - 1), F.lit(0),
+                       lambda acc, i: acc + edge_flip(i))
+
+
+def geodetic_point_in_polygon_distributed(docs_ll: DataFrame,
+                                          polygons_df: DataFrame,
+                                          res: int = 6,
+                                          id_col: str = "doc_id",
+                                          broadcast_cover: bool = True
+                                          ) -> DataFrame:
+    """Distributed twin of :func:`geodetic_point_in_polygon` for LARGE
+    polygon tables: ``polygons_df`` is a DataFrame (poly_id, vlat
+    array<double>, vlon array<double>) of arbitrary size — the driver
+    path's per-polygon pandas loop and crossJoin are replaced by a
+    celled candidate join, with every per-polygon derivation (anchor,
+    wrap normalization, bbox, covering cells) as Column expressions.
+
+    Covering cells on the row-major lat/lon grid at ``res``: lat rows
+    from the vertex-lat extremes; lon columns enumerated in the
+    polygon's UNWRAPPED window (anchor + normalized bbox, which is
+    contiguous by the wrap contract) and mapped into [0, n) by pmod —
+    an antimeridian-crossing polygon thereby covers both boundary
+    columns without special-casing. Both sides of the join key use the
+    same pmod column formula (a point at lon exactly ±180 wraps to
+    column 0 on BOTH sides, where geo_cell_col would clamp it to n−1).
+
+    The refine is the exact same wrap-normalized bbox filter + PNPOLY
+    fold as the driver path (``_pnpoly_flips``) — no Python anywhere.
+    Same contract: pole-spanning / ≥ 180°-wide polygons excluded."""
+    n = 1 << res
+    wlat, wlon = 180.0 / n, 360.0 / n
+
+    def lat_row(lat):
+        return F.least(F.floor((lat + 90.0) / wlat).cast("long"),
+                       F.lit(n - 1))
+
+    anchor = F.element_at(F.col("vlon"), 1)
+    p = (polygons_df
+         .withColumn("anchor", anchor)
+         .withColumn("vlon", F.transform(
+             F.col("vlon"),
+             lambda v: F.pmod(v - F.col("anchor") + 540.0,
+                              F.lit(360.0)) - 180.0))
+         .withColumn("lat0", F.array_min("vlat"))
+         .withColumn("lat1", F.array_max("vlat"))
+         .withColumn("lon0", F.array_min("vlon"))
+         .withColumn("lon1", F.array_max("vlon")))
+    cover = (p
+             .withColumn("__iy", F.explode(F.sequence(
+                 lat_row(F.col("lat0")), lat_row(F.col("lat1")))))
+             .withColumn("__ux", F.explode(F.sequence(
+                 F.floor((F.col("anchor") + F.col("lon0") + 180.0) / wlon)
+                 .cast("long"),
+                 F.floor((F.col("anchor") + F.col("lon1") + 180.0) / wlon)
+                 .cast("long"))))
+             .withColumn("cell",
+                         F.col("__iy") * n + F.pmod(F.col("__ux"), F.lit(n)))
+             .drop("__iy", "__ux"))
+
+    doc_cell = (lat_row(F.col("lat")) * n
+                + F.pmod(F.floor((F.col("lon") + 180.0) / wlon).cast("long"),
+                         F.lit(n)))
+    docs_c = docs_ll.withColumn("cell", doc_cell)
+    cand = (docs_c.join(F.broadcast(cover) if broadcast_cover else cover,
+                        "cell")
+            .withColumn("nlon", F.pmod(F.col("lon") - F.col("anchor")
+                                       + 540.0, F.lit(360.0)) - 180.0)
+            .filter((F.col("lat") >= F.col("lat0"))
+                    & (F.col("lat") <= F.col("lat1"))
+                    & (F.col("nlon") >= F.col("lon0"))
+                    & (F.col("nlon") <= F.col("lon1"))))
+    return (cand.filter(F.pmod(_pnpoly_flips(), F.lit(2)) == 1)
             .select("poly_id", id_col))
 
 

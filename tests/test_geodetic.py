@@ -389,3 +389,39 @@ def test_geodetic_knn_radius_capped(spark, kind):
     kb = sorted((r.query_id, r.rnk, r.doc_id, r.dist_m) for r in b)
     assert ka == kb
     assert all(r.dist_m <= cap for r in a)
+
+
+def test_geodetic_pip_distributed_equals_driver(spark):
+    """Distributed spherical PIP (celled cover, Column-only derivations)
+    ≡ the driver-planned broadcast path, on a corpus straddling the
+    antimeridian with a crossing and a non-crossing polygon, at two
+    grid resolutions and both join strategies."""
+    from mbrngq_spark.operators.geodetic import (
+        geodetic_point_in_polygon, geodetic_point_in_polygon_distributed)
+
+    rng = np.random.default_rng(47)
+    docs_pd = pd.DataFrame({
+        "doc_id": np.arange(3000),
+        "lat": rng.uniform(-60, 60, 3000),
+        "lon": rng.uniform(-180, 180, 3000)})
+    polys = pd.DataFrame({
+        "poly_id": [0, 1, 2],
+        # 0: antimeridian-crossing quad; 1: plain triangle; 2: a concave
+        # arrow with a horizontal edge (ANSI try_divide stress)
+        "vlat": [[-20.0, -20.0, 25.0, 25.0], [10.0, 40.0, 25.0],
+                 [-50.0, -50.0, -30.0, -45.0, -25.0]],
+        "vlon": [[170.0, -170.0, -165.0, 172.0], [-30.0, -20.0, 5.0],
+                 [40.0, 80.0, 60.0, 55.0, 45.0]]})
+    docs = spark.createDataFrame(docs_pd)
+    exp = {(r.poly_id, r.doc_id) for r in
+           geodetic_point_in_polygon(docs, polys).collect()}
+    polys_df = spark.createDataFrame(
+        polys, "poly_id long, vlat array<double>, vlon array<double>")
+    for res in (4, 6):
+        for bc in (True, False):
+            got = {(r.poly_id, r.doc_id) for r in
+                   geodetic_point_in_polygon_distributed(
+                       docs, polys_df, res=res,
+                       broadcast_cover=bc).collect()}
+            assert got == exp, (res, bc)
+    assert len(exp) > 50
