@@ -994,9 +994,31 @@ def _q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("cm_merged").alias("part"), F.col("event_type").alias("key"),
         (F.col("row") * SK.CM_W + F.col("col")).alias("id"),
         F.col("cnt").alias("a"), F.lit(-1.0).alias("value"))
+    # Bloom parts (r6): 'bf_reg' = the word/bitmap state per event_type
+    # over user_id; 'bf_member' = the K-position membership decision for
+    # user_ids 0..11 (false positives included — they must MATCH the
+    # oracle's, proving the bit arithmetic, not just the semantics);
+    # 'bf_merged' = OR-merged global bitmap vs the oracle's direct build.
+    bf_by_type = SK.bf_build(ev, ["event_type"], "user_id")
+    bf_reg = bf_by_type.select(
+        F.lit("bf_reg").alias("part"), F.col("event_type").alias("key"),
+        F.col("word").alias("id"), F.col("bits").alias("a"),
+        F.lit(-1.0).alias("value"))
+    bf_member = SK.bf_might_contain(bf_by_type, probes, ["event_type"],
+                                    "user_id").select(
+        F.lit("bf_member").alias("part"), F.col("event_type").alias("key"),
+        F.col("user_id").alias("id"), F.col("member").alias("a"),
+        F.lit(-1.0).alias("value"))
+    bf_merged = SK.bf_merge(
+        [bf_by_type.withColumn("event_type", F.lit("all"))],
+        ["event_type"]).select(
+        F.lit("bf_merged").alias("part"), F.col("event_type").alias("key"),
+        F.col("word").alias("id"), F.col("bits").alias("a"),
+        F.lit(-1.0).alias("value"))
     return (reg.unionByName(est_u).unionByName(est_p).unionByName(merged)
             .unionByName(cm_reg).unionByName(cm_est)
-            .unionByName(cm_merged))
+            .unionByName(cm_merged).unionByName(bf_reg)
+            .unionByName(bf_member).unionByName(bf_merged))
 
 
 def _q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2130,6 +2152,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'cm_merged', key, row * {SKm.CM_W} + col, cnt,
                CAST(-1.0 AS DOUBLE)
         FROM ({SKm.cm_counters_sql("events", "'all'", "user_id")}) cm
+        UNION ALL
+        SELECT 'bf_reg', key, word, bits, CAST(-1.0 AS DOUBLE)
+        FROM ({SKm.bf_build_sql("events", "event_type", "user_id")}) br
+        UNION ALL
+        SELECT 'bf_member', key, item, member, CAST(-1.0 AS DOUBLE)
+        FROM ({SKm.bf_member_sql(
+            SKm.bf_build_sql("events", "event_type", "user_id"),
+            "SELECT DISTINCT event_type AS key, u AS item FROM events, "
+            "(SELECT unnest(generate_series(0, 11)) AS u)")}) bm
+        UNION ALL
+        SELECT 'bf_merged', key, word, bits, CAST(-1.0 AS DOUBLE)
+        FROM ({SKm.bf_build_sql("events", "'all'", "user_id")}) bg
     """
 
     calendar_rollup = """

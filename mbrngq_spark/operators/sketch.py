@@ -1,5 +1,5 @@
-"""Mergeable cardinality sketches (HyperLogLog) with cross-engine-exact
-registers.
+"""Mergeable sketches with cross-engine-exact state: HyperLogLog
+(distinct), count-min (frequency), Bloom (membership).
 
 At 10^12 documents, "distinct docs per tile / users per day / tokens per
 shard" cannot be a count-distinct (one corpus-sized shuffle per key and a
@@ -325,3 +325,174 @@ def cm_query_py(items: list[str], probe: str) -> int:
             counters[c] = counters.get(c, 0) + 1
     return min(counters.get((d, cm_bucket_py(probe, d)), 0)
                for d in range(CM_D))
+
+
+# --- Bloom filter: OR-mergeable membership sketch ----------------------------
+#
+# The membership side of the sketch triple (HLL = distinct, CMS =
+# frequency, Bloom = membership). At 100 TB the canonical use is JOIN
+# PRUNING: build the filter over the SMALL side's keys (eval set,
+# dimension keys), broadcast the ~kB bitmap, and drop non-matching
+# corpus rows MAP-SIDE before any shuffle — no false negatives, a
+# bounded false-positive rate, and merge across partitions/days is
+# bitwise OR (idempotent, so the streaming story is the HLL algebra,
+# not the CMS delta-dir one). Bit positions come from md5 nibble
+# triplets (4096-bit filter = 3 nibbles per position, K=4 positions
+# from 12 nibbles) — bit-exact across Spark, DuckDB and Python.
+
+BF_K = 4                        # hash positions per item
+BF_BITS = 4096                  # filter width (64 words × 64 bits)
+BF_WORDS = BF_BITS // 64
+
+
+def bf_position_col(item: Column, d: int) -> Column:
+    """Bit position of ``item`` for hash d (md5 nibbles 3d+1..3d+3)."""
+    h = F.md5(item.cast("string"))
+    return F.conv(F.substring(h, 3 * d + 1, 3), 16, 10).cast("long")
+
+
+def bf_position_sql(item_expr: str, d: int) -> str:
+    """DuckDB twin of bf_position_col."""
+    h = f"md5(CAST({item_expr} AS VARCHAR))"
+    nib = f"(strpos('0123456789abcdef', substr({h}, {{i}}, 1)) - 1)"
+    return (f"CAST({nib.format(i=3 * d + 1)} * 256 "
+            f"+ {nib.format(i=3 * d + 2)} * 16 "
+            f"+ {nib.format(i=3 * d + 3)} AS BIGINT)")
+
+
+def bf_position_py(item: str, d: int) -> int:
+    """Pure-Python twin (pytest ground truth)."""
+    return int(hashlib.md5(item.encode()).hexdigest()[3 * d:3 * d + 3], 16)
+
+
+# 1<<63 doesn't fit a signed long literal — bit 63 is min-long; a mask
+# lookup table sidesteps F.shiftleft's int-literal-only amount
+_POW2 = [1 << b for b in range(63)] + [-(1 << 63)]
+
+
+def _mask_col(bit: Column) -> Column:
+    """Single-bit int64 mask for a [0, 64) bit index Column."""
+    arr = F.array(*[F.lit(v).cast("long") for v in _POW2])
+    return F.element_at(arr, bit.cast("int") + 1)
+
+
+def bf_build(df: DataFrame, key_cols: list[str], item_col: str) -> DataFrame:
+    """(key..., word, bits) — the sparse bitmap state, one map-side-
+    combinable bit_or aggregation (partials are ≤ BF_WORDS longs per
+    key per task). Absent words are zero."""
+    positions = F.array(*[bf_position_col(F.col(item_col), d)
+                          for d in range(BF_K)])
+    return (df.select(*key_cols, F.explode(positions).alias("__pos"))
+              .select(*key_cols, (F.col("__pos") / 64).cast("long")
+                      .alias("word"),
+                      _mask_col(F.col("__pos") % 64).alias("__m"))
+              .groupBy(*key_cols, "word")
+              .agg(F.bit_or("__m").alias("bits")))
+
+
+def bf_merge(filters: list[DataFrame], key_cols: list[str]) -> DataFrame:
+    """Union of bitmap states → word-wise OR (idempotent — replaying a
+    batch re-ORs to the same state, the HLL exactly-once algebra)."""
+    out = filters[0]
+    for s in filters[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*key_cols, "word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bf_might_contain(bf: DataFrame, probes: DataFrame, key_cols: list[str],
+                     item_col: str) -> DataFrame:
+    """(key..., item, member) — member=1 iff ALL K positions are set
+    (no false negatives by construction). Probe side explodes to K
+    rows, LEFT-joins the (tiny) bitmap, and requires K hits."""
+    positions = F.array(*[bf_position_col(F.col(item_col), d)
+                          for d in range(BF_K)])
+    p = (probes.select(*key_cols, F.col(item_col).alias("__item"),
+                       F.explode(positions).alias("__pos"))
+         .select(*key_cols, "__item", (F.col("__pos") / 64).cast("long")
+                 .alias("word"), (F.col("__pos") % 64).alias("__bit")))
+    hit = (F.coalesce(F.col("bits"), F.lit(0))
+           .bitwiseAND(_mask_col(F.col("__bit"))) != 0).cast("long")
+    joined = p.join(F.broadcast(bf), [*key_cols, "word"], "left")
+    return (joined.groupBy(*key_cols, "__item")
+            .agg((F.sum(hit) == BF_K).cast("long").alias("member"))
+            .withColumnRenamed("__item", item_col))
+
+
+def bf_prune_col(state_rows: list, item: Column) -> Column:
+    """MAP-SIDE membership test as a pure Column expression — the join-
+    pruning shape: ``state_rows`` is the COLLECTED bitmap (rows with
+    .word/.bits, ≤ BF_WORDS of them — kilobytes), embedded as a literal
+    array so the corpus side needs no join, no shuffle, no Python.
+    Returns a boolean Column (true = possibly present)."""
+    words = [0] * BF_WORDS
+    for r in state_rows:
+        words[int(r["word"])] = int(r["bits"])
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    checks = []
+    for d in range(BF_K):
+        pos = bf_position_col(item, d)
+        w = F.element_at(arr, ((pos / 64).cast("int") + 1))
+        checks.append(w.bitwiseAND(_mask_col(pos % 64)) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+# DuckDB raises on 1 << 63 (overflow-checked shift) — embed the same
+# signed-mask lookup table the Column side uses, as a literal list
+_MASK_LIST_SQL = ("[" + ", ".join(
+    [str(1 << b) for b in range(63)] + ["(-9223372036854775807 - 1)"])
+    + "]")
+
+
+def _mask_sql(bit_expr: str) -> str:
+    return f"CAST({_MASK_LIST_SQL}[CAST({bit_expr} AS INT) + 1] AS BIGINT)"
+
+
+def bf_build_sql(table_expr: str, key_expr: str, item_expr: str) -> str:
+    """DuckDB twin of bf_build: (key, word, bits) — bit-exact vs Spark."""
+    parts = " UNION ALL ".join(
+        f"SELECT {key_expr} AS key, {bf_position_sql(item_expr, d)} AS pos "
+        f"FROM {table_expr}" for d in range(BF_K))
+    return f"""
+        SELECT key, CAST(pos // 64 AS BIGINT) AS word,
+               CAST(bit_or({_mask_sql("pos % 64")}) AS BIGINT) AS bits
+        FROM ({parts}) p GROUP BY 1, 2
+    """
+
+
+def bf_member_sql(bf_sql: str, probes_sql: str,
+                  item_expr: str = "item") -> str:
+    """DuckDB twin of bf_might_contain. ``probes_sql`` yields
+    (key, item)."""
+    cells = " UNION ALL ".join(
+        f"SELECT key, {item_expr} AS item, "
+        f"CAST({bf_position_sql(item_expr, d)} // 64 AS BIGINT) AS word, "
+        f"CAST({bf_position_sql(item_expr, d)} % 64 AS INT) AS bit "
+        f"FROM probes" for d in range(BF_K))
+    return f"""
+        WITH bf AS ({bf_sql}), probes AS ({probes_sql}),
+        cells AS ({cells})
+        SELECT cells.key, cells.item,
+               CAST(CASE WHEN sum(CASE WHEN
+                      (coalesce(bf.bits, 0)
+                       & {_mask_sql("cells.bit")}) <> 0
+                      THEN 1 ELSE 0 END) = {BF_K}
+                    THEN 1 ELSE 0 END AS BIGINT) AS member
+        FROM cells LEFT JOIN bf
+          ON cells.key = bf.key AND cells.word = bf.word
+        GROUP BY 1, 2
+    """
+
+
+def bf_member_py(items: list[str], probe: str) -> int:
+    """Pure-Python twin: build the bitmap, test one probe."""
+    words = [0] * BF_WORDS
+    for it in items:
+        for d in range(BF_K):
+            p = bf_position_py(it, d)
+            words[p // 64] |= 1 << (p % 64)
+    return int(all(words[bf_position_py(probe, d) // 64]
+                   >> (bf_position_py(probe, d) % 64) & 1
+                   for d in range(BF_K)))

@@ -153,3 +153,64 @@ def test_cm_sketch_is_one_partial_aggregation(spark, frame):
         .executedPlan().toString()
     assert "partial_sum" in plan or "partial" in plan.lower()
     assert plan.count("Exchange") <= 2
+
+
+# --- Bloom filter ------------------------------------------------------------
+
+def test_bf_position_twins_bit_equal(spark, frame):
+    cols = [S.bf_position_col(F.col("item"), d).alias(f"p{d}")
+            for d in range(S.BF_K)]
+    for r in frame.select("item", *cols).collect():
+        for d in range(S.BF_K):
+            assert r[f"p{d}"] == S.bf_position_py(r["item"], d)
+            assert 0 <= r[f"p{d}"] < S.BF_BITS
+
+
+def test_bf_no_false_negatives_and_python_twin(spark, frame):
+    """member=1 for EVERY inserted item (the Bloom guarantee), and the
+    membership decision — including false positives — matches the
+    pure-Python twin bit-for-bit."""
+    items_a = [r["item"] for r in
+               frame.filter(F.col("k") == "a").select("item").collect()]
+    bf = S.bf_build(frame.filter(F.col("k") == "a"), ["k"], "item")
+    probe_items = sorted(set(items_a))[:30] + [f"absent/{i}"
+                                               for i in range(50)]
+    probes = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * len(probe_items), "item": probe_items}))
+    got = {r["item"]: r["member"]
+           for r in S.bf_might_contain(bf, probes, ["k"], "item").collect()}
+    for it in probe_items:
+        assert got[it] == S.bf_member_py(items_a, it), it
+    for it in probe_items[:30]:
+        assert got[it] == 1, it
+
+
+def test_bf_merge_idempotent_and_equals_direct(spark, frame):
+    """OR-merge: merge(bf(A), bf(B)) == bf(A∪B) word-exact, and merging
+    a filter with ITSELF is a no-op (the exactly-once algebra)."""
+    a = frame.filter(F.col("k") == "a").withColumn("k", F.lit("all"))
+    b = frame.filter(F.col("k") == "b").withColumn("k", F.lit("all"))
+    direct = S.bf_build(frame.withColumn("k", F.lit("all")), ["k"], "item")
+    bfa = S.bf_build(a, ["k"], "item")
+    merged = S.bf_merge([bfa, S.bf_build(b, ["k"], "item")], ["k"])
+    sym = direct.exceptAll(merged).union(merged.exceptAll(direct))
+    assert sym.count() == 0
+    twice = S.bf_merge([bfa, bfa], ["k"])
+    sym2 = bfa.exceptAll(twice).union(twice.exceptAll(bfa))
+    assert sym2.count() == 0
+
+
+def test_bf_prune_col_mapside_no_shuffle(spark, frame):
+    """The join-pruning shape: collected bitmap embedded as a literal
+    array, corpus filtered map-side — keeps every true member, plan has
+    no Exchange and no Python."""
+    small = frame.filter(F.col("k") == "b")
+    state = S.bf_build(small, ["k"], "item").collect()
+    pruned = frame.filter(S.bf_prune_col(state, F.col("item")))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    kept = {r["item"] for r in pruned.select("item").collect()}
+    true_members = {r["item"] for r in small.select("item").collect()}
+    assert true_members <= kept
+    # the 4096-bit filter over 60 items should prune most of the 700
+    assert len(kept) < frame.select("item").distinct().count() * 0.5
