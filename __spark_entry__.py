@@ -1015,10 +1015,35 @@ def _q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("bf_merged").alias("part"), F.col("event_type").alias("key"),
         F.col("word").alias("id"), F.col("bits").alias("a"),
         F.lit(-1.0).alias("value"))
+    # histogram-quantile parts (r6): 'qh_reg' = the fixed-grid histogram
+    # state per event_type over value (declared domain [0, 500), 256
+    # bins); 'qh_est' = interpolated quantiles (id = q·100) whose float
+    # path is replayed op-for-op in DuckDB; 'qh_merged' = global
+    # histogram built by MERGING per-type states vs the oracle's direct
+    # build (sum-merge == direct).
+    QH_QS = [0.25, 0.5, 0.9, 0.99]
+    qh_by_type = SK.qh_sketch(ev, ["event_type"], "value", 0.0, 500.0)
+    qh_reg = qh_by_type.select(
+        F.lit("qh_reg").alias("part"), F.col("event_type").alias("key"),
+        F.col("bin").alias("id"), F.col("cnt").alias("a"),
+        F.lit(-1.0).alias("value"))
+    qh_est = SK.qh_quantiles(qh_by_type, ["event_type"], QH_QS,
+                             0.0, 500.0).select(
+        F.lit("qh_est").alias("part"), F.col("event_type").alias("key"),
+        F.round(F.col("q") * 100).cast("long").alias("id"),
+        F.lit(-1).cast("long").alias("a"), F.col("est").alias("value"))
+    qh_merged = SK.qh_merge(
+        [qh_by_type.withColumn("event_type", F.lit("all"))],
+        ["event_type"]).select(
+        F.lit("qh_merged").alias("part"), F.col("event_type").alias("key"),
+        F.col("bin").alias("id"), F.col("cnt").alias("a"),
+        F.lit(-1.0).alias("value"))
     return (reg.unionByName(est_u).unionByName(est_p).unionByName(merged)
             .unionByName(cm_reg).unionByName(cm_est)
             .unionByName(cm_merged).unionByName(bf_reg)
-            .unionByName(bf_member).unionByName(bf_merged))
+            .unionByName(bf_member).unionByName(bf_merged)
+            .unionByName(qh_reg).unionByName(qh_est)
+            .unionByName(qh_merged))
 
 
 def _q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2164,6 +2189,20 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'bf_merged', key, word, bits, CAST(-1.0 AS DOUBLE)
         FROM ({SKm.bf_build_sql("events", "'all'", "user_id")}) bg
+        UNION ALL
+        SELECT 'qh_reg', key, bin, cnt, CAST(-1.0 AS DOUBLE)
+        FROM ({SKm.qh_sketch_sql("events", "event_type", "value",
+                                 0.0, 500.0)}) qr
+        UNION ALL
+        SELECT 'qh_est', key, CAST(round(q * 100) AS BIGINT),
+               CAST(-1 AS BIGINT), est
+        FROM ({SKm.qh_quantiles_sql(
+            SKm.qh_sketch_sql("events", "event_type", "value", 0.0, 500.0),
+            [0.25, 0.5, 0.9, 0.99], 0.0, 500.0)}) qe
+        UNION ALL
+        SELECT 'qh_merged', key, bin, cnt, CAST(-1.0 AS DOUBLE)
+        FROM ({SKm.qh_sketch_sql("events", "'all'", "value",
+                                 0.0, 500.0)}) qg
     """
 
     calendar_rollup = """

@@ -496,3 +496,156 @@ def bf_member_py(items: list[str], probe: str) -> int:
     return int(all(words[bf_position_py(probe, d) // 64]
                    >> (bf_position_py(probe, d) % 64) & 1
                    for d in range(BF_K)))
+
+
+# --- fixed-histogram quantile sketch: mergeable-by-SUM -----------------------
+#
+# The quantile side of the sketch family. KLL/t-digest state depends on
+# randomized compaction — useless for cross-engine value checks — so
+# this takes the deterministic fixed-grid route: a (key, bin, cnt)
+# histogram over a DECLARED value domain [lo, hi), mergeable by
+# counter-wise sum (the CMS algebra), with interpolated quantile
+# estimates whose float arithmetic is replayed operation-for-operation
+# in DuckDB. Error is bounded by the bin width (hi−lo)/bins — the
+# honest trade for determinism, and at 100 TB the state per key is
+# ≤ bins longs no matter how many rows contributed.
+#
+# Quantile contract: q ∈ (0, 1]. The target rank is q·total; the
+# selected bin is the unique one whose cumulative count first reaches
+# the target, with linear interpolation inside the bin.
+
+QH_BINS = 256
+
+
+def qh_bin_col(value: Column, lo: float, hi: float,
+               bins: int = QH_BINS) -> Column:
+    """Histogram bin of ``value`` — clamped so out-of-domain values
+    land in the edge bins (same clamp as grid.quantize)."""
+    width = (hi - lo) / bins
+    b = F.floor((value - F.lit(lo)) / F.lit(width))
+    return F.greatest(F.least(b, F.lit(bins - 1)), F.lit(0)).cast("long")
+
+
+def qh_sketch(df: DataFrame, key_cols: list[str], value_col: str,
+              lo: float, hi: float, bins: int = QH_BINS) -> DataFrame:
+    """(key..., bin, cnt) — one map-side-combinable sum aggregation."""
+    return (df.select(*key_cols,
+                      qh_bin_col(F.col(value_col), lo, hi, bins)
+                      .alias("bin"))
+              .groupBy(*key_cols, "bin")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def qh_merge(sketches: list[DataFrame], key_cols: list[str]) -> DataFrame:
+    """Union of histogram states → bin-wise sum (exact merge)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*key_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def qh_quantiles(sketch: DataFrame, key_cols: list[str], qs: list[float],
+                 lo: float, hi: float, bins: int = QH_BINS) -> DataFrame:
+    """(key..., q, est) — interpolated quantile per requested q.
+
+    target = q·total; the selected bin is the unique one with
+    cum−cnt < target ≤ cum; est = lo + (bin + (target−(cum−cnt))/cnt)
+    ·width, rounded to EST_DP. Every float op (including q·total) uses
+    the same literals and order as the SQL twin, so knife-edge targets
+    that land exactly on a bin boundary branch identically in both
+    engines."""
+    from pyspark.sql import Window
+    width = (hi - lo) / bins
+    w = (Window.partitionBy(*key_cols).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy(*key_cols)
+    cum = (sketch.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("total", F.sum("cnt").over(wt)))
+    qdf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    x = cum.select(*key_cols, "bin", "cnt", "cum", "total", qdf)
+    target = F.col("q") * F.col("total").cast("double")
+    hit = x.filter(((F.col("cum") - F.col("cnt")).cast("double") < target)
+                   & (F.col("cum").cast("double") >= target))
+    frac = ((target - (F.col("cum") - F.col("cnt")).cast("double"))
+            / F.col("cnt").cast("double"))
+    est = (F.lit(lo)
+           + (F.col("bin").cast("double") + frac) * F.lit(width))
+    return hit.select(*key_cols, "q",
+                      F.round(est, EST_DP).alias("est"))
+
+
+def qh_sketch_sql(table_expr: str, key_expr: str, value_expr: str,
+                  lo: float, hi: float, bins: int = QH_BINS) -> str:
+    """DuckDB twin of qh_sketch (same clamp, same width literal)."""
+    width = (hi - lo) / bins
+    b = f"CAST(floor(({value_expr} - {lo!r}) / {width!r}) AS BIGINT)"
+    return f"""
+        SELECT {key_expr} AS key,
+               greatest(least({b}, {bins - 1}), 0) AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM {table_expr} GROUP BY 1, 2
+    """
+
+
+def qh_quantiles_sql(sketch_sql: str, qs: list[float], lo: float,
+                     hi: float, bins: int = QH_BINS) -> str:
+    """DuckDB twin of qh_quantiles — identical float ops and branch
+    predicate."""
+    width = (hi - lo) / bins
+    # bare literals parse as DECIMAL in DuckDB (repo VALUES→DECIMAL
+    # rule) — force DOUBLE so q·total multiplies in the same type Spark
+    # uses
+    q_list = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""
+        WITH h AS ({sketch_sql}),
+        c AS (
+          SELECT key, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY key ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY key) AS total
+          FROM h),
+        x AS (SELECT c.*, q FROM c CROSS JOIN (
+                SELECT unnest([{q_list}]) AS q) qs)
+        SELECT key, q,
+               round({lo!r} + (CAST(bin AS DOUBLE)
+                     + (q * CAST(total AS DOUBLE)
+                        - CAST(cum - cnt AS DOUBLE))
+                       / CAST(cnt AS DOUBLE)) * {width!r},
+                     {EST_DP}) AS est
+        FROM x
+        WHERE CAST(cum - cnt AS DOUBLE) < q * CAST(total AS DOUBLE)
+          AND CAST(cum AS DOUBLE) >= q * CAST(total AS DOUBLE)
+    """
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Spark's F.round semantics (BigDecimal.valueOf → HALF_UP on the
+    shortest decimal repr). Python's round() is banker's — it diverges
+    exactly when an estimate lands on a half boundary, which the
+    power-of-two bin widths here make common (e.g. 99.53125 @ 4dp)."""
+    import decimal
+    d = decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal(1).scaleb(-dp), rounding=decimal.ROUND_HALF_UP)
+    return float(d)
+
+
+def qh_quantile_py(values: list[float], q: float, lo: float, hi: float,
+                   bins: int = QH_BINS) -> float:
+    """Pure-Python twin (pytest ground truth)."""
+    width = (hi - lo) / bins
+    hist = [0] * bins
+    for v in values:
+        b = int(math.floor((v - lo) / width))
+        hist[max(min(b, bins - 1), 0)] += 1
+    total = len(values)
+    target = q * total
+    cum = 0
+    for b, cnt in enumerate(hist):
+        if cnt == 0:
+            continue
+        prev = cum
+        cum += cnt
+        if prev < target <= cum:
+            frac = (target - prev) / cnt
+            return _round_half_up(lo + (b + frac) * width, EST_DP)
+    raise ValueError("q out of (0, 1] or empty input")

@@ -214,3 +214,63 @@ def test_bf_prune_col_mapside_no_shuffle(spark, frame):
     assert true_members <= kept
     # the 4096-bit filter over 60 items should prune most of the 700
     assert len(kept) < frame.select("item").distinct().count() * 0.5
+
+
+# --- histogram quantile sketch ----------------------------------------------
+
+@pytest.fixture(scope="module")
+def vframe(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    rows = [("a", float(v)) for v in rng.uniform(0, 100, 900)] + \
+           [("b", float(v)) for v in np.concatenate(
+               [rng.uniform(0, 10, 300), rng.uniform(90, 100, 100)])]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "v"])).localCheckpoint()
+
+
+def test_qh_merge_equals_direct(spark, vframe):
+    a = vframe.filter(F.col("k") == "a").withColumn("k", F.lit("all"))
+    b = vframe.filter(F.col("k") == "b").withColumn("k", F.lit("all"))
+    direct = S.qh_sketch(vframe.withColumn("k", F.lit("all")),
+                         ["k"], "v", 0.0, 100.0)
+    merged = S.qh_merge([S.qh_sketch(a, ["k"], "v", 0.0, 100.0),
+                         S.qh_sketch(b, ["k"], "v", 0.0, 100.0)], ["k"])
+    sym = direct.exceptAll(merged).union(merged.exceptAll(direct))
+    assert sym.count() == 0
+
+
+def test_qh_quantiles_match_python_twin_and_truth(spark, vframe):
+    qs = [0.25, 0.5, 0.9, 0.99, 1.0]
+    sk = S.qh_sketch(vframe, ["k"], "v", 0.0, 100.0)
+    got = {(r["k"], r["q"]): r["est"]
+           for r in S.qh_quantiles(sk, ["k"], qs, 0.0, 100.0).collect()}
+    pdf = vframe.toPandas()
+    for k, grp in pdf.groupby("k"):
+        vals = grp["v"].tolist()
+        for q in qs:
+            assert got[(k, q)] == S.qh_quantile_py(vals, q, 0.0, 100.0), \
+                (k, q)
+            # within one bin width of the exact empirical quantile
+            import numpy as np
+            exact = float(np.quantile(np.array(vals), q))
+            assert abs(got[(k, q)] - exact) <= 100.0 / S.QH_BINS + 1e-9, \
+                (k, q, got[(k, q)], exact)
+
+
+def test_qh_out_of_domain_clamps(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["x"] * 4, "v": [-5.0, 0.0, 99.9, 140.0]}))
+    sk = S.qh_sketch(df, ["k"], "v", 0.0, 100.0)
+    rows = {r["bin"]: r["cnt"] for r in sk.collect()}
+    assert rows.get(0) == 2 and rows.get(S.QH_BINS - 1) == 2
+
+
+def test_qh_partition_invariance(spark, vframe):
+    outs = []
+    for parts in (1, 13):
+        est = S.qh_quantiles(
+            S.qh_sketch(vframe.repartition(parts), ["k"], "v", 0.0, 100.0),
+            ["k"], [0.5, 0.95], 0.0, 100.0)
+        outs.append({(r["k"], r["q"]): r["est"] for r in est.collect()})
+    assert outs[0] == outs[1]
