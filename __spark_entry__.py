@@ -242,8 +242,16 @@ def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical (hypertable-style) rollup: per-cell stats at two
     resolutions in one table; the coarse level is derivable from the fine
     level by Morton parent truncation (grid.cell_parent ≡ cell >> 2·Δ) —
-    the distributed CalculateBitArray pyramid (RTree.cs:209-247)."""
+    the distributed CalculateBitArray pyramid (RTree.cs:209-247).
+
+    Part 'stats' = count + category bitmask per cell (a=n_docs,
+    b=catmask). Part 'hll' (r6) = the distinct-user HLL register pyramid
+    (tiles.tile_distinct_pyramid: hashed once at the fine level, coarse
+    level is a register-max MERGE through Morton parents; a=register,
+    b=rho) — the oracle rebuilds the coarse registers DIRECTLY from
+    rows, so the hash match proves rollup == direct cross-engine."""
     from mbrngq_spark import grid
+    from mbrngq_spark.operators.tiles import tile_distinct_pyramid
     docs_geo = H.load_docs_geo(spark, sf_dir)
     levels = []
     for res in (2, H.MASK_RES):
@@ -256,7 +264,15 @@ def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.bit_or(F.expr("shiftleft(1, category)"))
                  .cast("long").alias("catmask"))
             .withColumn("res", F.lit(res).cast("int")))
-    return levels[0].unionByName(levels[1])         .select("res", "cell", "n_docs", "catmask")
+    stats = (levels[0].unionByName(levels[1])
+             .select(F.lit("stats").alias("part"), "res", "cell",
+                     F.col("n_docs").alias("a"),
+                     F.col("catmask").alias("b")))
+    dg = docs_geo.withColumn("user", (F.col("doc_id") % 37).cast("long"))
+    hll = (tile_distinct_pyramid(dg, "user", [2, H.MASK_RES], H.CFG)
+           .select(F.lit("hll").alias("part"), "res", "cell",
+                   F.col("register").alias("a"), F.col("rho").alias("b")))
+    return stats.unionByName(hll)
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,16 +1597,26 @@ def oracle_sql() -> dict[str, str]:
 
     # cell_pyramid's MASK_RES level IS the former cell_catmask gate
     # (CalculateBitArray parity, RTree.cs:209-247) — one gate covers both
+    from mbrngq_spark.operators import sketch as SKm
     pyr_levels = []
+    _hll_reg, _hll_rho = SKm.hll_register_sql("g.doc_id % 37")
     for res in (2, H.MASK_RES):
         qx_r = H.quantize_sql("g.x", H.CFG.min_x, H.CFG.width, res)
         qy_r = H.quantize_sql("g.y", H.CFG.min_y, H.CFG.height, res)
         pyr_levels.append(f"""
-        SELECT CAST({res} AS INT) AS res,
+        SELECT 'stats' AS part, CAST({res} AS INT) AS res,
                {H.morton_sql(f'({qx_r})', f'({qy_r})', res)} AS cell,
-               count(*) AS n_docs,
-               bit_or(CAST(1 << category AS BIGINT)) AS catmask
-        FROM g GROUP BY 2""")
+               count(*) AS a,
+               bit_or(CAST(1 << category AS BIGINT)) AS b
+        FROM g GROUP BY 3""")
+        # 'hll' part: the oracle builds EVERY level directly from rows,
+        # while Spark derives the coarse level by register-max rollup
+        # through Morton parents — the hash match proves merge == direct
+        pyr_levels.append(f"""
+        SELECT 'hll' AS part, CAST({res} AS INT) AS res,
+               {H.morton_sql(f'({qx_r})', f'({qy_r})', res)} AS cell,
+               {_hll_reg} AS a, max({_hll_rho}) AS b
+        FROM g GROUP BY 3, 4""")
     cell_pyramid = f"""
         WITH g AS ({geo})
         {' UNION ALL '.join(pyr_levels)}
@@ -2142,7 +2168,7 @@ def oracle_sql() -> dict[str, str]:
     # int64-exact estimate; the 'merged' part is recomputed DIRECTLY
     # from raw rows, so a hash match proves Spark's register-wise merge
     # of per-type sketches equals the sketch of the whole stream
-    from mbrngq_spark.operators import sketch as SKm
+    # (SKm imported above, cell_pyramid section)
     _sk_reg, _sk_rho = SKm.hll_register_sql("user_id")
     cardinality_sketch = f"""
         SELECT 'reg' AS part, event_type AS key, register AS id, a,

@@ -452,7 +452,8 @@ def simhash_near_dups_md5(docs: DataFrame, max_hamming: int = 3,
 def contamination_check(docs: DataFrame, eval_docs: DataFrame,
                         n: int = SHINGLE_N * 2,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        bloom_prefilter: bool = False) -> DataFrame:
     """Eval-set decontamination: per training document, how many of its
     distinct word ``n``-grams appear in ANY eval-set document (``n``
     defaults to 6 — wide shingles, the benchmark-leak heuristic) plus
@@ -473,6 +474,17 @@ def contamination_check(docs: DataFrame, eval_docs: DataFrame,
           .agg(F.collect_set("eval_id").alias("ev_ids")))
     tr = docs.select(F.col(id_col),
                      F.explode(shingles_col(F.col(text_col), n)).alias("sh"))
+    if bloom_prefilter:
+        # degrade-gracefully path for when the eval shingle table outgrows
+        # a broadcast HASH map: a Bloom bitmap is ~kB regardless of eval
+        # size, and its no-false-negative guarantee makes the prefilter
+        # lossless — the exact join below removes the false positives, so
+        # the result is IDENTICAL (equality pytest). Here it just thins
+        # the corpus-side explode before the join.
+        from mbrngq_spark.operators.sketch import bf_build, bf_prune_col
+        state = (bf_build(ev.withColumn("__k", F.lit("e")), ["__k"], "sh")
+                 .collect())
+        tr = tr.filter(bf_prune_col(state, F.col("sh")))
     matched_ids = F.slice(
         F.sort_array(F.array_distinct(F.flatten(F.collect_list("ev_ids")))),
         1, 3)

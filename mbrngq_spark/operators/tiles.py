@@ -147,3 +147,37 @@ def polygon_cover(spark: SparkSession, polygons: pd.DataFrame,
             .select("poly_id", "tile_id",
                     F.col("ix").cast("long").alias("ix"),
                     F.col("iy").cast("long").alias("iy")))
+
+
+def tile_distinct_pyramid(docs_geo: DataFrame, item_col: str,
+                          levels: list[int],
+                          cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """(res, cell, register, rho): distinct-``item_col`` HLL sketches per
+    MORTON cell at every pyramid level — "distinct visitors per tile at
+    every zoom" without ever counting twice.
+
+    Items are hashed and aggregated ONCE at the finest level; each
+    coarser level is a register-wise max rollup through Morton parent
+    truncation (grid.cell_parent), i.e. a sketch MERGE of the four
+    children — the sketch-tier analog of the reference's bottom-up
+    CalculateBitArray pyramid (RTree.cs:209-247). At 100 TB the corpus
+    is read once and every subsequent level aggregates ≤ 4^res·256
+    register rows. Register-exactness of the rollup (merge == direct
+    build at the coarse res) is guaranteed by cell_parent ∘ cell_encode
+    being pure Morton truncation, and pytest-asserted."""
+    from mbrngq_spark.operators.sketch import hll_sketch
+    levels = sorted(set(levels), reverse=True)
+    finest = levels[0]
+    base = docs_geo.withColumn(
+        "cell", grid.cell_encode(F.col("x"), F.col("y"), finest, cfg))
+    cur = hll_sketch(base, ["cell"], item_col)
+    out = cur.withColumn("res", F.lit(finest).cast("int"))
+    for res in levels[1:]:
+        delta = finest - res
+        cur = (cur.withColumn("cell", grid.cell_parent(F.col("cell"), delta))
+               .groupBy("cell", "register")
+               .agg(F.max("rho").alias("rho")))
+        finest = res
+        out = out.unionByName(
+            cur.withColumn("res", F.lit(res).cast("int")))
+    return out.select("res", "cell", "register", "rho")

@@ -399,3 +399,27 @@ def test_persisted_lsh_probe_equals_in_session(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_contamination_bloom_prefilter_identical(spark):
+    """bloom_prefilter=True (the eval-set-too-big-to-broadcast-a-hash-map
+    degrade path) must return the IDENTICAL flagged set — the Bloom
+    guarantee is no false negatives and the exact join removes the
+    false positives."""
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(1, 40)),
+        "text": [f"filler {i} words go here padding more tokens {i*7}"
+                 for i in range(1, 38)] + [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine"]}))
+    eval_set = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [90, 91],
+        "text": [
+            "QQ alpha beta gamma delta epsilon zeta eta RR",
+            "one two three four five six"]}))
+    base = {(r.doc_id, r.n_hits, r.eval_ids)
+            for r in dedup.contamination_check(corpus, eval_set).collect()}
+    bloom = {(r.doc_id, r.n_hits, r.eval_ids)
+             for r in dedup.contamination_check(
+                 corpus, eval_set, bloom_prefilter=True).collect()}
+    assert base == bloom and len(base) == 2

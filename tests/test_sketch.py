@@ -274,3 +274,42 @@ def test_qh_partition_invariance(spark, vframe):
             ["k"], [0.5, 0.95], 0.0, 100.0)
         outs.append({(r["k"], r["q"]): r["est"] for r in est.collect()})
     assert outs[0] == outs[1]
+
+
+def test_tile_distinct_pyramid_rollup_equals_direct(spark):
+    """Pyramid HLL: every coarser level's rolled-up registers equal a
+    direct sketch built at that resolution (register-for-register), and
+    per-tile estimates track exact distinct counts."""
+    from mbrngq_spark import grid
+    from mbrngq_spark.operators.tiles import tile_distinct_pyramid
+    from tests.conftest import SF_DIR
+    from mbrngq_spark.functions import derive
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs_geo = derive.with_geometry(docs).select("doc_id", "x", "y")
+    dg = docs_geo.withColumn("user", F.col("doc_id") % 37)
+    pyr = tile_distinct_pyramid(dg, "user", [2, 4, 6]).collect()
+    got = {}
+    for r in pyr:
+        got.setdefault(r["res"], {})[(r["cell"], r["register"])] = r["rho"]
+    assert set(got) == {2, 4, 6}
+    for res in (2, 4):
+        direct = S.hll_sketch(
+            dg.withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"),
+                                                   res)),
+            ["cell"], "user")
+        exp = {(r["cell"], r["register"]): r["rho"]
+               for r in direct.collect()}
+        assert got[res] == exp, res
+    # estimate sanity at the coarsest level vs exact distinct
+    est = {r["cell"]: r["estimate"] for r in S.hll_estimate(
+        spark.createDataFrame(
+            [(c, reg, rho) for (c, reg), rho in got[2].items()],
+            "cell long, register long, rho long"), ["cell"]).collect()}
+    exact = {r["cell"]: r["n"] for r in
+             dg.withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"),
+                                                    2))
+             .groupBy("cell").agg(F.countDistinct("user").alias("n"))
+             .collect()}
+    for c, n in exact.items():
+        assert abs(est[c] / n - 1) < 0.25, (c, est[c], n)
