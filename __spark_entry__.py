@@ -365,10 +365,15 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text features + (r6) Gopher-style repetition filters —
+    dup_line/dup_token/top_bigram/dup_trigram fractions from the
+    map-only Arrow kernel, replayed relationally by the oracle."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return text.with_text_features(docs) \
+    return text.with_repetition_features(text.with_text_features(docs)) \
         .select("doc_id", "n_tokens", "n_tokens_bpe", "n_stop",
-                "avg_token_len", "quality", "fingerprint")
+                "avg_token_len", "quality", "fingerprint",
+                "dup_line_frac", "dup_token_frac", "top_bigram_frac",
+                "dup_trigram_frac")
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1805,8 +1810,11 @@ def oracle_sql() -> dict[str, str]:
                round(least(CAST(b.n_tokens AS DOUBLE) / 200.0, 1.0) * 0.5
                      + least(CAST(b.n_stop AS DOUBLE) * 10.0 / b.n_tokens, 1.0)
                      * 0.5, 6) AS quality,
-               fp.fingerprint
+               fp.fingerprint,
+               rp.dup_line_frac, rp.dup_token_frac,
+               rp.top_bigram_frac, rp.dup_trigram_frac
         FROM base b JOIN fp USING (doc_id)
+        JOIN ({text.repetition_sql("documents")}) rp USING (doc_id)
     """
 
     ann_cosine_topk = """

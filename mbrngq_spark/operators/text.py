@@ -535,3 +535,111 @@ def lang_id_udf():
         return pd.Series(out)
 
     return lang_id
+
+
+# --- repetition features (Gopher-style quality filters) ----------------------
+#
+# Production corpus filters (Gopher / FineWeb lineage) drop documents
+# dominated by REPEATED content: duplicated lines (navigation chrome),
+# one n-gram covering most of the text (keyword stuffing), many
+# duplicated n-grams (templated spam). Per-document local counting — a
+# map-only vectorized Arrow kernel at 100 TB (no cross-doc state, no
+# shuffle) — with the identical relational recomputation in DuckDB.
+# Token convention: split on single space (matches n_tokens_col =
+# spaces + 1, empties kept). Ratios are rounded HALF_UP at 6 dp like
+# Spark/DuckDB round (Python's banker's round diverges exactly on
+# power-of-two denominators, e.g. 1/128 at 6 dp).
+
+_REP_SCHEMA = T.StructType([
+    T.StructField("dup_line_frac", T.DoubleType()),
+    T.StructField("dup_token_frac", T.DoubleType()),
+    T.StructField("top_bigram_frac", T.DoubleType()),
+    T.StructField("dup_trigram_frac", T.DoubleType()),
+])
+
+
+def repetition_features_py(text: str) -> tuple[float, float, float, float]:
+    """Pure-Python twin (also the kernel the pandas UDF maps)."""
+    from mbrngq_spark.operators.sketch import _round_half_up
+    lines = text.split("\n")
+    toks = text.split(" ")
+    n, nl = len(toks), len(lines)
+    dup_line = 1.0 - len(set(lines)) / nl
+    dup_tok = 1.0 - len(set(toks)) / n
+    if n >= 2:
+        cnt: dict[str, int] = {}
+        for i in range(n - 1):
+            g = toks[i] + " " + toks[i + 1]
+            cnt[g] = cnt.get(g, 0) + 1
+        top_bg = min(2.0 * max(cnt.values()) / n, 1.0)
+    else:
+        top_bg = 0.0
+    if n >= 3:
+        cnt3: dict[str, int] = {}
+        for i in range(n - 2):
+            g = toks[i] + " " + toks[i + 1] + " " + toks[i + 2]
+            cnt3[g] = cnt3.get(g, 0) + 1
+        dup3 = sum(c for c in cnt3.values() if c >= 2)
+        dup_tg = min(3.0 * dup3 / n, 1.0)
+    else:
+        dup_tg = 0.0
+    return tuple(_round_half_up(v, 6)
+                 for v in (dup_line, dup_tok, top_bg, dup_tg))
+
+
+def with_repetition_features(docs: DataFrame,
+                             text_col: str = "text") -> DataFrame:
+    """Adds dup_line_frac / dup_token_frac / top_bigram_frac /
+    dup_trigram_frac — one vectorized Arrow UDF, map-only."""
+    @F.pandas_udf(_REP_SCHEMA)
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        rows = [repetition_features_py(t) for t in texts]
+        return pd.DataFrame(rows, columns=[f.name for f in _REP_SCHEMA])
+
+    return (docs.withColumn("__r", rep(F.col(text_col)))
+            .select("*", "__r.*").drop("__r"))
+
+
+def repetition_sql(table_expr: str = "documents") -> str:
+    """DuckDB twin: (doc_id, dup_line_frac, dup_token_frac,
+    top_bigram_frac, dup_trigram_frac) — identical float ops, DuckDB's
+    round is half-away like the Python twin's HALF_UP for positives."""
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS t,
+                 string_split(text, chr(10)) AS l
+          FROM {table_expr}),
+        base AS (
+          SELECT doc_id, len(t) AS n,
+                 round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l),
+                       6) AS dup_line_frac,
+                 round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t),
+                       6) AS dup_token_frac
+          FROM tk),
+        bg AS (
+          SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                 FOR i IN range(1, len(t))]) AS g
+          FROM tk WHERE len(t) >= 2),
+        bgm AS (
+          SELECT doc_id, max(c) AS mc FROM (
+            SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+          GROUP BY 1),
+        tg AS (
+          SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 FOR i IN range(1, len(t) - 1)]) AS g
+          FROM tk WHERE len(t) >= 3),
+        tgs AS (
+          SELECT doc_id, sum(c) AS sc FROM (
+            SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
+          WHERE c >= 2 GROUP BY 1)
+        SELECT b.doc_id, b.dup_line_frac, b.dup_token_frac,
+               round(CASE WHEN bgm.mc IS NULL THEN 0.0
+                     ELSE least(2.0 * bgm.mc / b.n, 1.0) END, 6)
+                 AS top_bigram_frac,
+               round(CASE WHEN tgs.sc IS NULL THEN 0.0
+                     ELSE least(3.0 * tgs.sc / b.n, 1.0) END, 6)
+                 AS dup_trigram_frac
+        FROM base b
+        LEFT JOIN bgm ON b.doc_id = bgm.doc_id
+        LEFT JOIN tgs ON b.doc_id = tgs.doc_id
+    """

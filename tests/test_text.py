@@ -154,3 +154,33 @@ def test_bpe_twins_agree_property(spark):
         F.size(bpe_encode_udf()(F.col("text"))).cast("long").alias("b")) \
         .filter(F.col("a") != F.col("b")).count()
     assert bad == 0
+
+
+def test_repetition_features_planted_and_twin(spark):
+    """Gopher-style repetition metrics: planted repetitive docs score
+    high, clean docs low; Spark output equals the pure-Python kernel;
+    the plan is map-only (no Exchange)."""
+    from mbrngq_spark.operators.text import (repetition_features_py,
+                                             with_repetition_features)
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "spam ham spam ham spam ham eggs",          # bigram stuffing
+            "nav bar\nnav bar\nnav bar\ncontent here",  # duplicate lines
+            "all tokens here are fully distinct words",
+            "a b c a b c a b c a b c",                  # trigram dup
+        ]}))
+    out = with_repetition_features(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["doc_id"]: (r["dup_line_frac"], r["dup_token_frac"],
+                         r["top_bigram_frac"], r["dup_trigram_frac"])
+           for r in out.collect()}
+    pdf = docs.toPandas()
+    for _, row in pdf.iterrows():
+        assert got[row.doc_id] == repetition_features_py(row.text), \
+            row.doc_id
+    assert got[1][2] > 0.8          # top bigram dominates
+    assert got[2][0] > 0.4          # duplicated lines
+    assert got[3] == (0.0, 0.0) + got[3][2:] and got[3][2] < 0.4
+    assert got[4][3] == 1.0         # fully covered by repeated trigrams
