@@ -947,7 +947,16 @@ def _q_text_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("score").alias("part"),
         F.col("doc_id").cast("long").alias("id"),
         F.col("quality_score").alias("value"))
-    return wrows.unionByName(scores)
+    # part 'ppl' (r6): the OTHER standard quality signal — mean token
+    # log-prob under a smoothed unigram LM trained on the corpus itself
+    # (text.train_unigram_lm/with_perplexity); logp micro-nat quantized
+    # so per-doc sums are int64-exact, the oracle retrains + rescores
+    ppl_lm, ppl_oov = text.train_unigram_lm(docs)
+    ppl = text.with_perplexity(docs, ppl_lm, ppl_oov).select(
+        F.lit("ppl").alias("part"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("avg_logp").alias("value"))
+    return wrows.unionByName(scores).unionByName(ppl)
 
 
 def _q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2169,6 +2178,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'score', CAST(doc_id AS BIGINT),
                {Qm.quality_score_sql('text', _qc_w)}
         FROM documents
+        UNION ALL
+        SELECT 'ppl', CAST(doc_id AS BIGINT), avg_logp
+        FROM ({text.perplexity_sql("documents")}) px
     """
 
     # cardinality_sketch: DuckDB rebuilds the identical HLL register

@@ -643,3 +643,85 @@ def repetition_sql(table_expr: str = "documents") -> str:
         LEFT JOIN bgm ON b.doc_id = bgm.doc_id
         LEFT JOIN tgs ON b.doc_id = tgs.doc_id
     """
+
+
+# --- unigram-LM perplexity filtering (CCNet-style quality signal) ------------
+#
+# The other standard corpus quality signal: score each document by its
+# mean token log-probability under a unigram LM trained on the corpus
+# (low = gibberish / boilerplate, the CCNet perplexity-filter lineage,
+# here with a unigram model so the whole path stays relational).
+# Cross-engine discipline: ln differs ~1 ulp between libms, so each
+# token's logp is QUANTIZED to micro-nats (round 6dp → int64)
+# immediately (the bm25 idf rule); per-doc aggregation then runs on
+# exact int64 sums — order-independent — and only the final mean
+# divides back to double with a fixed op order.
+
+def train_unigram_lm(docs: DataFrame, text_col: str = "text"
+                     ) -> tuple[DataFrame, int]:
+    """→ ((token, logp_micro) table, oov_logp_micro). Add-one smoothing
+    over the corpus vocabulary: logp = ln((cnt+1)/(N+V)), micro-nat
+    quantized; OOV gets the cnt=0 formula. One token-keyed shuffle; the
+    (N, V) stats collect is a single row."""
+    toks = docs.select(F.explode(F.split(F.col(text_col), " "))
+                       .alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    n, v = counts.agg(F.sum("cnt"), F.count("*")).collect()[0]
+    nv = float(int(n) + int(v))
+    lm = counts.select(
+        "tok",
+        F.round(F.log((F.col("cnt") + 1).cast("double") / F.lit(nv))
+                * 1000000.0).cast("long").alias("logp_micro"))
+    import math
+
+    from mbrngq_spark.operators.sketch import _round_half_up
+    oov = int(_round_half_up(math.log(1.0 / nv) * 1000000.0, 0))
+    return lm, oov
+
+
+def with_perplexity(docs: DataFrame, lm: DataFrame, oov_logp_micro: int,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, avg_logp): mean micro-quantized token log-prob per document
+    (6dp). Corpus side is a map-only explode + broadcast LM join +
+    doc-keyed re-agg of (long, long) pairs — the contamination_check
+    shuffle shape; higher avg_logp = more natural text."""
+    ex = docs.select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    j = ex.join(F.broadcast(lm), "tok", "left")
+    return (j.groupBy(id_col)
+            .agg(F.sum(F.coalesce(F.col("logp_micro"),
+                                  F.lit(oov_logp_micro).cast("long")))
+                 .alias("__s"),
+                 F.count(F.lit(1)).alias("__n"))
+            .select(id_col,
+                    F.round(F.col("__s").cast("double") / F.col("__n")
+                            / F.lit(1000000.0), 6).alias("avg_logp")))
+
+
+def perplexity_sql(table_expr: str = "documents") -> str:
+    """DuckDB twin: train the same smoothed unigram LM over
+    ``table_expr`` and score every row — identical quantization and
+    fixed-op-order mean."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM {table_expr}),
+        cnts AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        st AS (SELECT CAST(CAST(sum(c) AS BIGINT)
+                           + CAST(count(*) AS BIGINT) AS DOUBLE) AS nv
+               FROM cnts),
+        lm AS (SELECT tok,
+                      CAST(round(ln(CAST(c + 1 AS DOUBLE)
+                                    / (SELECT nv FROM st))
+                                 * 1000000.0) AS BIGINT) AS lp
+               FROM cnts),
+        oov AS (SELECT CAST(round(ln(1.0 / (SELECT nv FROM st))
+                                  * 1000000.0) AS BIGINT) AS lp)
+        SELECT t.doc_id,
+               round(CAST(sum(coalesce(lm.lp, (SELECT lp FROM oov)))
+                          AS DOUBLE) / count(*) / 1000000.0, 6)
+                 AS avg_logp
+        FROM tok t LEFT JOIN lm ON t.tok = lm.tok
+        GROUP BY 1
+    """

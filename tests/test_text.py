@@ -184,3 +184,31 @@ def test_repetition_features_planted_and_twin(spark):
     assert got[2][0] > 0.4          # duplicated lines
     assert got[3] == (0.0, 0.0) + got[3][2:] and got[3][2] < 0.4
     assert got[4][3] == 1.0         # fully covered by repeated trigrams
+
+
+def test_unigram_perplexity_separates_gibberish(spark):
+    """Perplexity filter: under an LM trained on a natural-ish corpus,
+    repeated-vocabulary text scores higher (less negative avg_logp)
+    than unseen-token gibberish; unseen tokens hit the OOV floor; every
+    doc gets a score."""
+    from mbrngq_spark.operators.text import (train_unigram_lm,
+                                             with_perplexity)
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": ["the cat sat on the mat and the dog ran"] * 4 + [
+            "the cat ran on the mat",
+            "the dog sat and the cat sat",
+            "zq xv jj qqq wplk zzzz",            # gibberish: all OOV-ish
+            "the mat and the dog"]}))
+    lm, oov = train_unigram_lm(corpus)
+    assert oov < 0
+    got = {r["doc_id"]: r["avg_logp"]
+           for r in with_perplexity(corpus, lm, oov).collect()}
+    assert set(got) == set(range(8))
+    natural = [got[i] for i in (0, 4, 5, 7)]
+    assert all(n > got[6] for n in natural)      # gibberish scores lowest
+    # a fully-OOV doc scores exactly the OOV floor (quantized mean)
+    all_oov = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "text": ["mmmm nnnn oooo"]}))
+    s = with_perplexity(all_oov, lm, oov).collect()[0]["avg_logp"]
+    assert s == round(oov / 1e6, 6)
