@@ -149,13 +149,29 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     even-odd decision is bit-identical — no convexity shortcut."""
     import pandas as pd
 
+    from mbrngq_spark.operators.geodetic import geodetic_polygon_cover
     from mbrngq_spark.operators.tiles import polygon_cover
     polys = pd.DataFrame({
         "poly_id": [t[0] for t in H.TRIANGLES],
         "vx": [[t[1], t[3], t[5]] for t in H.TRIANGLES],
         "vy": [[t[2], t[4], t[6]] for t in H.TRIANGLES],
     })
-    return polygon_cover(spark, polys)
+    planar = polygon_cover(spark, polys).select(
+        F.lit("planar").alias("part"), "poly_id", "tile_id", "ix", "iy")
+    # part 'geo' (r6): spherical rasterization — lat/lon-grid tiles
+    # whose center the wrap-normalized PNPOLY puts inside the GEO_POLYS
+    # fixtures (antimeridian quad included); fully distributed, pure
+    # Column (geodetic.geodetic_polygon_cover); the oracle tests EVERY
+    # grid center exhaustively
+    gpolys_df = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [p[0] for p in GEO_POLYS],
+                      "vlat": [p[1] for p in GEO_POLYS],
+                      "vlon": [p[2] for p in GEO_POLYS]}),
+        "poly_id long, vlat array<double>, vlon array<double>")
+    geo = geodetic_polygon_cover(gpolys_df, res=5).select(
+        F.lit("geo").alias("part"), "poly_id",
+        F.col("cell").alias("tile_id"), "ix", "iy")
+    return planar.unionByName(geo)
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2651,13 +2667,28 @@ def oracle_sql() -> dict[str, str]:
                  {H.CFG.min_x} + (ix + 0.5) * {_wx!r} AS px,
                  {H.CFG.min_y} + (iy + 0.5) * {_wy!r} AS py
           FROM cells)
-        SELECT poly_id,
+        SELECT 'planar' AS part, poly_id,
                CAST(iy * {n_tile} + ix AS BIGINT) AS tile_id,
                CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
         FROM centers
         WHERE ({_edge('x1', 'y1', 'x3', 'y3')}
                + {_edge('x2', 'y2', 'x1', 'y1')}
                + {_edge('x3', 'y3', 'x2', 'y2')}) % 2 = 1
+        UNION ALL
+        SELECT part, poly_id, tile_id, ix, iy FROM (
+          WITH gc AS (
+            SELECT iy, ix,
+                   -90.0 + (iy + 0.5) * {180.0 / 32!r} AS lat,
+                   -180.0 + (ix + 0.5) * {360.0 / 32!r} AS lon
+            FROM (SELECT unnest(generate_series(0, 31)) AS iy) a,
+                 (SELECT unnest(generate_series(0, 31)) AS ix) b)
+          {" UNION ALL ".join(
+              f"SELECT 'geo' AS part, CAST({pid} AS BIGINT) AS poly_id, "
+              f"CAST(iy * 32 + ix AS BIGINT) AS tile_id, "
+              f"CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy "
+              f"FROM gc WHERE {_geo_pip_pred_sql(vlat, vlon)}"
+              for pid, vlat, vlon in GEO_POLYS)}
+        ) gp
     """
 
     # spans_invariant: DuckDB rebuilds the EXPECTED span sequence from

@@ -814,6 +814,72 @@ def _pnpoly_flips() -> Column:
                        lambda acc, i: acc + edge_flip(i))
 
 
+def _geo_poly_cover(polygons_df: DataFrame, res: int) -> DataFrame:
+    """Shared celled-cover derivation for the distributed spherical
+    polygon operators: per polygon row — anchor, wrap-normalized vlon,
+    normalized bbox, and one exploded row per covering cell of the
+    row-major lat/lon grid at ``res``. Lon columns are enumerated in the
+    polygon's UNWRAPPED window (anchor + normalized bbox, contiguous by
+    the wrap contract) and mapped into [0, n) by pmod — antimeridian-
+    crossing polygons cover both boundary columns with no special case.
+    Keeps ``__iy``/``__ux`` (grid row / unwrapped column) for callers
+    that need tile coordinates; join-only callers drop them."""
+    n = 1 << res
+    wlat, wlon = 180.0 / n, 360.0 / n
+
+    def lat_row(lat):
+        return F.least(F.floor((lat + 90.0) / wlat).cast("long"),
+                       F.lit(n - 1))
+
+    p = (polygons_df
+         .withColumn("anchor", F.element_at(F.col("vlon"), 1))
+         .withColumn("vlon", F.transform(
+             F.col("vlon"),
+             lambda v: F.pmod(v - F.col("anchor") + 540.0,
+                              F.lit(360.0)) - 180.0))
+         .withColumn("lat0", F.array_min("vlat"))
+         .withColumn("lat1", F.array_max("vlat"))
+         .withColumn("lon0", F.array_min("vlon"))
+         .withColumn("lon1", F.array_max("vlon")))
+    return (p
+            .withColumn("__iy", F.explode(F.sequence(
+                lat_row(F.col("lat0")), lat_row(F.col("lat1")))))
+            .withColumn("__ux", F.explode(F.sequence(
+                F.floor((F.col("anchor") + F.col("lon0") + 180.0) / wlon)
+                .cast("long"),
+                F.floor((F.col("anchor") + F.col("lon1") + 180.0) / wlon)
+                .cast("long"))))
+            .withColumn("cell",
+                        F.col("__iy") * n + F.pmod(F.col("__ux"),
+                                                   F.lit(n))))
+
+
+def geodetic_polygon_cover(polygons_df: DataFrame, res: int = 6
+                           ) -> DataFrame:
+    """Spherical vector→raster: one row per (polygon, tile) for every
+    lat/lon-grid tile whose CENTER is inside the spherical polygon
+    (even-odd in the polygon's wrap-normalized frame) — the geodetic
+    twin of tiles.polygon_cover, and fully distributed over the polygon
+    table (the planar one is driver-planned). Candidate tiles come from
+    the shared celled cover; the refine is the tile-CENTER PNPOLY fold.
+    Pure Column end to end — no UDF, no shuffle beyond the explode.
+
+    Returns (poly_id, cell, iy, ix) with ix the wrapped grid column."""
+    n = 1 << res
+    wlat, wlon = 180.0 / n, 360.0 / n
+    cover = _geo_poly_cover(polygons_df, res)
+    ix = F.pmod(F.col("__ux"), F.lit(n))
+    center_lat = F.lit(-90.0) + (F.col("__iy").cast("double") + 0.5) * wlat
+    center_lon = F.lit(-180.0) + (ix.cast("double") + 0.5) * wlon
+    c = (cover
+         .withColumn("lat", center_lat)
+         .withColumn("nlon", F.pmod(center_lon - F.col("anchor") + 540.0,
+                                    F.lit(360.0)) - 180.0))
+    return (c.filter(F.pmod(_pnpoly_flips(), F.lit(2)) == 1)
+            .select("poly_id", "cell", F.col("__iy").alias("iy"),
+                    ix.alias("ix")))
+
+
 def geodetic_point_in_polygon_distributed(docs_ll: DataFrame,
                                           polygons_df: DataFrame,
                                           res: int = 6,
@@ -846,28 +912,7 @@ def geodetic_point_in_polygon_distributed(docs_ll: DataFrame,
         return F.least(F.floor((lat + 90.0) / wlat).cast("long"),
                        F.lit(n - 1))
 
-    anchor = F.element_at(F.col("vlon"), 1)
-    p = (polygons_df
-         .withColumn("anchor", anchor)
-         .withColumn("vlon", F.transform(
-             F.col("vlon"),
-             lambda v: F.pmod(v - F.col("anchor") + 540.0,
-                              F.lit(360.0)) - 180.0))
-         .withColumn("lat0", F.array_min("vlat"))
-         .withColumn("lat1", F.array_max("vlat"))
-         .withColumn("lon0", F.array_min("vlon"))
-         .withColumn("lon1", F.array_max("vlon")))
-    cover = (p
-             .withColumn("__iy", F.explode(F.sequence(
-                 lat_row(F.col("lat0")), lat_row(F.col("lat1")))))
-             .withColumn("__ux", F.explode(F.sequence(
-                 F.floor((F.col("anchor") + F.col("lon0") + 180.0) / wlon)
-                 .cast("long"),
-                 F.floor((F.col("anchor") + F.col("lon1") + 180.0) / wlon)
-                 .cast("long"))))
-             .withColumn("cell",
-                         F.col("__iy") * n + F.pmod(F.col("__ux"), F.lit(n)))
-             .drop("__iy", "__ux"))
+    cover = _geo_poly_cover(polygons_df, res).drop("__iy", "__ux")
 
     doc_cell = (lat_row(F.col("lat")) * n
                 + F.pmod(F.floor((F.col("lon") + 180.0) / wlon).cast("long"),

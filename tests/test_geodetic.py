@@ -425,3 +425,36 @@ def test_geodetic_pip_distributed_equals_driver(spark):
                        broadcast_cover=bc).collect()}
             assert got == exp, (res, bc)
     assert len(exp) > 50
+
+
+def test_geodetic_polygon_cover_matches_center_oracle(spark):
+    """Spherical rasterization == brute force: every lat/lon-grid tile
+    whose CENTER np_geodetic_pip puts inside, for an antimeridian-
+    crossing quad, a plain triangle, and a concave horizontal-edge
+    arrow."""
+    from mbrngq_spark.operators.geodetic import (geodetic_polygon_cover,
+                                                 np_geodetic_pip)
+
+    polys = pd.DataFrame({
+        "poly_id": [0, 1, 2],
+        "vlat": [[-20.0, -20.0, 25.0, 25.0], [10.0, 40.0, 25.0],
+                 [-50.0, -50.0, -30.0, -45.0, -25.0]],
+        "vlon": [[170.0, -170.0, -165.0, 172.0], [-30.0, -20.0, 5.0],
+                 [40.0, 80.0, 60.0, 55.0, 45.0]]})
+    res = 5
+    n = 1 << res
+    wlat, wlon = 180.0 / n, 360.0 / n
+    polys_df = spark.createDataFrame(
+        polys, "poly_id long, vlat array<double>, vlon array<double>")
+    got = {}
+    for r in geodetic_polygon_cover(polys_df, res=res).collect():
+        got.setdefault(r["poly_id"], set()).add((r["iy"], r["ix"]))
+    iy, ix = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    clat = -90.0 + (iy.ravel() + 0.5) * wlat
+    clon = -180.0 + (ix.ravel() + 0.5) * wlon
+    for r in polys.itertuples(index=False):
+        mask = np_geodetic_pip(clat, clon, list(r.vlat), list(r.vlon))
+        exp = {(int(a), int(b))
+               for a, b in zip(iy.ravel()[mask], ix.ravel()[mask])}
+        assert got.get(r.poly_id, set()) == exp, r.poly_id
+        assert len(exp) > 3
