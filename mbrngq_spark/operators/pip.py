@@ -46,7 +46,8 @@ def point_in_polygon_join_distributed(docs_geo: DataFrame,
                                       res: int | None = None,
                                       cfg: EngineConfig = DEFAULT,
                                       id_col: str = "doc_id",
-                                      broadcast_cover: bool = True) -> DataFrame:
+                                      broadcast_cover: bool = True,
+                                      salt: int = 1) -> DataFrame:
     """Distributed twin of :func:`point_in_polygon_join` for LARGE polygon
     tables: ``polygons_df`` is a DataFrame (poly_id, vx array<double>,
     vy array<double>) of arbitrary size — no driver-side pandas loop, no
@@ -72,7 +73,12 @@ def point_in_polygon_join_distributed(docs_geo: DataFrame,
     the cover, so a doc meets a polygon at most once — no dedup stage.
     With ``broadcast_cover=False`` the cell join is left to Catalyst/AQE
     (shuffle on ``cell`` — the 100 TB shape when the polygon table itself
-    is too big to broadcast)."""
+    is too big to broadcast); ``salt > 1`` then splits each HOT cell's
+    doc rows across ``salt`` shuffle keys (doc side salted by
+    xxhash64(id), cover side exploded ×salt — the engine's dense-cell
+    skew guard; a city-sized cell no longer lands on one reducer).
+    Salting a broadcast join is a no-op shape-wise, so it is applied
+    only to the shuffle path."""
     res = res or cfg.index_res
 
     def q(col, lo, extent):
@@ -95,8 +101,17 @@ def point_in_polygon_join_distributed(docs_geo: DataFrame,
              .drop("__ix", "__iy"))
 
     docs_c = with_cell(docs_geo, res, cfg)
+    if not broadcast_cover and salt > 1:
+        docs_c = docs_c.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)))
+        cover = cover.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))
+                                .cast("array<long>")))
+        join_keys = ["cell", "__salt"]
+    else:
+        join_keys = ["cell"]
     cand = (docs_c.join(F.broadcast(cover) if broadcast_cover else cover,
-                        "cell")
+                        join_keys)
             .filter((F.col("x") >= F.col("xmin"))
                     & (F.col("x") <= F.col("xmax"))
                     & (F.col("y") >= F.col("ymin"))

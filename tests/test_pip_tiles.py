@@ -194,3 +194,22 @@ def test_polygon_cover_matches_numpy_center_oracle(spark):
                 if np_pip(np.array([cx]), np.array([cy]), vx, vy)[0]:
                     exp.add((ix, iy))
         assert got.get(p.poly_id, set()) == exp, p.poly_id
+
+
+def test_pip_distributed_salted_equals_unsalted(spark, docs_geo):
+    """The dense-cell skew guard: salt>1 on the shuffle path must not
+    change the result (cover replicated across salts, doc side hashed),
+    and the plan must key its exchanges by (cell, __salt)."""
+    from mbrngq_spark.operators.pip import point_in_polygon_join_distributed
+
+    polys_df = spark.createDataFrame(
+        POLYS, "poly_id long, vx array<double>, vy array<double>")
+    base = point_in_polygon_join_distributed(
+        docs_geo, polys_df, broadcast_cover=False).toPandas()
+    salted = point_in_polygon_join_distributed(
+        docs_geo, polys_df, broadcast_cover=False, salt=4)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    got = salted.toPandas()
+    assert (set(map(tuple, got[["poly_id", "doc_id"]].to_numpy()))
+            == set(map(tuple, base[["poly_id", "doc_id"]].to_numpy())))
