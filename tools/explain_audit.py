@@ -309,6 +309,31 @@ def main() -> int:
     check("pip dist: candidate join is broadcast (doc side never shuffled)",
           "BroadcastHashJoin" in p and "Exchange hashpartitioning" not in p)
 
+    # --- spherical polygon rasterization: pure Column, no shuffle ----------
+    from mbrngq_spark.operators.geodetic import geodetic_polygon_cover
+    gpolys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [0],
+                      "vlat": [[-20.0, -20.0, 25.0, 25.0]],
+                      "vlon": [[170.0, -170.0, -165.0, 172.0]]}),
+        "poly_id long, vlat array<double>, vlon array<double>")
+    gp = geodetic_polygon_cover(gpolys, res=5)
+    p = plan_of(gp, execute=True)
+    sections.append(("spherical polygon rasterization", p))
+    check("geo poly cover: map-only pure Column (no Exchange, no Python)",
+          "Exchange" not in p and "EvalPython" not in p)
+
+    # --- unigram-LM perplexity: broadcast LM, one doc-keyed re-agg ---------
+    from mbrngq_spark.operators.text import (train_unigram_lm,
+                                             with_perplexity)
+    lm, oov = train_unigram_lm(docs_t)
+    px = with_perplexity(docs_t, lm, oov)
+    p = plan_of(px, execute=True)
+    sections.append(("unigram-LM perplexity scoring", p))
+    check("perplexity: LM join is broadcast (corpus never shuffled on "
+          "tokens)", "BroadcastHashJoin" in p)
+    check("perplexity: doc re-agg has map-side partial aggregation",
+          "partial_sum" in p or "partial" in p.lower())
+
     # --- geodetic NGQ: doc side broadcast, one rank + one refine shuffle ----
     from mbrngq_spark.operators.geodetic import geodetic_nearest_group
     docs_ll_cat = docs_ll.join(
