@@ -1084,12 +1084,51 @@ def _q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("qh_merged").alias("part"), F.col("event_type").alias("key"),
         F.col("bin").alias("id"), F.col("cnt").alias("a"),
         F.lit(-1.0).alias("value"))
+    # KMV/theta parts (r6): the SET-ALGEBRA sketch HLL can't be.
+    # 'kmv_reg' = the bottom-64 distinct-hash sample per event_type over
+    # user_id (the mergeable artifact); 'kmv_est' = per-type distinct
+    # estimate (full-sketch estimator branch: 150 users > K=64);
+    # 'kmv_small' = distinct l_linenumber per l_returnflag (n < K → the
+    # exact branch); 'kmv_merged' = global estimate from MERGING per-type
+    # samples while the oracle recomputes DIRECTLY from raw rows (bottom-k
+    # merge == bottom-k of the whole — exact mergeability); 'kmv_inter' =
+    # theta-sketch |A ∩ B| estimates for ALL unordered event-type pairs —
+    # the operation with no HLL analog.
+    kmv_by_type = SK.kmv_sketch(ev, ["event_type"], "user_id")
+    kmv_reg = kmv_by_type.select(
+        F.lit("kmv_reg").alias("part"), F.col("event_type").alias("key"),
+        F.col("rk").alias("id"), F.col("h").alias("a"),
+        F.lit(-1.0).alias("value"))
+    kmv_est = SK.kmv_estimate(kmv_by_type, ["event_type"]).select(
+        F.lit("kmv_est").alias("part"), F.col("event_type").alias("key"),
+        F.lit(-1).cast("long").alias("id"),
+        F.col("n_sample").alias("a"), F.col("estimate").alias("value"))
+    kmv_small = SK.kmv_estimate(
+        SK.kmv_sketch(li, ["l_returnflag"], "l_linenumber"),
+        ["l_returnflag"]).select(
+        F.lit("kmv_small").alias("part"), F.col("l_returnflag").alias("key"),
+        F.lit(-1).cast("long").alias("id"),
+        F.col("n_sample").alias("a"), F.col("estimate").alias("value"))
+    kmv_merged = SK.kmv_estimate(
+        SK.kmv_merge([kmv_by_type.withColumn("event_type", F.lit("all"))],
+                     ["event_type"]),
+        ["event_type"]).select(
+        F.lit("kmv_merged").alias("part"), F.col("event_type").alias("key"),
+        F.lit(-1).cast("long").alias("id"),
+        F.col("n_sample").alias("a"), F.col("estimate").alias("value"))
+    kmv_inter = SK.kmv_intersect_pairs(kmv_by_type, "event_type").select(
+        F.lit("kmv_inter").alias("part"),
+        F.concat_ws("|", "key_a", "key_b").alias("key"),
+        F.lit(-1).cast("long").alias("id"),
+        F.col("n_common").alias("a"), F.col("estimate").alias("value"))
     return (reg.unionByName(est_u).unionByName(est_p).unionByName(merged)
             .unionByName(cm_reg).unionByName(cm_est)
             .unionByName(cm_merged).unionByName(bf_reg)
             .unionByName(bf_member).unionByName(bf_merged)
             .unionByName(qh_reg).unionByName(qh_est)
-            .unionByName(qh_merged))
+            .unionByName(qh_merged).unionByName(kmv_reg)
+            .unionByName(kmv_est).unionByName(kmv_small)
+            .unionByName(kmv_merged).unionByName(kmv_inter))
 
 
 def _q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2265,6 +2304,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'qh_merged', key, bin, cnt, CAST(-1.0 AS DOUBLE)
         FROM ({SKm.qh_sketch_sql("events", "'all'", "value",
                                  0.0, 500.0)}) qg
+        UNION ALL
+        SELECT 'kmv_reg', key, rk, h, CAST(-1.0 AS DOUBLE)
+        FROM ({SKm.kmv_sketch_sql("events", "event_type", "user_id")}) kr
+        UNION ALL
+        SELECT 'kmv_est', key, CAST(-1 AS BIGINT), n_sample, estimate
+        FROM ({SKm.kmv_estimate_sql(
+            SKm.kmv_sketch_sql("events", "event_type", "user_id"))}) ke
+        UNION ALL
+        SELECT 'kmv_small', key, CAST(-1 AS BIGINT), n_sample, estimate
+        FROM ({SKm.kmv_estimate_sql(
+            SKm.kmv_sketch_sql("lineitem", "l_returnflag",
+                               "l_linenumber"))}) ks
+        UNION ALL
+        SELECT 'kmv_merged', key, CAST(-1 AS BIGINT), n_sample, estimate
+        FROM ({SKm.kmv_estimate_sql(
+            SKm.kmv_sketch_sql("events", "'all'", "user_id"))}) km
+        UNION ALL
+        SELECT 'kmv_inter', key_a || '|' || key_b, CAST(-1 AS BIGINT),
+               n_common, estimate
+        FROM ({SKm.kmv_intersect_pairs_sql(
+            SKm.kmv_sketch_sql("events", "event_type", "user_id"))}) ki
     """
 
     calendar_rollup = """

@@ -649,3 +649,228 @@ def qh_quantile_py(values: list[float], q: float, lo: float, hi: float,
             frac = (target - prev) / cnt
             return _round_half_up(lo + (b + frac) * width, EST_DP)
     raise ValueError("q out of (0, 1] or empty input")
+
+
+# --- KMV / theta sketch: bottom-k distinct hashes, SET ALGEBRA ---------------
+#
+# The set-operation companion of the HLL tier. HLL answers |A| and (by
+# register-max merge) |A ∪ B|, but it cannot intersect: there is no
+# register arithmetic for |A ∩ B|. The standard answer (DataSketches
+# theta / KMV) keeps the K MINIMUM distinct hash values per key. That
+# state is
+#   * mergeable EXACTLY: bottom-K of a union only ever needs each side's
+#     bottom-K (union = re-rank the concatenated samples) — so per-
+#     partition / per-day / per-snapshot sketches roll up without
+#     re-reading items, like every sketch in this module;
+#   * intersectable: with theta = the Kth minimum (the sample is a
+#     uniform coin-flip sample of the distinct items at rate theta/2^52),
+#     |A ∩ B| ≈ |{h ∈ sample_A ∩ sample_B : h < min(theta_A, theta_B)}|
+#     / (min theta / 2^52) — the theta-sketch a-priori estimator.
+#
+# Engine portability: the item hash is the first 13 md5 nibbles as an
+# int64 in [0, 2^52) (the HLL rank draw, re-used as a uniform variate);
+# ranking bottom-K over distinct hashes is pure relational algebra
+# (row_number ≤ K) in both engines; the only float op in an estimate is
+# ONE int64→double division, rounded to EST_DP (CLAUDE.md libm rule).
+# Scale shape: the distinct pre-aggregation is map-side combined, and
+# the rank shuffle is WindowGroupLimit-bounded — each map task forwards
+# at most K rows per key, so the exchange moves O(K · keys · tasks)
+# rows, never the corpus.
+
+KMV_K = 64
+POW52 = 1 << 52                 # hash domain size (theta of a non-full sketch)
+
+
+def kmv_hash_col(item: Column) -> Column:
+    """Uniform 52-bit int64 hash of ``item`` (first 13 md5 nibbles)."""
+    return F.conv(F.substring(F.md5(item.cast("string")), 1, 13),
+                  16, 10).cast("long")
+
+
+def kmv_hash_sql(item_expr: str) -> str:
+    """DuckDB twin (per-nibble strpos decode — DuckDB has no conv)."""
+    h = f"md5(CAST({item_expr} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}" for i in range(13))
+    return f"CAST({terms} AS BIGINT)"
+
+
+def kmv_hash_py(item: str) -> int:
+    """Pure-Python twin (pytest ground truth)."""
+    return int(hashlib.md5(item.encode()).hexdigest()[:13], 16)
+
+
+def kmv_sketch(df: DataFrame, key_cols: list[str], item_col: str,
+               k: int = KMV_K) -> DataFrame:
+    """(key..., rk, h) — the bottom-``k`` distinct item hashes per key,
+    rank-ordered (rk 1..≤k). Two map-side-reduced exchanges: the
+    (key, h) distinct, then the WindowGroupLimit-capped rank."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    return (df.select(*key_cols, kmv_hash_col(F.col(item_col)).alias("h"))
+              .distinct()
+              .withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= k))
+
+
+def kmv_merge(sketches: list[DataFrame], key_cols: list[str],
+              k: int = KMV_K) -> DataFrame:
+    """Union of sample rows → distinct → re-rank → bottom-k. Exact:
+    merge(bottom-k per part) == bottom-k(whole), because a union's k
+    minima all come from some part's k minima."""
+    from pyspark.sql import Window
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    return (out.select(*key_cols, "h").distinct()
+               .withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") <= k))
+
+
+def kmv_estimate(sketch: DataFrame, key_cols: list[str],
+                 k: int = KMV_K) -> DataFrame:
+    """(key..., n_sample, estimate). Non-full sketch (n < k): the sample
+    IS the distinct set — exact count. Full: the classic KMV estimator
+    (k-1) · 2^52 / h_(k) — one int64→double division, rounded EST_DP."""
+    agg = sketch.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.max("h").alias("__hk"))
+    est = F.when(F.col("n_sample") < k,
+                 F.col("n_sample").cast("double")) \
+        .otherwise(F.round(F.lit((k - 1) * POW52) / F.col("__hk"), EST_DP))
+    return agg.select(*key_cols, "n_sample", est.alias("estimate"))
+
+
+def kmv_theta_col(k: int = KMV_K) -> Column:
+    """theta of a (n_sample, __hk) aggregate row: 2^52 when the sketch
+    holds every distinct item, else the Kth minimum."""
+    return F.when(F.col("n_sample") < k, F.lit(POW52)) \
+        .otherwise(F.col("__hk"))
+
+
+def kmv_intersect_pairs(sketch: DataFrame, key_col: str,
+                        k: int = KMV_K) -> DataFrame:
+    """(key_a, key_b, n_common, estimate) for every unordered key pair
+    (key_a < key_b) of a single-key sketch — the theta-sketch
+    intersection. t = min(theta_a, theta_b); the common-sample count
+    below t scales by 2^52/t (exact when both sketches are complete).
+    All joins here are sketch-sized (O(K · keys)), never corpus-sized."""
+    stats = sketch.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_sample"), F.max("h").alias("__hk"))
+    stats = stats.select(key_col, kmv_theta_col(k).alias("theta"))
+    sa = sketch.select(F.col(key_col).alias("key_a"), "h")
+    sb = sketch.select(F.col(key_col).alias("key_b"), "h")
+    common = (sa.join(sb, ["h"]).filter(F.col("key_a") < F.col("key_b"))
+                .join(F.broadcast(stats.select(
+                    F.col(key_col).alias("key_a"),
+                    F.col("theta").alias("ta"))), "key_a")
+                .join(F.broadcast(stats.select(
+                    F.col(key_col).alias("key_b"),
+                    F.col("theta").alias("tb"))), "key_b")
+                .withColumn("t", F.least("ta", "tb"))
+                .filter((F.col("t") == POW52) | (F.col("h") < F.col("t")))
+                .groupBy("key_a", "key_b", "t")
+                .agg(F.count(F.lit(1)).alias("n_common")))
+    pairs = (stats.select(F.col(key_col).alias("key_a"),
+                          F.col("theta").alias("ta"))
+                  .crossJoin(stats.select(F.col(key_col).alias("key_b"),
+                                          F.col("theta").alias("tb")))
+                  .filter(F.col("key_a") < F.col("key_b"))
+                  .withColumn("t", F.least("ta", "tb"))
+                  .select("key_a", "key_b", "t"))
+    full = pairs.join(common, ["key_a", "key_b", "t"], "left") \
+                .fillna({"n_common": 0})
+    est = F.when(F.col("t") == POW52,
+                 F.col("n_common").cast("double")) \
+        .otherwise(F.round(F.col("n_common") * F.lit(POW52)
+                           / F.col("t"), EST_DP))
+    return full.select("key_a", "key_b", "n_common", est.alias("estimate"))
+
+
+def kmv_sketch_sql(table_expr: str, key_expr: str, item_expr: str,
+                   k: int = KMV_K, key_name: str = "key") -> str:
+    """DuckDB twin of kmv_sketch."""
+    return f"""
+        SELECT {key_name}, rk, h FROM (
+            SELECT {key_name}, h,
+                   row_number() OVER (PARTITION BY {key_name}
+                                      ORDER BY h) AS rk
+            FROM (SELECT DISTINCT {key_expr} AS {key_name},
+                         {kmv_hash_sql(item_expr)} AS h
+                  FROM {table_expr}) d
+        ) r WHERE rk <= {k}
+    """
+
+
+def kmv_estimate_sql(sketch_sql: str, k: int = KMV_K,
+                     key_name: str = "key") -> str:
+    """DuckDB twin of kmv_estimate (same division, same rounding)."""
+    return f"""
+        SELECT {key_name}, n_sample,
+               CASE WHEN n_sample < {k} THEN CAST(n_sample AS DOUBLE)
+                    ELSE round({(k - 1) * POW52} / CAST(hk AS DOUBLE),
+                               {EST_DP})
+               END AS estimate
+        FROM (SELECT {key_name}, CAST(count(*) AS BIGINT) AS n_sample,
+                     max(h) AS hk
+              FROM ({sketch_sql}) s GROUP BY 1) a
+    """
+
+
+def kmv_intersect_pairs_sql(sketch_sql: str, k: int = KMV_K,
+                            key_name: str = "key") -> str:
+    """DuckDB twin of kmv_intersect_pairs."""
+    return f"""
+        WITH sk AS ({sketch_sql}),
+        st AS (
+            SELECT {key_name},
+                   CASE WHEN count(*) < {k} THEN CAST({POW52} AS BIGINT)
+                        ELSE max(h) END AS theta
+            FROM sk GROUP BY 1
+        ), pairs AS (
+            SELECT a.{key_name} AS key_a, b.{key_name} AS key_b,
+                   least(a.theta, b.theta) AS t
+            FROM st a, st b WHERE a.{key_name} < b.{key_name}
+        ), common AS (
+            SELECT p.key_a, p.key_b, p.t,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM pairs p
+            JOIN sk sa ON sa.{key_name} = p.key_a
+            JOIN sk sb ON sb.{key_name} = p.key_b AND sb.h = sa.h
+            WHERE p.t = {POW52} OR sa.h < p.t
+            GROUP BY 1, 2, 3
+        )
+        SELECT p.key_a, p.key_b,
+               coalesce(c.n_common, 0) AS n_common,
+               CASE WHEN p.t = {POW52}
+                    THEN CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                    ELSE round(coalesce(c.n_common, 0) * {float(POW52)!r}
+                               / CAST(p.t AS DOUBLE), {EST_DP})
+               END AS estimate
+        FROM pairs p LEFT JOIN common c
+          ON c.key_a = p.key_a AND c.key_b = p.key_b
+    """
+
+
+def kmv_estimate_py(items: list[str], k: int = KMV_K) -> float:
+    """Pure-Python twin (pytest ground truth)."""
+    hs = sorted({kmv_hash_py(it) for it in items})[:k]
+    if len(hs) < k:
+        return float(len(hs))
+    return _round_half_up((k - 1) * POW52 / hs[-1], EST_DP)
+
+
+def kmv_intersect_py(a: list[str], b: list[str], k: int = KMV_K) -> float:
+    """Pure-Python twin of the pair intersection estimate."""
+    sa = sorted({kmv_hash_py(x) for x in a})[:k]
+    sb = sorted({kmv_hash_py(x) for x in b})[:k]
+    ta = POW52 if len(sa) < k else sa[-1]
+    tb = POW52 if len(sb) < k else sb[-1]
+    t = min(ta, tb)
+    common = set(sa) & set(sb)
+    n = len(common) if t == POW52 else sum(1 for h in common if h < t)
+    if t == POW52:
+        return float(n)
+    return _round_half_up(n * float(POW52) / t, EST_DP)

@@ -313,3 +313,104 @@ def test_tile_distinct_pyramid_rollup_equals_direct(spark):
              .collect()}
     for c, n in exact.items():
         assert abs(est[c] / n - 1) < 0.25, (c, est[c], n)
+
+
+# --- KMV / theta: bottom-k distinct hashes, set algebra ----------------------
+
+def test_kmv_hash_twins_bit_equal(spark, frame):
+    import duckdb
+    rows = frame.select(
+        "item", S.kmv_hash_col(F.col("item")).alias("h")).collect()
+    for r in rows[:50]:
+        assert r["h"] == S.kmv_hash_py(r["item"])
+    pdf = frame.select("item").distinct().toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = dict(con.sql(
+        f"SELECT item, {S.kmv_hash_sql('item')} FROM t").fetchall())
+    for r in rows:
+        assert duck[r["item"]] == r["h"]
+
+
+def test_kmv_merge_equals_direct(spark, frame):
+    """bottom-k(A ∪ B) == bottom-k(merge of per-part bottom-k) row-for-
+    row — exact mergeability (a union's k minima come from some part's
+    k minima)."""
+    a = frame.filter(F.col("k") == "a").withColumn("k", F.lit("all"))
+    b = frame.filter(F.col("k") == "b").withColumn("k", F.lit("all"))
+    direct = S.kmv_sketch(frame.withColumn("k", F.lit("all")),
+                          ["k"], "item")
+    merged = S.kmv_merge([S.kmv_sketch(a, ["k"], "item"),
+                          S.kmv_sketch(b, ["k"], "item")], ["k"])
+    sym = direct.exceptAll(merged).union(merged.exceptAll(direct))
+    assert sym.count() == 0
+
+
+def test_kmv_sketch_matches_duckdb_twin(spark, frame):
+    import duckdb
+    got = {(r["k"], r["rk"]): r["h"]
+           for r in S.kmv_sketch(frame, ["k"], "item").collect()}
+    con = duckdb.connect()
+    con.register("t", frame.toPandas())
+    exp = {(k, rk): h for k, rk, h in con.sql(
+        S.kmv_sketch_sql("t", "k", "item")).fetchall()}
+    assert got == exp
+
+
+def test_kmv_estimate_accuracy_and_python_twin(spark, frame):
+    ests = {r["k"]: (r["n_sample"], r["estimate"])
+            for r in S.kmv_estimate(
+                S.kmv_sketch(frame, ["k"], "item"), ["k"]).collect()}
+    items = {k: [r["item"] for r in
+                 frame.filter(F.col("k") == k).distinct().collect()]
+             for k in ("a", "b")}
+    # b has 60 < K=64 distinct items → the exact branch
+    assert ests["b"] == (60, 60.0)
+    # a has 730 distinct → the estimator branch; exact-equal to the
+    # Python twin, and within the ~1/sqrt(K-2) KMV error envelope
+    assert ests["a"][0] == S.KMV_K
+    assert ests["a"][1] == S.kmv_estimate_py(items["a"])
+    assert abs(ests["a"][1] / 730 - 1) < 0.5
+
+
+def test_kmv_intersection_matches_twin_and_envelope(spark, frame):
+    import duckdb
+    import pandas as pd
+    # high-overlap fixture: c ⊃ a-side items so |a ∩ c| is large enough
+    # for the theta estimator to be meaningful at K=64
+    rows = ([("a", it) for it in _items("x", 700)]
+            + [("c", it) for it in _items("x", 700)]
+            + [("c", it) for it in _items("z", 300)])
+    big = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "item"]))
+    sk = S.kmv_sketch(big, ["k"], "item")
+    got = S.kmv_intersect_pairs(sk, "k").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["key_a"], r["key_b"]) == ("a", "c")
+    tw = S.kmv_intersect_py([x for k, x in rows if k == "a"],
+                            [x for k, x in rows if k == "c"])
+    assert r["estimate"] == tw
+    assert abs(r["estimate"] / 700 - 1) < 0.6
+    con = duckdb.connect()
+    con.register("t", big.toPandas())
+    duck = con.sql(S.kmv_intersect_pairs_sql(
+        S.kmv_sketch_sql("t", "k", "item"))).fetchall()
+    assert [(r["key_a"], r["key_b"], r["n_common"], r["estimate"])] \
+        == duck
+    # disjoint pair: estimate must be exactly 0 in every engine
+    rows2 = ([("p", it) for it in _items("p", 200)]
+             + [("q", it) for it in _items("q", 200)])
+    d2 = spark.createDataFrame(pd.DataFrame(rows2, columns=["k", "item"]))
+    r2 = S.kmv_intersect_pairs(
+        S.kmv_sketch(d2, ["k"], "item"), "k").collect()
+    assert len(r2) == 1 and r2[0]["n_common"] == 0 \
+        and r2[0]["estimate"] == 0.0
+
+
+def test_kmv_rank_shuffle_is_group_limited(spark, frame):
+    """Scale shape: the bottom-k rank must plan as WindowGroupLimit —
+    each map task forwards ≤ K rows per key into the exchange, so the
+    rank shuffle is sketch-sized, never corpus-sized."""
+    plan = S.kmv_sketch(frame, ["k"], "item") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
