@@ -23,6 +23,8 @@ with an explicit mapping to the Iceberg features it stands in for:
 |   merge on append                   |   old files read nulls there       |
 | ``cluster_by=`` range+sort on write | write.distribution-mode=range +    |
 |                                     |   sort order (tight file bounds)   |
+| ``cluster_by=(a, b)`` Z-order write | OPTIMIZE ZORDER BY / Z-order sort  |
+|                                     |   transform (2-D file skipping)    |
 
 Single-writer is assumed (Iceberg arbitrates concurrent committers through
 the catalog's compare-and-swap; a filesystem sandbox has no catalog).
@@ -44,7 +46,7 @@ import time
 import urllib.parse
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -122,16 +124,56 @@ def _merge_schema(old: dict, new: T.StructType) -> dict:
     return merged.jsonValue()
 
 
-def _clustered(df: DataFrame, cluster_by: str | None,
-               target_files: int | None) -> DataFrame:
+def _zorder_key(df: DataFrame, cols: tuple[str, str],
+                bits: int = 16) -> Column:
+    """Morton Z-order key over two numeric columns (Delta's OPTIMIZE
+    ZORDER BY / Iceberg's Z-order sort transform). Each column is
+    quantized to ``bits`` bits within its OBSERVED min/max (one tiny agg
+    over the batch — the same data pass Delta's range-id computation
+    makes), then bit-interleaved via the grid kernel. Sorting by the
+    interleaved key localizes BOTH columns inside each file, so manifest
+    min/max stats are tight on both dimensions at once — a 1-D sort can
+    only ever tighten one."""
+    from mbrngq_spark import grid
+    a, b = cols
+    row = df.agg(F.min(F.col(a).cast("double")).alias("mna"),
+                 F.max(F.col(a).cast("double")).alias("mxa"),
+                 F.min(F.col(b).cast("double")).alias("mnb"),
+                 F.max(F.col(b).cast("double")).alias("mxb")).collect()[0]
+    n = 1 << bits
+
+    def q(col: str, mn: float, mx: float) -> Column:
+        extent = (mx - mn) or 1.0
+        ix = F.floor((F.col(col).cast("double") - F.lit(mn))
+                     / F.lit(extent) * F.lit(float(n)))
+        return F.greatest(F.least(ix, F.lit(n - 1)), F.lit(0)).cast("long")
+
+    return grid.cell_from_indices(q(a, row["mna"], row["mxa"]),
+                                  q(b, row["mnb"], row["mxb"]))
+
+
+def _clustered(df: DataFrame, cluster_by, target_files: int | None
+               ) -> DataFrame:
     """Range-partition + sort by ``cluster_by`` before writing, so per-file
     min/max bounds are TIGHT and read(where=…) pruning actually skips files
     (Iceberg's write.distribution-mode=range + sort order). Without
     clustering, every file's bounds span the whole domain and stats prune
-    nothing."""
+    nothing.
+
+    ``cluster_by`` is a column name, or a (col_a, col_b) tuple for Z-ORDER
+    clustering: rows are laid out along the Morton curve of the two
+    columns, so 2-D box predicates (the spatial read shape) prune files on
+    BOTH dimensions — the 100 TB layout for point tables queried by
+    (x, y) ranges."""
     if cluster_by is None:
         return df
     n = target_files or df.sparkSession.sparkContext.defaultParallelism
+    if isinstance(cluster_by, (tuple, list)):
+        key = _zorder_key(df, tuple(cluster_by))
+        return (df.withColumn("__z", key)
+                .repartitionByRange(n, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z"))
     return (df.repartitionByRange(n, F.col(cluster_by))
             .sortWithinPartitions(cluster_by))
 
@@ -229,14 +271,14 @@ class SnapshotTable:
 
     # -- public operations ----------------------------------------------------
 
-    def create(self, df: DataFrame, cluster_by: str | None = None,
+    def create(self, df: DataFrame, cluster_by=None,
                target_files: int | None = None) -> int:
         assert self.current_snapshot_id() is None, "table already exists"
         df = _clustered(df, cluster_by, target_files)
         return self._commit(self._write_batch(df, "create"), "create",
                             schema=df.schema.jsonValue())
 
-    def append(self, df: DataFrame, cluster_by: str | None = None,
+    def append(self, df: DataFrame, cluster_by=None,
                target_files: int | None = None) -> int:
         """Append; columns new to the table are ADD-COLUMN schema evolution
         (old files read back with nulls there — the manifest schema is the
@@ -249,7 +291,7 @@ class SnapshotTable:
         files = cur["files"] + self._write_batch(df, "append")
         return self._commit(files, "append", schema=schema)
 
-    def overwrite(self, df: DataFrame, cluster_by: str | None = None,
+    def overwrite(self, df: DataFrame, cluster_by=None,
                   target_files: int | None = None) -> int:
         df = _clustered(df, cluster_by, target_files)
         return self._commit(self._write_batch(df, "overwrite"), "overwrite",

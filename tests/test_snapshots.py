@@ -227,6 +227,43 @@ def test_cluster_by_write_tightens_pruning(spark, tmp_path):
     assert t.last_scan["skipped"] >= 2
 
 
+def test_zorder_cluster_prunes_both_dimensions(spark, tmp_path):
+    """cluster_by=(x, y) lays rows along the Morton curve, so a 2-D box
+    read prunes files on BOTH dimensions; a 1-D sort on x alone leaves
+    every file spanning the full y domain, so a tight-y box prunes
+    nothing extra. Results must be identical either way (pruning is
+    lossless)."""
+    import itertools
+    pdf = pd.DataFrame(
+        [(i, float(ix), float(iy))
+         for i, (ix, iy) in enumerate(itertools.product(range(64),
+                                                        range(64)))],
+        columns=["doc_id", "x", "y"])
+    df = spark.createDataFrame(pdf)
+    box = [("x", ">=", 8.0), ("x", "<=", 15.0),
+           ("y", ">=", 8.0), ("y", "<=", 15.0)]
+
+    t1 = SnapshotTable(spark, str(tmp_path / "xsorted"))
+    t1.create(df, cluster_by="x", target_files=16)
+    r1 = sorted(r["doc_id"] for r in t1.read(where=box).collect())
+    skip_1d = t1.last_scan["skipped"]
+
+    t2 = SnapshotTable(spark, str(tmp_path / "zordered"))
+    t2.create(df, cluster_by=("x", "y"), target_files=16)
+    r2 = sorted(r["doc_id"] for r in t2.read(where=box).collect())
+    skip_z = t2.last_scan["skipped"]
+
+    exact = sorted(r["doc_id"] for r in df.filter(
+        (F.col("x").between(8, 15)) & (F.col("y").between(8, 15)))
+        .collect())
+    assert r1 == r2 == exact and len(exact) == 64
+    # the x-sort prunes only on x (≤ 16-4=12 of 16 skippable; in practice
+    # ~14 here since the box spans 1/8 of x); z-order must beat it by
+    # pruning on y as well
+    assert skip_z > skip_1d, (skip_z, skip_1d)
+    assert skip_z >= 14, skip_z
+
+
 def test_same_millisecond_commits_do_not_collide(spark, table):
     for lo in range(100, 160, 20):                  # rapid-fire appends
         table.append(_docs(spark, lo, lo + 20).coalesce(1))
