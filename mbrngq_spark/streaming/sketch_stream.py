@@ -127,3 +127,37 @@ def read_cm_state(spark: SparkSession, state_path: str, key_cols: list[str],
           .parquet(f"{state_path}/batch=*"))
     return (df.groupBy(*key_cols, "row", "col")
             .agg(F.sum("cnt").alias("cnt")))
+
+
+# --- streaming KMV/theta: idempotent bottom-k merge --------------------------
+
+KMV_STATE_SCHEMA = "rk long, h long"
+
+
+def merge_kmv_sketch_into(spark: SparkSession, state_path: str,
+                          key_cols: list[str], item_col: str,
+                          key_schema: str, k: int | None = None):
+    """foreachBatch handler factory for the KMV bottom-k state.
+
+    Bottom-k merge (union → distinct → re-rank → keep ≤ k) is IDEMPOTENT
+    like the HLL register max: a crash-replayed batch contributes hashes
+    the distinct already holds, so the re-merge is a no-op and
+    exactly-once falls out of the algebra (the HLL state-table shape,
+    not the CMS delta-dir shape). State is bounded at keys × k rows
+    forever — the stream keeps set-intersection capability without ever
+    storing items."""
+    from mbrngq_spark.operators.sketch import KMV_K, kmv_merge, kmv_sketch
+    kk = k or KMV_K
+    schema = f"{key_schema}, {KMV_STATE_SCHEMA}"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = kmv_sketch(batch_df, key_cols, item_col, kk)
+        try:
+            state = spark.read.schema(schema).parquet(state_path)
+        except Exception:
+            state = spark.createDataFrame([], schema)
+        merged = kmv_merge([state, batch_sk], key_cols, kk) \
+            .localCheckpoint(eager=True)   # cut lineage before overwrite
+        merged.write.mode("overwrite").parquet(state_path)
+
+    return handle

@@ -184,3 +184,48 @@ def test_cm_merge_sink_exactly_once_by_path(spark, tmp_path):
     exp = {(r["k"], r["row"], r["col"]): r["cnt"]
            for r in S.cm_sketch(batch, ["k"], "item").collect()}
     assert got == exp
+
+
+def test_kmv_merge_sink_exactly_once_by_idempotence(spark, tmp_path):
+    """KMV bottom-k state: crash AFTER batch 1 merged, BEFORE the stream
+    checkpoint commits; the restart replays the batch. Bottom-k merge
+    dedups by hash, so the replay is a no-op and the final state equals
+    the batch sketch of ALL rows — the HLL exactly-once shape, carrying
+    set-INTERSECTION capability the HLL state can't."""
+    import pyspark.errors
+
+    from mbrngq_spark.streaming.sketch_stream import merge_kmv_sketch_into
+
+    src = str(tmp_path / "src")
+    frames = [_pdf(b) for b in range(3)]
+    for pdf in frames:
+        spark.createDataFrame(pdf, SRC_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed-once"
+    inner = merge_kmv_sketch_into(spark, state, ["k"], "item", "k string")
+
+    def handle(df, bid):
+        inner(df, bid)
+        if bid == 1 and not marker.exists():
+            marker.write_text("x")
+            raise RuntimeError("injected")
+
+    def run():
+        q = (spark.readStream.schema(SRC_SCHEMA)
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .writeStream.foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        run()
+    assert marker.exists()
+    run()
+    got = {(r["k"], r["rk"]): r["h"]
+           for r in spark.read.parquet(state).collect()}
+    batch = spark.createDataFrame(pd.concat(frames), SRC_SCHEMA)
+    exp = {(r["k"], r["rk"]): r["h"]
+           for r in S.kmv_sketch(batch, ["k"], "item").collect()}
+    assert got == exp
