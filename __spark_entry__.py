@@ -400,7 +400,12 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     masks, the candidate join and the exact scoring verbatim — no recall
     assumption); 'ivf' = pivot-based inverted lists with nprobe probing
     (pivots are data rows, the assignment argmin is 6-dp-rounded with
-    pivot-id ties, so both engines bucket identically)."""
+    pivot-id ties, so both engines bucket identically); 'pq' (r6) =
+    product-quantization ADC top-k over the 8-byte code table —
+    integer-exact end to end (micro-unit quantization → pivot codebook →
+    argmin encode → LUT scan, all int64 < 2^53), so the oracle replays
+    it with NO rounding discipline; the 'cos' column carries the integer
+    ADC distance as a double."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 4) \
                  .select(F.col("vec_id").alias("q_id"), "embedding")
@@ -411,10 +416,17 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", similarity.cosine_topk_ivf(emb, queries, k=10,
                                            nlist=16, nprobe=4)),
     ]
+    cb = similarity.pq_codebook_pivots(emb)
+    pq = similarity.pq_adc_topk(similarity.pq_encode(emb, cb), queries,
+                                cb, k=10) \
+        .select("q_id", "vec_id",
+                F.col("adist").cast("double").alias("cos"), "rnk")
+    parts.append(("pq", pq))
     outs = [o.select(F.lit(tag).alias("method"), "q_id", "vec_id", "cos",
                      F.col("rnk").cast("long").alias("rnk"))
             for tag, o in parts]
-    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return (outs[0].unionByName(outs[1]).unionByName(outs[2])
+            .unionByName(outs[3]))
 
 
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2158,6 +2170,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'lsh', q_id, vec_id, cos, rnk FROM ({ann_lsh_topk})
         UNION ALL
         SELECT 'ivf', q_id, vec_id, cos, rnk FROM ({ann_ivf_topk})
+        UNION ALL
+        SELECT 'pq', q_id, vec_id, CAST(adist AS DOUBLE) AS cos, rnk
+        FROM ({similarity.pq_adc_sql()})
     """
 
     agg_pricing = """

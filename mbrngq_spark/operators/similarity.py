@@ -471,3 +471,219 @@ def embedding_near_dups(corpus: DataFrame, threshold: float, dim: int,
             .withColumn("cos", F.round(cos, 6))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+# --- product quantization (PQ): integer-exact compressed ANN ------------------
+#
+# IVF prunes which LISTS a probe reads; PQ shrinks what a scan RESIDES
+# in: each vector becomes M one-byte codes (64 floats → 8 codes here,
+# 32× smaller), and query-time distance is an M-term table lookup over
+# the codes — the corpus's raw vectors never leave disk (Jegou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+# FAISS IVF-PQ scan shape). At 100 TB the ADC scan touches only the
+# code table; combined with the persisted IVF artifact the probe reads
+# a few pruned partitions OF CODES.
+#
+# Cross-engine exactness trick: all PQ arithmetic runs on MICRO-UNIT
+# int64 embeddings — each float component is quantized ONCE, in-engine,
+# as CAST(round(x * 1e6) AS BIGINT) (HALF_UP in both Spark and DuckDB;
+# the float→double widening of the parquet value is exact in both).
+# Every distance is then a sum of integer squares bounded by
+# dim · (1.1e6)² ≈ 7e13 < 2^53, so NumPy int64, Spark longs and DuckDB
+# DOUBLEs all produce the IDENTICAL number — ranking needs no rounding
+# discipline at all, only the (adist, vec_id) tiebreak.
+#
+# The codebook is PIVOT-PQ (the `ann_ivf_topk` oracle discipline): the
+# C lowest-id rows' subvectors are the codewords, so DuckDB can replay
+# training relationally. A k-means codebook would drop reconstruction
+# error but puts float iteration inside the oracle; the pivot variant
+# keeps the whole chain value-checkable.
+
+PQ_SCALE = 1_000_000
+PQ_M = 8                        # subspaces (dim 64 → dsub 8)
+PQ_C = 16                       # codewords per subspace
+
+
+def quantized_vec(vec: Column) -> Column:
+    """array<float> → micro-unit array<long> (the ONE quantization)."""
+    return F.transform(vec.cast("array<double>"),
+                       lambda x: F.round(x * PQ_SCALE).cast("long"))
+
+
+def pq_codebook_pivots(corpus: DataFrame, m: int = PQ_M,
+                       n_codes: int = PQ_C, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> np.ndarray:
+    """(m, n_codes, dsub) int64 codebook from the ``n_codes`` lowest-id
+    rows (quantized IN Spark so the HALF_UP rounding happens exactly
+    once, engine-side)."""
+    rows = (corpus.select(F.col(id_col).alias("pid"),
+                          quantized_vec(F.col(vec_col)).alias("qv"))
+            .orderBy("pid").limit(n_codes).collect())
+    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
+    dim = mat.shape[1]
+    assert dim % m == 0, (dim, m)
+    return mat.reshape(n_codes, m, dim // m).transpose(1, 0, 2).copy()
+
+
+def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<long>) — one map-only Arrow pass, no shuffle:
+    per subspace, the argmin-distance codeword (ties → lowest code id,
+    which is NumPy argmin's first-occurrence rule)."""
+    m, n_codes, dsub = codebooks.shape
+    cb = codebooks
+
+    qdf = corpus.select(F.col(id_col).alias("id"),
+                        quantized_vec(F.col(vec_col)).alias("qv"))
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["qv"].tolist(),
+                         dtype=np.int64).reshape(len(pdf), m, dsub)
+            d = ((X[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
+            codes = d.argmin(-1).astype(np.int64)
+            yield pd.DataFrame({"id": pdf["id"],
+                                "codes": list(codes)})
+
+    return qdf.mapInPandas(enc, schema="id long, codes array<long>")
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame,
+                codebooks: np.ndarray, k: int,
+                q_id_col: str = "q_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(q_id, vec_id, adist, rnk) — asymmetric-distance top-k over the
+    CODE table. Per query, an (m × n_codes) int64 lookup table is built
+    driver-side from the quantized query (queries are few); the scan is
+    one map-only Arrow gather+sum over codes (a slim ndarray closure,
+    never a pandas pickle), followed by the WindowGroupLimit-capped
+    rank — the only shuffle, carrying ≤ k rows per map task per query."""
+    m, n_codes, dsub = codebooks.shape
+    qrows = (queries.select(F.col(q_id_col).alias("qid"),
+                            quantized_vec(F.col(vec_col)).alias("qv"))
+             .collect())
+    qids = np.array(sorted(r["qid"] for r in qrows), dtype=np.int64)
+    by_id = {r["qid"]: r["qv"] for r in qrows}
+    luts = np.stack([
+        ((np.array(by_id[q], dtype=np.int64).reshape(m, 1, dsub)
+          - codebooks) ** 2).sum(-1)
+        for q in qids])                      # (Q, m, n_codes)
+    jdx = np.arange(m)[None, :]
+
+    def scan(batches):
+        for pdf in batches:
+            b = len(pdf)
+            if not b:
+                continue
+            cd = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
+            ad = luts[:, jdx, cd].sum(-1)                         # (Q, B)
+            yield pd.DataFrame({
+                "q_id": np.repeat(qids, b),
+                "vec_id": np.tile(pdf["id"].to_numpy(), len(qids)),
+                "adist": ad.reshape(-1)})
+
+    scanned = codes.mapInPandas(scan,
+                                schema="q_id long, vec_id long, adist long")
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(),
+                                           F.col("vec_id").asc())
+    return (scanned.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def pq_adc_sql(table: str = "embeddings", n_queries: int = 4,
+               k: int = 10, m: int = PQ_M, n_codes: int = PQ_C,
+               dim: int = 64) -> str:
+    """DuckDB replay of quantize → pivot codebook → encode → ADC rank.
+    Integer-exact end to end: list_zip/list_transform squares stay
+    integers; the DOUBLE results of any implicit widening are below 2^53
+    so they equal the engine's int64s bit-for-bit."""
+    dsub = dim // m
+    sq = ("list_sum(list_transform(list_zip({a}, {b}), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    return f"""
+        WITH qe AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(round(x * {PQ_SCALE}.0)
+                                            AS BIGINT)) AS qv
+            FROM {table}
+        ), cb AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv
+            FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id
+                  LIMIT {n_codes}) t
+        ), js AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+        subs AS (
+            SELECT vec_id, j,
+                   qv[(j * {dsub} + 1):(j * {dsub} + {dsub})] AS sv
+            FROM qe, js
+        ), csub AS (
+            SELECT cid, j,
+                   qv[(j * {dsub} + 1):(j * {dsub} + {dsub})] AS cv
+            FROM cb, js
+        ), dist AS (
+            SELECT s.vec_id, s.j, c.cid,
+                   CAST({sq.format(a='s.sv', b='c.cv')} AS BIGINT) AS d
+            FROM subs s JOIN csub c ON c.j = s.j
+        ), codes AS (
+            SELECT vec_id, j, cid FROM (
+                SELECT vec_id, j, cid,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d, cid) AS rn
+                FROM dist) WHERE rn = 1
+        ), ldist AS (
+            SELECT s.vec_id AS q_id, s.j, c.cid,
+                   CAST({sq.format(a='s.sv', b='c.cv')} AS BIGINT) AS d
+            FROM subs s JOIN csub c ON c.j = s.j
+            WHERE s.vec_id < {n_queries}
+        ), adist AS (
+            SELECT l.q_id, c.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+            FROM codes c JOIN ldist l ON l.j = c.j AND l.cid = c.cid
+            GROUP BY 1, 2
+        )
+        SELECT q_id, vec_id, adist, rnk FROM (
+            SELECT q_id, vec_id, adist,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adist, vec_id) AS rnk
+            FROM adist) WHERE rnk <= {k}
+    """
+
+
+def pq_codebook_kmeans(corpus: DataFrame, m: int = PQ_M,
+                       n_codes: int = PQ_C, iters: int = 10,
+                       sample: int = 20_000, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Per-subspace Lloyd k-means codebook (the quality refinement over
+    raw pivot-PQ — FAISS's default training): a bounded deterministic
+    hash-sample comes to the driver ALREADY QUANTIZED to micro-units
+    (so rounding stays engine-side), k-means runs per subspace in
+    NumPy, and the learned centroids are re-quantized to int64 so every
+    downstream distance keeps the < 2^53 exactness property. Codebooks
+    are DERIVED data — the gate oracle keeps using data-resident pivots;
+    k-means quality (recall uplift over pivots) is pytest-tracked."""
+    rows = (corpus.select(quantized_vec(F.col(vec_col)).alias("qv"))
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(sample).collect())
+    x = np.array([r["qv"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    xs = x.reshape(len(x), m, dsub)
+    rng = np.random.default_rng(seed)
+    out = np.empty((m, n_codes, dsub), dtype=np.int64)
+    for j in range(m):
+        pts = xs[:, j, :]
+        cent = pts[rng.choice(len(pts), size=min(n_codes, len(pts)),
+                              replace=False)].copy()
+        for _ in range(iters):
+            d = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(len(cent)):
+                members = pts[assign == c]
+                if len(members):
+                    cent[c] = members.mean(0)
+        out[j] = np.rint(cent).astype(np.int64)
+    return out

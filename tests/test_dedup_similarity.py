@@ -423,3 +423,97 @@ def test_contamination_bloom_prefilter_identical(spark):
              for r in dedup.contamination_check(
                  corpus, eval_set, bloom_prefilter=True).collect()}
     assert base == bloom and len(base) == 2
+
+
+# --- product quantization: integer-exact compressed ANN ----------------------
+
+def test_pq_chain_integer_exact_and_deterministic(spark, emb):
+    """Codes are stable across runs, bounded by the codebook size, and
+    the ADC distance equals a from-scratch pure-Python int recompute —
+    the end-to-end integer-exactness claim (no float ever enters)."""
+    cb = similarity.pq_codebook_pivots(emb)
+    m, n_codes, dsub = cb.shape
+    assert (m, n_codes) == (similarity.PQ_M, similarity.PQ_C)
+    c1 = {r["id"]: r["codes"]
+          for r in similarity.pq_encode(emb, cb).collect()}
+    c2 = {r["id"]: r["codes"]
+          for r in similarity.pq_encode(emb, cb).collect()}
+    assert c1 == c2
+    assert all(0 <= c < n_codes for cs in c1.values() for c in cs)
+
+    # pure-Python replay on a few rows: quantize (HALF_UP, like the
+    # engines), argmin-encode, LUT ADC
+    import decimal
+
+    def quant(v):
+        return [int(decimal.Decimal(repr(float(x) * similarity.PQ_SCALE))
+                    .quantize(decimal.Decimal(1),
+                              rounding=decimal.ROUND_HALF_UP))
+                for x in v]
+
+    rows = {r["vec_id"]: list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 6).collect()}
+    qv = {i: quant(v) for i, v in rows.items()}
+
+    def code_of(q):
+        return [min(range(n_codes), key=lambda c: sum(
+            (q[j * dsub + t] - int(cb[j][c][t])) ** 2
+            for t in range(dsub)))
+            for j in range(m)]
+
+    for i in rows:
+        assert list(c1[i]) == code_of(qv[i]), i
+
+    queries = emb.filter(F.col("vec_id") < 2) \
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    got = {(r["q_id"], r["vec_id"]): r["adist"]
+           for r in similarity.pq_adc_topk(
+               similarity.pq_encode(emb, cb), queries, cb, k=5).collect()}
+    for (q, v), ad in got.items():
+        expect = sum(
+            sum((qv[q][j * dsub + t] - int(cb[j][c1[v][j]][t])) ** 2
+                for t in range(dsub))
+            for j in range(m))
+        assert ad == expect, (q, v)
+
+
+def test_pq_recall_and_self_hit(spark, emb):
+    """Both codebooks (oracle-replayable pivots, production k-means)
+    hold the same recall floor on the random fixture — random embeddings
+    have no cluster structure for k-means to exploit, so the two are
+    statistically alike here; k-means wins on clustered real data. A
+    corpus row used as its own query must always surface in its top-10
+    (reconstruction error stays below inter-point distances)."""
+    queries = emb.filter(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = {}
+    for r in similarity.cosine_topk_bruteforce(emb, queries, 10).collect():
+        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for mk in (similarity.pq_codebook_pivots,
+               similarity.pq_codebook_kmeans):
+        cb = mk(emb)
+        got = {}
+        for r in similarity.pq_adc_topk(
+                similarity.pq_encode(emb, cb), queries, cb, 10).collect():
+            got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        recs = [len(got[q] & exact[q]) / 10 for q in exact]
+        assert sum(recs) / len(recs) >= 0.25, (mk.__name__, recs)
+        assert all(q in got[q] for q in exact), mk.__name__
+
+
+def test_pq_scan_plan_maponly_and_group_limited(spark, emb):
+    """Scale shape: the ADC scan is ArrowEvalPython/mapInPandas over the
+    code table with NO Exchange upstream (map-only — codes are never
+    shuffled), and the top-k rank plans as WindowGroupLimit so the one
+    rank shuffle carries ≤ k rows per map task per query."""
+    cb = similarity.pq_codebook_pivots(emb)
+    codes = similarity.pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 4) \
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    plan = similarity.pq_adc_topk(codes, queries, cb, k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # nothing between the scan and the Python stages but projections:
+    # no Exchange may appear below the MapInPandas nodes
+    below = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in below, below
