@@ -687,3 +687,114 @@ def pq_codebook_kmeans(corpus: DataFrame, m: int = PQ_M,
                     cent[c] = members.mean(0)
         out[j] = np.rint(cent).astype(np.int64)
     return out
+
+
+# --- IVF-PQ: partition-pruned ADC over a code-only artifact -------------------
+
+def build_ivfpq_index(corpus: DataFrame, path: str, nlist: int = 16,
+                      codebooks: np.ndarray | None = None,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """The FAISS IVF-PQ shape, persisted (the 100 TB ANN artifact): the
+    inverted lists store ONLY (id, codes) — 8 bytes of PQ payload per
+    vector instead of the raw embedding — partitioned by pivot, so a
+    probe is partition pruning over a table 32× smaller than the
+    ``build_ivf_index`` one. Raw vectors never enter the artifact; the
+    probe never touches the corpus.
+
+    - ``{path}/lists``    — (id, codes) partitionBy("pivot")
+    - ``{path}/pivots``   — (pid, pvec) list-ranking table (nlist rows)
+    - ``{path}/codebook`` — (j, cid, cvec) int64 codewords (m·n_codes
+      rows — metadata scale), so a probe job reconstructs the exact
+      LUTs with no retraining."""
+    spark = corpus.sparkSession
+    cb = codebooks if codebooks is not None else pq_codebook_pivots(
+        corpus, id_col=id_col, vec_col=vec_col)
+    m, n_codes, dsub = cb.shape
+    pivots = [(r[0], list(r[1])) for r in
+              corpus.select(id_col, vec_col).orderBy(id_col)
+              .limit(nlist).collect()]
+    structs = _pivot_structs(F.col(vec_col), pivots)
+    assigned = corpus.withColumn("pivot", F.array_min(structs)["pid"])
+    codes = pq_encode(assigned, cb, id_col=id_col, vec_col=vec_col) \
+        .join(assigned.select(F.col(id_col).alias("id"), "pivot"), "id")
+    codes.write.mode("overwrite").partitionBy("pivot") \
+        .parquet(f"{path}/lists")
+    (spark.createDataFrame(
+        pd.DataFrame({"pid": [p for p, _ in pivots],
+                      "pvec": [v for _, v in pivots]}),
+        "pid long, pvec array<double>")
+     .write.mode("overwrite").parquet(f"{path}/pivots"))
+    (spark.createDataFrame(
+        pd.DataFrame([(j, c, cb[j][c].tolist())
+                      for j in range(m) for c in range(n_codes)],
+                     columns=["j", "cid", "cvec"]),
+        "j long, cid long, cvec array<long>")
+     .write.mode("overwrite").parquet(f"{path}/codebook"))
+
+
+def probe_ivfpq_index(spark: SparkSession, path: str, queries: DataFrame,
+                      k: int, nprobe: int = 4, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      q_id_col: str = "q_id") -> DataFrame:
+    """Probe the IVF-PQ artifact: rank pivots per query (nlist rows),
+    STATIC ``pivot IN`` partition pruning over the code lists, then one
+    map-only Arrow ADC pass per (query, candidate) — integer-exact, so
+    the result equals a driver-side NumPy replay bit-for-bit (pytest).
+    The scan reads nprobe/nlist of a code table 32× smaller than the
+    raw corpus; the only shuffle is the WindowGroupLimit-capped rank."""
+    cbr = spark.read.parquet(f"{path}/codebook").collect()
+    m = 1 + max(r["j"] for r in cbr)
+    n_codes = 1 + max(r["cid"] for r in cbr)
+    dsub = len(cbr[0]["cvec"])
+    cb = np.zeros((m, n_codes, dsub), dtype=np.int64)
+    for r in cbr:
+        cb[r["j"], r["cid"]] = r["cvec"]
+    pivots = [(int(r.pid), list(r.pvec)) for r in
+              spark.read.parquet(f"{path}/pivots").collect()]
+
+    qrows = (queries.select(F.col(q_id_col).alias("qid"),
+                            quantized_vec(F.col(vec_col)).alias("qv"))
+             .collect())
+    qids = np.array(sorted(r["qid"] for r in qrows), dtype=np.int64)
+    qidx = {q: i for i, q in enumerate(qids.tolist())}
+    by_id = {r["qid"]: r["qv"] for r in qrows}
+    luts = np.stack([
+        ((np.array(by_id[q], dtype=np.int64).reshape(m, 1, dsub)
+          - cb) ** 2).sum(-1)
+        for q in qids])                      # (Q, m, n_codes)
+    jdx = np.arange(m)
+
+    q = (queries
+         .withColumn("probe", F.transform(
+             F.slice(F.array_sort(_pivot_structs(F.col(vec_col), pivots)),
+                     1, nprobe),
+             lambda s: s["pid"]))
+         .select(F.col(q_id_col).alias("qid"),
+                 F.explode("probe").alias("pivot")))
+    probed = sorted({int(r.pivot) for r in
+                     q.select("pivot").distinct().collect()})
+    lists = (spark.read.parquet(f"{path}/lists")
+             .filter(F.col("pivot").isin(probed))
+             .withColumn("pivot", F.col("pivot").cast("long")))
+    cand = lists.join(F.broadcast(q), "pivot") \
+                .select("qid", "id", "codes")
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cd = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
+            qi = pdf["qid"].map(qidx).to_numpy()
+            ad = luts[qi[:, None], jdx[None, :], cd].sum(-1)      # (B,)
+            yield pd.DataFrame({"q_id": pdf["qid"], "vec_id": pdf["id"],
+                                "adist": ad})
+
+    scored = cand.mapInPandas(scan,
+                              schema="q_id long, vec_id long, adist long")
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(),
+                                           F.col("vec_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("q_id").alias(q_id_col),
+                    F.col("vec_id").alias(id_col), "adist", "rnk"))

@@ -517,3 +517,48 @@ def test_pq_scan_plan_maponly_and_group_limited(spark, emb):
     # no Exchange may appear below the MapInPandas nodes
     below = plan.split("MapInPandas")[-1]
     assert "Exchange" not in below, below
+
+
+def test_ivfpq_probe_equals_numpy_replay_and_prunes(spark, tmp_path, emb):
+    """IVF-PQ artifact: the probe's top-k equals a from-scratch NumPy
+    replay (LUT ADC over the probed lists' members, integer-exact,
+    (adist, id) tiebreak) — exactness survives the artifact roundtrip —
+    and the list scan is partition-pruned, with the 8-long code payload
+    standing in for the raw vectors."""
+    queries = emb.filter(F.col("vec_id") < 4) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(emb, path, nlist=16)
+    got = similarity.probe_ivfpq_index(spark, path, queries, k=10,
+                                       nprobe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    rows = sorted((r.q_id, r.rnk, r.vec_id, r.adist)
+                  for r in got.collect())
+    assert "PartitionFilters" in plan
+    assert "pivot" in plan.split("PartitionFilters", 1)[1][:300]
+
+    # the artifact's own state: assignments, codes, pivots
+    lists = {r["id"]: (int(r["pivot"]), list(r["codes"])) for r in
+             spark.read.parquet(f"{path}/lists").collect()}
+    pivots = [(int(r.pid), list(r.pvec)) for r in
+              spark.read.parquet(f"{path}/pivots").collect()]
+    cb = similarity.pq_codebook_pivots(emb)
+    m, n_codes, dsub = cb.shape
+    # per-query probe sets via the probe's own ranking expression
+    # (nprobe lowest (rounded -cos, pid) structs — nlist rows, metadata)
+    probes = {r["q_id"]: [int(p) for p in r["pr"]] for r in
+              queries.withColumn("pr", F.transform(
+                  F.slice(F.array_sort(similarity._pivot_structs(
+                      F.col("embedding"), pivots)), 1, 4),
+                  lambda st: st["pid"])).select("q_id", "pr").collect()}
+    qv = {r["q_id"]: np.array(r["qv"], dtype=np.int64) for r in
+          queries.select("q_id", similarity.quantized_vec(
+              F.col("embedding")).alias("qv")).collect()}
+    exp = []
+    for q, pset in probes.items():
+        lut = ((qv[q].reshape(m, 1, dsub) - cb) ** 2).sum(-1)
+        cand = [(int(lut[np.arange(m), codes].sum()), i)
+                for i, (p, codes) in lists.items() if p in set(pset)]
+        for rnk, (ad, i) in enumerate(sorted(cand)[:10]):
+            exp.append((q, rnk + 1, i, ad))
+    assert rows == sorted(exp)
