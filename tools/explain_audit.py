@@ -388,6 +388,38 @@ def main() -> int:
           and all("register" in e for e in sk_exchanges),
           f"exchanges={sk_exchanges}")
 
+    # --- KMV sketch: group-limited rank, distinct partial-agg ----------------
+    from mbrngq_spark.operators.sketch import kmv_sketch
+    p = plan_of(kmv_sketch(ev, ["event_type"], "user_id"))
+    sections.append(("KMV sketch build", p))
+    check("kmv: bottom-k rank is WindowGroupLimit (each map task forwards "
+          "≤ K rows/key into the exchange)", "WindowGroupLimit" in p)
+    check("kmv: the (key, hash) distinct is map-side partially aggregated",
+          "partial" in p.lower())
+
+    # --- IVF-PQ artifact: pruned code scan, map-only ADC ---------------------
+    from mbrngq_spark.operators.similarity import (build_ivfpq_index,
+                                                   probe_ivfpq_index)
+    pq_tmp = tempfile.mkdtemp(prefix="plan_audit_ivfpq_")
+    try:
+        build_ivfpq_index(emb_t, pq_tmp, nlist=16)
+        pr = probe_ivfpq_index(spark, pq_tmp, q_emb, k=5, nprobe=4)
+        p = plan_of(pr, execute=True)
+        sections.append(("persisted IVF-PQ probe", p))
+        check("ivf-pq: probe scan is partition-pruned on pivot (over the "
+              "code-only lists)",
+              "PartitionFilters" in p and "pivot" in
+              p.split("PartitionFilters", 1)[1][:300])
+        check("ivf-pq: ADC is map-only Arrow; the only row exchange is the "
+              "q_id rank",
+              "MapInPandas" in p and all(
+                  "q_id" in e for e in re.findall(
+                      r"Exchange hashpartitioning\(([^)]+)\)", p)))
+        check("ivf-pq: rank is WindowGroupLimit-capped",
+              "WindowGroupLimit" in p)
+    finally:
+        shutil.rmtree(pq_tmp, ignore_errors=True)
+
     # --- index write partition pruning --------------------------------------
     indexed, _ = build_index(docs_geo, IndexLayout())
     path = "/tmp/plan_audit_idx"
