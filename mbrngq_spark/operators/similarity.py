@@ -693,6 +693,7 @@ def pq_codebook_kmeans(corpus: DataFrame, m: int = PQ_M,
 
 def build_ivfpq_index(corpus: DataFrame, path: str, nlist: int = 16,
                       codebooks: np.ndarray | None = None,
+                      pivots: list[tuple[int, list[float]]] | None = None,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> None:
     """The FAISS IVF-PQ shape, persisted (the 100 TB ANN artifact): the
@@ -711,9 +712,9 @@ def build_ivfpq_index(corpus: DataFrame, path: str, nlist: int = 16,
     cb = codebooks if codebooks is not None else pq_codebook_pivots(
         corpus, id_col=id_col, vec_col=vec_col)
     m, n_codes, dsub = cb.shape
-    pivots = [(r[0], list(r[1])) for r in
-              corpus.select(id_col, vec_col).orderBy(id_col)
-              .limit(nlist).collect()]
+    pivots = pivots or [(r[0], list(r[1])) for r in
+                        corpus.select(id_col, vec_col).orderBy(id_col)
+                        .limit(nlist).collect()]
     structs = _pivot_structs(F.col(vec_col), pivots)
     assigned = corpus.withColumn("pivot", F.array_min(structs)["pid"])
     codes = pq_encode(assigned, cb, id_col=id_col, vec_col=vec_col) \
@@ -798,3 +799,31 @@ def probe_ivfpq_index(spark: SparkSession, path: str, queries: DataFrame,
             .filter(F.col("rnk") <= k)
             .select(F.col("q_id").alias(q_id_col),
                     F.col("vec_id").alias(id_col), "adist", "rnk"))
+
+
+def append_ivfpq_index(delta: DataFrame, path: str,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> None:
+    """Incremental maintenance of the IVF-PQ artifact (the I1-append
+    analog for the similarity tier): new vectors are assigned and
+    encoded with the artifact's PERSISTED pivots and codebook — never
+    retrained, so probes over (base build + appends) equal a from-
+    scratch build over the union (pytest) — and appended into the
+    pivot-partitioned lists. One map-only pass over the delta; existing
+    list files are untouched (parquet append into partition dirs)."""
+    spark = delta.sparkSession
+    cbr = spark.read.parquet(f"{path}/codebook").collect()
+    m = 1 + max(r["j"] for r in cbr)
+    n_codes = 1 + max(r["cid"] for r in cbr)
+    dsub = len(cbr[0]["cvec"])
+    cb = np.zeros((m, n_codes, dsub), dtype=np.int64)
+    for r in cbr:
+        cb[r["j"], r["cid"]] = r["cvec"]
+    pivots = [(int(r.pid), list(r.pvec)) for r in
+              spark.read.parquet(f"{path}/pivots").collect()]
+    structs = _pivot_structs(F.col(vec_col), pivots)
+    assigned = delta.withColumn("pivot", F.array_min(structs)["pid"])
+    codes = pq_encode(assigned, cb, id_col=id_col, vec_col=vec_col) \
+        .join(assigned.select(F.col(id_col).alias("id"), "pivot"), "id")
+    codes.write.mode("append").partitionBy("pivot") \
+        .parquet(f"{path}/lists")

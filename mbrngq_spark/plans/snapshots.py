@@ -440,14 +440,23 @@ class SnapshotTable:
             files += self._write_batch(updates, "merge")
         return self._commit(files, "merge")
 
-    def compact(self, target_files: int = 8) -> int:
+    def compact(self, target_files: int = 8, cluster_by=None) -> int:
         """Rewrite the current snapshot into ``target_files`` files (bin-pack
         compaction — Iceberg's rewrite_data_files): row-level deletes and
         small appends accumulate file counts; compaction folds them without
         changing visible data, and time travel to pre-compaction snapshots
         still works (old files are referenced by old manifests, never
-        deleted)."""
-        df = self.read().coalesce(target_files)
+        deleted).
+
+        ``cluster_by`` (a column, or an (a, b) tuple for Z-order) also
+        RE-SORTS the survivors while rewriting — Delta's OPTIMIZE ZORDER
+        BY: appends arrive in ingest order with useless file bounds, and
+        the periodic compaction is where the table recovers tight stats
+        without a separate pass over the data."""
+        if cluster_by is not None:
+            df = _clustered(self.read(), cluster_by, target_files)
+        else:
+            df = self.read().coalesce(target_files)
         return self._commit(self._write_batch(df, "compact"), "compact")
 
     def rollback(self, snapshot_id: int) -> int:

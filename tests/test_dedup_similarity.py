@@ -562,3 +562,34 @@ def test_ivfpq_probe_equals_numpy_replay_and_prunes(spark, tmp_path, emb):
         for rnk, (ad, i) in enumerate(sorted(cand)[:10]):
             exp.append((q, rnk + 1, i, ad))
     assert rows == sorted(exp)
+
+
+def test_ivfpq_incremental_append_equals_full_build(spark, tmp_path, emb):
+    """Build on half the corpus, append the other half: probes must
+    equal the from-scratch build over the full corpus — the persisted
+    pivots/codebook make assignment and encoding reproducible, so
+    incremental maintenance never drifts. (Pivots/codebook derive from
+    the 16 lowest-id rows, which are in the base half.)"""
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 4) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    p_inc = str(tmp_path / "inc")
+    similarity.build_ivfpq_index(base, p_inc, nlist=16)
+    similarity.append_ivfpq_index(delta, p_inc)
+    got = sorted((r.q_id, r.rnk, r.vec_id, r.adist) for r in
+                 similarity.probe_ivfpq_index(spark, p_inc, queries,
+                                              k=10, nprobe=4).collect())
+    p_full = str(tmp_path / "full")
+    # full build pinned to the BASE-derived pivots/codebook (incremental
+    # maintenance never retrains; the comparison must hold them fixed)
+    cb = similarity.pq_codebook_pivots(base)
+    pv = [(r[0], list(r[1])) for r in
+          base.select("vec_id", "embedding").orderBy("vec_id")
+          .limit(16).collect()]
+    similarity.build_ivfpq_index(emb, p_full, nlist=16, codebooks=cb,
+                                 pivots=pv)
+    exp = sorted((r.q_id, r.rnk, r.vec_id, r.adist) for r in
+                 similarity.probe_ivfpq_index(spark, p_full, queries,
+                                              k=10, nprobe=4).collect())
+    assert got == exp and len(got) == 40

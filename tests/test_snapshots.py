@@ -264,6 +264,35 @@ def test_zorder_cluster_prunes_both_dimensions(spark, tmp_path):
     assert skip_z >= 14, skip_z
 
 
+def test_compact_with_zorder_recovers_pruning(spark, tmp_path):
+    """Appends in ingest order leave every file spanning the whole
+    domain (no pruning); compact(cluster_by=(x, y)) rewrites the
+    survivors along the Morton curve and the same 2-D box read starts
+    skipping files — Delta's OPTIMIZE ZORDER BY, without re-ingesting."""
+    import itertools
+    pts = [(i, float(ix), float(iy))
+           for i, (ix, iy) in enumerate(itertools.product(range(48),
+                                                          range(48)))]
+    import random
+    random.Random(7).shuffle(pts)            # ingest order ≠ spatial order
+    pdf = pd.DataFrame(pts, columns=["doc_id", "x", "y"])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    third = len(pdf) // 3
+    t.create(spark.createDataFrame(pdf.iloc[:third]), target_files=None)
+    t.append(spark.createDataFrame(pdf.iloc[third:2 * third]))
+    t.append(spark.createDataFrame(pdf.iloc[2 * third:]))
+    box = [("x", ">=", 4.0), ("x", "<=", 11.0),
+           ("y", ">=", 4.0), ("y", "<=", 11.0)]
+    before = sorted(r["doc_id"] for r in t.read(where=box).collect())
+    skipped_before = t.last_scan["skipped"]
+    t.compact(target_files=12, cluster_by=("x", "y"))
+    after = sorted(r["doc_id"] for r in t.read(where=box).collect())
+    assert after == before and len(after) == 64
+    assert t.last_scan["files"] == 12
+    assert t.last_scan["skipped"] > skipped_before
+    assert t.last_scan["skipped"] >= 9, t.last_scan
+
+
 def test_same_millisecond_commits_do_not_collide(spark, table):
     for lo in range(100, 160, 20):                  # rapid-fire appends
         table.append(_docs(spark, lo, lo + 20).coalesce(1))
