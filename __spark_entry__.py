@@ -1133,6 +1133,15 @@ def _q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "key_a", "key_b").alias("key"),
         F.lit(-1).cast("long").alias("id"),
         F.col("n_common").alias("a"), F.col("estimate").alias("value"))
+    # 'kmv_jaccard' = per-pair overlap fraction est_inter/est_union (the
+    # shard-overlap question answered from sketches alone; the union
+    # re-rank is a kmv_merge of the pair, so this also exercises merge
+    # inside the estimator chain)
+    kmv_jac = SK.kmv_pair_stats(kmv_by_type, "event_type").select(
+        F.lit("kmv_jaccard").alias("part"),
+        F.concat_ws("|", "key_a", "key_b").alias("key"),
+        F.lit(-1).cast("long").alias("id"),
+        F.col("n_common").alias("a"), F.col("jaccard").alias("value"))
     return (reg.unionByName(est_u).unionByName(est_p).unionByName(merged)
             .unionByName(cm_reg).unionByName(cm_est)
             .unionByName(cm_merged).unionByName(bf_reg)
@@ -1140,7 +1149,8 @@ def _q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(qh_reg).unionByName(qh_est)
             .unionByName(qh_merged).unionByName(kmv_reg)
             .unionByName(kmv_est).unionByName(kmv_small)
-            .unionByName(kmv_merged).unionByName(kmv_inter))
+            .unionByName(kmv_merged).unionByName(kmv_inter)
+            .unionByName(kmv_jac))
 
 
 def _q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2340,6 +2350,11 @@ def oracle_sql() -> dict[str, str]:
                n_common, estimate
         FROM ({SKm.kmv_intersect_pairs_sql(
             SKm.kmv_sketch_sql("events", "event_type", "user_id"))}) ki
+        UNION ALL
+        SELECT 'kmv_jaccard', key_a || '|' || key_b, CAST(-1 AS BIGINT),
+               n_common, jaccard
+        FROM ({SKm.kmv_pair_stats_sql(
+            SKm.kmv_sketch_sql("events", "event_type", "user_id"))}) kj
     """
 
     calendar_rollup = """

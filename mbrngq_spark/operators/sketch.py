@@ -874,3 +874,90 @@ def kmv_intersect_py(a: list[str], b: list[str], k: int = KMV_K) -> float:
     if t == POW52:
         return float(n)
     return _round_half_up(n * float(POW52) / t, EST_DP)
+
+
+def kmv_pair_stats(sketch: DataFrame, key_col: str,
+                   k: int = KMV_K) -> DataFrame:
+    """(key_a, key_b, n_common, est_inter, est_union, jaccard) for every
+    unordered key pair — the shard-overlap question ("how much of shard
+    A is also in shard B") answered from sketches alone. est_union
+    re-ranks the two samples' union (exactly a kmv_merge of the pair);
+    jaccard = round(est_inter / est_union, EST_DP) — a ratio of two
+    already-rounded doubles, so both engines divide identical values.
+    All frames here are sketch-sized (O(K · keys²) worst case over the
+    pair frame), never corpus-sized."""
+    from pyspark.sql import Window
+    inter = kmv_intersect_pairs(sketch, key_col, k) \
+        .withColumnRenamed("estimate", "est_inter")
+    pairs = inter.select("key_a", "key_b")
+    sa = sketch.select(F.col(key_col).alias("key_a"), "h")
+    sb = sketch.select(F.col(key_col).alias("key_b"), "h")
+    u = (pairs.join(sa, "key_a").select("key_a", "key_b", "h")
+         .unionByName(
+             pairs.join(sb, "key_b").select("key_a", "key_b", "h"))
+         .distinct())
+    w = Window.partitionBy("key_a", "key_b").orderBy("h")
+    usk = (u.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= k)
+           .groupBy("key_a", "key_b")
+           .agg(F.count(F.lit(1)).alias("n_sample"),
+                F.max("h").alias("__hk")))
+    est_u = F.when(F.col("n_sample") < k,
+                   F.col("n_sample").cast("double")) \
+        .otherwise(F.round(F.lit((k - 1) * POW52) / F.col("__hk"), EST_DP))
+    uni = usk.select("key_a", "key_b", est_u.alias("est_union"))
+    out = inter.join(uni, ["key_a", "key_b"])
+    jac = F.when(F.col("est_union") > 0,
+                 F.round(F.col("est_inter") / F.col("est_union"), EST_DP)) \
+        .otherwise(F.lit(0.0))
+    return out.select("key_a", "key_b", "n_common", "est_inter",
+                      "est_union", jac.alias("jaccard"))
+
+
+def kmv_pair_stats_sql(sketch_sql: str, k: int = KMV_K,
+                       key_name: str = "key") -> str:
+    """DuckDB twin of kmv_pair_stats."""
+    inter = kmv_intersect_pairs_sql(sketch_sql, k, key_name)
+    return f"""
+        WITH sk AS ({sketch_sql}),
+        inter AS (SELECT key_a, key_b, n_common,
+                         estimate AS est_inter FROM ({inter}) i),
+        uh AS (
+            SELECT DISTINCT i.key_a, i.key_b, s.h
+            FROM inter i JOIN sk s
+              ON s.{key_name} = i.key_a OR s.{key_name} = i.key_b
+        ), usk AS (
+            SELECT key_a, key_b,
+                   CAST(count(*) AS BIGINT) AS n_sample, max(h) AS hk
+            FROM (SELECT key_a, key_b, h,
+                         row_number() OVER (PARTITION BY key_a, key_b
+                                            ORDER BY h) AS rk
+                  FROM uh) r
+            WHERE rk <= {k} GROUP BY 1, 2
+        ), uni AS (
+            SELECT key_a, key_b,
+                   CASE WHEN n_sample < {k} THEN CAST(n_sample AS DOUBLE)
+                        ELSE round({(k - 1) * POW52} / CAST(hk AS DOUBLE),
+                                   {EST_DP})
+                   END AS est_union
+            FROM usk
+        )
+        SELECT i.key_a, i.key_b, i.n_common, i.est_inter, u.est_union,
+               CASE WHEN u.est_union > 0
+                    THEN round(i.est_inter / u.est_union, {EST_DP})
+                    ELSE 0.0 END AS jaccard
+        FROM inter i JOIN uni u
+          ON u.key_a = i.key_a AND u.key_b = i.key_b
+    """
+
+
+def kmv_jaccard_py(a: list[str], b: list[str], k: int = KMV_K) -> float:
+    """Pure-Python twin of the pair jaccard estimate."""
+    ei = kmv_intersect_py(a, b, k)
+    hs = sorted({kmv_hash_py(x) for x in a} | {kmv_hash_py(x) for x in b})
+    hs = hs[:k]
+    eu = float(len(hs)) if len(hs) < k \
+        else _round_half_up((k - 1) * POW52 / hs[-1], EST_DP)
+    if eu <= 0:
+        return 0.0
+    return _round_half_up(ei / eu, EST_DP)

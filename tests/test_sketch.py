@@ -414,3 +414,27 @@ def test_kmv_rank_shuffle_is_group_limited(spark, frame):
     plan = S.kmv_sketch(frame, ["k"], "item") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_kmv_pair_stats_matches_twins_and_truth(spark, frame):
+    """Union/jaccard pair estimates: exact-equal to the Python AND
+    DuckDB twins, and within the KMV error envelope of the true overlap
+    (frame: |a|=730, |b|=60, |a∩b|=30, |a∪b|=760 → true j ≈ 0.0395)."""
+    import duckdb
+    sk = S.kmv_sketch(frame, ["k"], "item")
+    got = S.kmv_pair_stats(sk, "k").collect()
+    assert len(got) == 1
+    r = got[0]
+    items = {k: [x["item"] for x in
+                 frame.filter(F.col("k") == k).distinct().collect()]
+             for k in ("a", "b")}
+    assert r["jaccard"] == S.kmv_jaccard_py(items["a"], items["b"])
+    con = duckdb.connect()
+    con.register("t", frame.toPandas())
+    duck = con.sql(S.kmv_pair_stats_sql(
+        S.kmv_sketch_sql("t", "k", "item"))).fetchall()
+    assert [(r["key_a"], r["key_b"], r["n_common"], r["est_inter"],
+             r["est_union"], r["jaccard"])] == duck
+    # union is estimator-branch (760 > K); envelope like the base test
+    assert abs(r["est_union"] / 760 - 1) < 0.5
+    assert 0.0 <= r["jaccard"] <= 1.0
