@@ -171,7 +171,17 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = geodetic_polygon_cover(gpolys_df, res=5).select(
         F.lit("geo").alias("part"), "poly_id",
         F.col("cell").alias("tile_id"), "ix", "iy")
-    return planar.unionByName(geo)
+    # part 'geo_area' (r6): spherical polygon AREA (signed-excess fan,
+    # geodetic.geodetic_polygon_area) — the measure companion of the
+    # cover; packed into the long schema as 10^-4-km² units (one 4-dp
+    # rounding of a double both engines computed term-by-term in the
+    # same order, then an exact ×10^4 integerization)
+    from mbrngq_spark.operators.geodetic import geodetic_polygon_area
+    area = geodetic_polygon_area(gpolys_df).select(
+        F.lit("geo_area").alias("part"), "poly_id",
+        F.round(F.col("area_km2") * 10000).cast("long").alias("tile_id"),
+        F.lit(-1).cast("int").alias("ix"), F.lit(-1).cast("int").alias("iy"))
+    return planar.unionByName(geo).unionByName(area)
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2740,6 +2750,8 @@ def oracle_sql() -> dict[str, str]:
                 f" AND px < ({xj} - {xi}) * (py - {yi})"
                 f" / ({yj} - {yi}) + {xi} THEN 1 ELSE 0 END)")
 
+    from mbrngq_spark.operators.geodetic import geodetic_polygon_area_sql
+
     poly_cover = f"""
         WITH b AS (
           SELECT poly_id, x1, y1, x2, y2, x3, y3,
@@ -2779,6 +2791,11 @@ def oracle_sql() -> dict[str, str]:
               f"FROM gc WHERE {_geo_pip_pred_sql(vlat, vlon)}"
               for pid, vlat, vlon in GEO_POLYS)}
         ) gp
+        UNION ALL
+        SELECT 'geo_area', poly_id,
+               CAST(round(area_km2 * 10000) AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        FROM ({geodetic_polygon_area_sql(GEO_POLYS)}) ga
     """
 
     # spans_invariant: DuckDB rebuilds the EXPECTED span sequence from

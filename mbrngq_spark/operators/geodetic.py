@@ -39,6 +39,8 @@ the rounding half-grain (_ROUND_PAD_M).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -949,3 +951,120 @@ def np_geodetic_pip(lat, lon, vlat, vlon):
             xcut = (xj - xi) * (lat - yi) / (yj - yi) + xi
         inside ^= crosses & (nlon < xcut)
     return inside
+
+
+# --- spherical polygon area: signed-excess fan, map-only Column math ----------
+
+def _unit_vecs(vlat: Column, vlon: Column) -> tuple[Column, Column, Column]:
+    """Per-vertex unit vectors (xs, ys, zs arrays) from degree arrays.
+    Wrap-agnostic: sin/cos of the raw longitude are periodic, so the
+    antimeridian needs no normalization here (unlike PNPOLY's planar
+    fold)."""
+    rad = math.pi / 180.0
+    xs = F.zip_with(vlat, vlon,
+                    lambda la, lo: F.cos(la * rad) * F.cos(lo * rad))
+    ys = F.zip_with(vlat, vlon,
+                    lambda la, lo: F.cos(la * rad) * F.sin(lo * rad))
+    zs = F.transform(vlat, lambda la: F.sin(la * rad))
+    return xs, ys, zs
+
+
+def geodetic_polygon_area(polygons_df: DataFrame) -> DataFrame:
+    """(poly_id, area_km2) — area of each great-circle polygon, 4-dp
+    rounded. The polygon is fanned from vertex 1 into triangles
+    (v1, vi, vi+1); each triangle contributes its SIGNED spherical
+    excess via the Eriksson/van-Oosterom form
+
+        E = 2 · atan2(det[a b c], 1 + a·b + b·c + a·c)
+
+    (det = scalar triple product of the unit vectors), so concave fans
+    cancel correctly and orientation drops out in the final |Σ E| · R².
+    One map-only pass over the polygons table — pure Column math, no
+    Python, no shuffle (the plan-audit `geo poly cover` discipline);
+    polygons with a vertex antipodal chain (det = denom = 0) are the
+    caller's degenerate input, as in the PNPOLY tier.
+
+    Reference parity note: mbRNGQ has no spherical measure (its
+    Rectangle.cs geometry is planar) — engine-new geodetic surface, the
+    measure companion of geodetic_polygon_cover."""
+    xs, ys, zs = _unit_vecs(F.col("vlat"), F.col("vlon"))
+    df = polygons_df.withColumn("__xs", xs).withColumn("__ys", ys) \
+                    .withColumn("__zs", zs)
+
+    def at(arr: str, i: Column) -> Column:
+        return F.element_at(F.col(arr), i)
+
+    def dot(i: Column, j: Column) -> Column:
+        return (at("__xs", i) * at("__xs", j)
+                + at("__ys", i) * at("__ys", j)
+                + at("__zs", i) * at("__zs", j))
+
+    def excess(acc: Column, i: Column) -> Column:
+        one, b, c = F.lit(1), i + 1, i + 2
+        det = (at("__xs", one) * (at("__ys", b) * at("__zs", c)
+                                  - at("__zs", b) * at("__ys", c))
+               + at("__ys", one) * (at("__zs", b) * at("__xs", c)
+                                    - at("__xs", b) * at("__zs", c))
+               + at("__zs", one) * (at("__xs", b) * at("__ys", c)
+                                    - at("__ys", b) * at("__xs", c)))
+        denom = F.lit(1.0) + dot(one, b) + dot(b, c) + dot(one, c)
+        return acc + 2.0 * F.atan2(det, denom)
+
+    n = F.size("__xs")
+    esum = F.aggregate(F.sequence(F.lit(1), n - 2), F.lit(0.0), excess)
+    r_km = R_EARTH / 1000.0
+    area = F.abs(esum) * F.lit(r_km * r_km)
+    return df.select("poly_id", F.round(area, 4).alias("area_km2"))
+
+
+def geodetic_polygon_area_sql(polys: list[tuple[int, list, list]]) -> str:
+    """DuckDB twin with the vertices UNROLLED as literals (gate-fixture
+    polygons, the `_geo_pip_pred_sql` discipline): identical fan, the
+    excess terms added in the SAME left-to-right order as the Column
+    fold, one final 4-dp rounding absorbing the ~1-ulp libm spread."""
+    r_km = R_EARTH / 1000.0
+    selects = []
+    for pid, vlat, vlon in polys:
+        def sx(i):
+            la, lo = vlat[i], vlon[i]
+            return (f"(cos(radians({la!r})) * cos(radians({lo!r})))",
+                    f"(cos(radians({la!r})) * sin(radians({lo!r})))",
+                    f"sin(radians({la!r}))")
+
+        terms = []
+        for i in range(1, len(vlat) - 1):
+            (ax, ay, az), (bx, by, bz), (cx, cy, cz) = sx(0), sx(i), \
+                sx(i + 1)
+            det = (f"({ax} * ({by} * {cz} - {bz} * {cy})"
+                   f" + {ay} * ({bz} * {cx} - {bx} * {cz})"
+                   f" + {az} * ({bx} * {cy} - {by} * {cx}))")
+            dn = (f"(1.0 + ({ax}*{bx} + {ay}*{by} + {az}*{bz})"
+                  f" + ({bx}*{cx} + {by}*{cy} + {bz}*{cz})"
+                  f" + ({ax}*{cx} + {ay}*{cy} + {az}*{cz}))")
+            terms.append(f"2.0 * atan2({det}, {dn})")
+        esum = "(" + " + ".join(f"({t})" for t in terms) + ")"
+        selects.append(
+            f"SELECT CAST({pid} AS BIGINT) AS poly_id, "
+            f"round(abs({esum}) * {r_km * r_km!r}, 4) AS area_km2")
+    return " UNION ALL ".join(selects)
+
+
+def geodetic_polygon_area_py(vlat: list, vlon: list) -> float:
+    """Pure-Python twin (pytest ground truth)."""
+    def uv(la, lo):
+        la, lo = math.radians(la), math.radians(lo)
+        return (math.cos(la) * math.cos(lo),
+                math.cos(la) * math.sin(lo), math.sin(la))
+    vs = [uv(la, lo) for la, lo in zip(vlat, vlon)]
+    esum = 0.0
+    for i in range(1, len(vs) - 1):
+        a, b, c = vs[0], vs[i], vs[i + 1]
+        det = (a[0] * (b[1] * c[2] - b[2] * c[1])
+               + a[1] * (b[2] * c[0] - b[0] * c[2])
+               + a[2] * (b[0] * c[1] - b[1] * c[0]))
+        dn = (1.0 + sum(x * y for x, y in zip(a, b))
+              + sum(x * y for x, y in zip(b, c))
+              + sum(x * y for x, y in zip(a, c)))
+        esum += 2.0 * math.atan2(det, dn)
+    r_km = R_EARTH / 1000.0
+    return round(abs(esum) * r_km * r_km, 4)

@@ -458,3 +458,56 @@ def test_geodetic_polygon_cover_matches_center_oracle(spark):
                for a, b in zip(iy.ravel()[mask], ix.ravel()[mask])}
         assert got.get(r.poly_id, set()) == exp, r.poly_id
         assert len(exp) > 3
+
+
+def test_geodetic_polygon_area_three_engine_and_exactness(spark):
+    """Signed-excess fan area: Spark == DuckDB == pure-Python after the
+    one 4-dp rounding; an octant triangle hits the closed form 4πR²/8
+    exactly; cyclic vertex rotation and orientation reversal leave the
+    area invariant; a tiny triangle approaches its planar area; and the
+    plan is map-only pure Column (no Exchange, no Python)."""
+    import math
+
+    import duckdb
+
+    from mbrngq_spark.operators.geodetic import (
+        R_EARTH, geodetic_polygon_area, geodetic_polygon_area_py,
+        geodetic_polygon_area_sql)
+
+    polys = [
+        (10, [-20.0, -20.0, 25.0, 25.0], [170.0, -170.0, -165.0, 172.0]),
+        (11, [10.0, 40.0, 25.0], [-30.0, -20.0, 5.0]),
+        (12, [-50.0, -50.0, -30.0, -45.0, -25.0],
+         [40.0, 80.0, 60.0, 55.0, 45.0]),
+        (13, [0.0, 0.0, 90.0], [0.0, 90.0, 0.0]),          # octant
+        (14, [10.0, 10.0, 10.09], [20.0, 20.09, 20.0]),    # ~50 km²
+    ]
+
+    def df_of(ps):
+        return spark.createDataFrame(
+            pd.DataFrame({"poly_id": [p[0] for p in ps],
+                          "vlat": [p[1] for p in ps],
+                          "vlon": [p[2] for p in ps]}),
+            "poly_id long, vlat array<double>, vlon array<double>")
+
+    out = geodetic_polygon_area(df_of(polys))
+    got = {r["poly_id"]: r["area_km2"] for r in out.collect()}
+    duck = dict(duckdb.sql(geodetic_polygon_area_sql(polys)).fetchall())
+    py = {p[0]: geodetic_polygon_area_py(p[1], p[2]) for p in polys}
+    assert got == duck == py
+    r_km = R_EARTH / 1000.0
+    assert got[13] == round(4 * math.pi * r_km * r_km / 8, 4)
+    # rotation + reversal invariance (signed fan, |Σ| drops orientation)
+    rot = [(20, polys[2][1][2:] + polys[2][1][:2],
+            polys[2][2][2:] + polys[2][2][:2]),
+           (21, polys[2][1][::-1], polys[2][2][::-1])]
+    inv = {r["poly_id"]: r["area_km2"]
+           for r in geodetic_polygon_area(df_of(rot)).collect()}
+    assert abs(inv[20] - got[12]) < 1e-3 and abs(inv[21] - got[12]) < 1e-3
+    # small triangle ≈ planar: legs ~0.09° at lat 10
+    leg_ns = 0.09 * math.pi / 180 * r_km
+    leg_ew = 0.09 * math.pi / 180 * r_km * math.cos(math.radians(10.0))
+    planar = leg_ns * leg_ew / 2
+    assert abs(got[14] / planar - 1) < 0.01, (got[14], planar)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
