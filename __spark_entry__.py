@@ -156,8 +156,27 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vx": [[t[1], t[3], t[5]] for t in H.TRIANGLES],
         "vy": [[t[2], t[4], t[6]] for t in H.TRIANGLES],
     })
-    planar = polygon_cover(spark, polys).select(
+    cover_df = polygon_cover(spark, polys)
+    planar = cover_df.select(
         F.lit("planar").alias("part"), "poly_id", "tile_id", "ix", "iy")
+    # part 'compact' (r6): S2-style cover compaction (tiles.compact_cover)
+    # — full 2x2 Morton blocks promoted to their parent, repeated to the
+    # root, emitted as (res-in-tile_id, ix, iy at that res). The oracle
+    # replays the promotion relationally: TILE_RES unrolled rounds of
+    # "GROUP BY (poly_id, ix//2, iy//2) HAVING count(*) = 4" over the
+    # same planar cover. Round-trip exactness is pytest-held
+    # (test_pip_tiles.test_compact_cover_roundtrip_and_reduction).
+    from mbrngq_spark import grid as _grid
+    from mbrngq_spark.operators.tiles import compact_cover
+    comp = compact_cover(
+        cover_df.select("poly_id", _grid.cell_from_indices(
+            F.col("ix"), F.col("iy")).alias("cell")),
+        res=H.TILE_RES, key_cols=["poly_id"])
+    compacted = comp.select(
+        F.lit("compact").alias("part"), "poly_id",
+        F.col("res").cast("long").alias("tile_id"),
+        _grid.cell_ix(F.col("cell")).cast("long").alias("ix"),
+        _grid.cell_iy(F.col("cell")).cast("long").alias("iy"))
     # part 'geo' (r6): spherical rasterization — lat/lon-grid tiles
     # whose center the wrap-normalized PNPOLY puts inside the GEO_POLYS
     # fixtures (antimeridian quad included); fully distributed, pure
@@ -181,7 +200,7 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("geo_area").alias("part"), "poly_id",
         F.round(F.col("area_km2") * 10000).cast("long").alias("tile_id"),
         F.lit(-1).cast("int").alias("ix"), F.lit(-1).cast("int").alias("iy"))
-    return planar.unionByName(geo).unionByName(area)
+    return planar.unionByName(compacted).unionByName(geo).unionByName(area)
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2752,6 +2771,28 @@ def oracle_sql() -> dict[str, str]:
 
     from mbrngq_spark.operators.geodetic import geodetic_polygon_area_sql
 
+    # part 'compact': TILE_RES unrolled promotion rounds over the planar
+    # cover — parent coords are plain integer halving (Morton truncation
+    # halves ix and iy), so the oracle never needs bit interleaving
+    _cc, _cs = [], []
+    for _r in range(H.TILE_RES, 0, -1):
+        _cc.append(f"p{_r} AS (SELECT poly_id, ix // 2 AS px, iy // 2 AS py,"
+                   f" count(*) AS n FROM l{_r} GROUP BY 1, 2, 3)")
+        _cc.append(f"k{_r} AS (SELECT l.poly_id, l.ix, l.iy FROM l{_r} l"
+                   f" JOIN p{_r} p ON l.poly_id = p.poly_id"
+                   f" AND l.ix // 2 = p.px AND l.iy // 2 = p.py"
+                   f" WHERE p.n < 4)")
+        _cc.append(f"l{_r - 1} AS (SELECT poly_id, px AS ix, py AS iy"
+                   f" FROM p{_r} WHERE n = 4)")
+        _cs.append(f"SELECT 'compact' AS part, poly_id,"
+                   f" CAST({_r} AS BIGINT) AS tile_id,"
+                   f" CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy"
+                   f" FROM k{_r}")
+    _cs.append("SELECT 'compact', poly_id, CAST(0 AS BIGINT),"
+               " CAST(ix AS BIGINT), CAST(iy AS BIGINT) FROM l0")
+    _compact_ctes = ",\n        ".join(_cc)
+    _compact_selects = "\n        UNION ALL ".join(_cs)
+
     poly_cover = f"""
         WITH b AS (
           SELECT poly_id, x1, y1, x2, y2, x3, y3,
@@ -2768,14 +2809,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT poly_id, ix, iy, x1, y1, x2, y2, x3, y3,
                  {H.CFG.min_x} + (ix + 0.5) * {_wx!r} AS px,
                  {H.CFG.min_y} + (iy + 0.5) * {_wy!r} AS py
-          FROM cells)
+          FROM cells),
+        pl AS (
+          SELECT poly_id, ix, iy
+          FROM centers
+          WHERE ({_edge('x1', 'y1', 'x3', 'y3')}
+                 + {_edge('x2', 'y2', 'x1', 'y1')}
+                 + {_edge('x3', 'y3', 'x2', 'y2')}) % 2 = 1),
+        l{H.TILE_RES} AS (SELECT poly_id, ix, iy FROM pl),
+        {_compact_ctes}
         SELECT 'planar' AS part, poly_id,
                CAST(iy * {n_tile} + ix AS BIGINT) AS tile_id,
                CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
-        FROM centers
-        WHERE ({_edge('x1', 'y1', 'x3', 'y3')}
-               + {_edge('x2', 'y2', 'x1', 'y1')}
-               + {_edge('x3', 'y3', 'x2', 'y2')}) % 2 = 1
+        FROM pl
+        UNION ALL {_compact_selects}
         UNION ALL
         SELECT part, poly_id, tile_id, ix, iy FROM (
           WITH gc AS (

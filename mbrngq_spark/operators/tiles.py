@@ -181,3 +181,60 @@ def tile_distinct_pyramid(docs_geo: DataFrame, item_col: str,
         out = out.unionByName(
             cur.withColumn("res", F.lit(res).cast("int")))
     return out.select("res", "cell", "register", "rho")
+
+
+def compact_cover(cells: DataFrame, res: int, min_res: int = 0,
+                  key_cols: list[str] | None = None) -> DataFrame:
+    """S2/H3-style cell-cover COMPACTION: wherever all 4 children of a
+    Morton parent are present (per key), replace them with the parent,
+    repeating up to ``min_res`` — a cover of big regions shrinks from
+    O(area/finest-cell) rows to O(boundary) rows, which is what makes
+    shipping covers as broadcast join sides viable at planetary scale
+    (the reference's fixed-res rasterization has no analog;
+    RTree.cs covers are per-query transient).
+
+    ``cells`` carries (key_cols..., cell) at resolution ``res`` —
+    DISTINCT per key (a cover is a set); output is (key_cols..., cell,
+    res) with MIXED resolutions whose implied leaf sets partition the
+    input exactly (pytest: re-expansion == input). res − min_res
+    rounds; each is ONE window count partitioned by (keys, parent) —
+    no join, no second shuffle: a parent with all 4 children present
+    is emitted ONCE via its (cell & 3) == 0 representative child
+    (guaranteed present exactly when the block is full), the rest
+    keep their cells. Work shrinks ≥4× per promoted block per round —
+    never item- or area-scaled beyond the first round."""
+    from pyspark.sql import Window
+
+    keys = key_cols or []
+    cur = cells.select(*keys, "cell") \
+        .withColumn("res", F.lit(res).cast("int"))
+    done = []
+    for r in range(res, min_res, -1):
+        lvl = (cur.withColumn("parent", grid.cell_parent(F.col("cell")))
+               .withColumn("__n", F.count(F.lit(1)).over(
+                   Window.partitionBy(*keys, "parent"))))
+        done.append(lvl.filter(F.col("__n") < 4)
+                    .select(*keys, "cell", "res"))
+        cur = (lvl.filter((F.col("__n") == 4)
+                          & (F.col("cell").bitwiseAND(F.lit(3)) == 0))
+               .select(*keys, F.col("parent").alias("cell"),
+                       F.lit(r - 1).cast("int").alias("res")))
+    out = cur
+    for d in done:
+        out = out.unionByName(d)
+    return out
+
+
+def expand_cover(cover: DataFrame, res: int,
+                 key_cols: list[str] | None = None) -> DataFrame:
+    """Inverse of compact_cover: every (cell, res=r) row explodes into
+    its 4^(res−r) descendant leaves at ``res`` (JVM sequence/explode —
+    no Python)."""
+    keys = key_cols or []
+    # SQL shiftleft accepts a column bit count (the PySpark wrapper
+    # F.shiftleft requires an int literal)
+    span = F.expr(f"shiftleft(CAST(1 AS BIGINT), ({res} - res) * 2)")
+    base = F.expr(f"shiftleft(CAST(cell AS BIGINT), ({res} - res) * 2)")
+    return (cover.withColumn(
+        "cell", F.explode(F.sequence(base, base + span - F.lit(1))))
+        .select(*keys, "cell"))

@@ -213,3 +213,43 @@ def test_pip_distributed_salted_equals_unsalted(spark, docs_geo):
     got = salted.toPandas()
     assert (set(map(tuple, got[["poly_id", "doc_id"]].to_numpy()))
             == set(map(tuple, base[["poly_id", "doc_id"]].to_numpy())))
+
+
+def test_compact_cover_roundtrip_and_reduction(spark):
+    """compact_cover over the concave polygon rasterization: mixed-res
+    output re-expands to EXACTLY the input leaf set (partition — no
+    overlap, no loss) and actually shrinks the row count (interior
+    2x2 blocks exist at res 6 for these polygons)."""
+    from mbrngq_spark.operators.tiles import (compact_cover, expand_cover,
+                                              polygon_cover)
+
+    res = 6
+    cover = (polygon_cover(spark, POLYS, res=res)
+             .select("poly_id",
+                     grid.cell_from_indices(
+                         F.col("ix"), F.col("iy")).alias("cell")))
+    n_in = cover.count()
+    comp = compact_cover(cover, res=res, key_cols=["poly_id"])
+    comp.cache()
+    n_comp = comp.count()
+    assert 0 < n_comp < n_in, (n_comp, n_in)
+    assert comp.groupBy("res").count().count() > 1  # genuinely mixed-res
+    back = expand_cover(comp, res=res, key_cols=["poly_id"])
+    got = set(map(tuple, back.toPandas()[["poly_id", "cell"]].to_numpy()))
+    exp = set(map(tuple, cover.toPandas()[["poly_id", "cell"]].to_numpy()))
+    assert got == exp
+    assert len(got) == back.count()  # expansion emits no duplicates
+    comp.unpersist()
+
+
+def test_compact_cover_full_grid_collapses_to_root(spark):
+    """A complete res-3 grid (64 leaves) compacts to the single res-0
+    root cell; min_res stops the promotion where told."""
+    from mbrngq_spark.operators.tiles import compact_cover
+
+    leaves = spark.range(64).select(F.col("id").alias("cell"))
+    comp = compact_cover(leaves, res=3).collect()
+    assert [(r.cell, r.res) for r in comp] == [(0, 0)]
+    comp2 = {(r.cell, r.res)
+             for r in compact_cover(leaves, res=3, min_res=2).collect()}
+    assert comp2 == {(c, 2) for c in range(16)}

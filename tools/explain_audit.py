@@ -322,6 +322,24 @@ def main() -> int:
     check("geo poly cover: map-only pure Column (no Exchange, no Python)",
           "Exchange" not in p and "EvalPython" not in p)
 
+    # --- cover compaction: window-count promotion, no joins ---------------
+    from mbrngq_spark import grid as _grid
+    from mbrngq_spark.operators.tiles import compact_cover, polygon_cover
+    pc = polygon_cover(spark, pd.DataFrame(
+        {"poly_id": [0], "vx": [[5.0, 90.0, 50.0]],
+         "vy": [[5.0, 10.0, 90.0]]}), res=6).select(
+        "poly_id", _grid.cell_from_indices(
+            F.col("ix"), F.col("iy")).alias("cell"))
+    cc = compact_cover(pc, res=6, key_cols=["poly_id"])
+    p = plan_of(cc, execute=True)
+    sections.append(("cover compaction", p))
+    check("compact cover: promotion is window-count only — no join "
+          "anywhere in the 6-round plan", "Join" not in p)
+    check("compact cover: every Exchange is keyed by (poly_id, parent)",
+          all("poly_id" in ln and "parent" in ln
+              for ln in p.splitlines() if "Exchange hashpartitioning" in ln)
+          and "Exchange hashpartitioning" in p)
+
     # --- unigram-LM perplexity: broadcast LM, one doc-keyed re-agg ---------
     from mbrngq_spark.operators.text import (train_unigram_lm,
                                              with_perplexity)
