@@ -1482,10 +1482,15 @@ def _q_text_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatial join pair, BOTH families in one gate (50-entry rotation):
-    part 'rect' = rect×rect intersects join (a_id=rect_id, b_id=doc_id,
-    dist -1); part 'eps' = grid-bucketed ε-distance self-join with the
-    exact rounded distance."""
+    """Spatial join family, all in one gate (50-entry rotation): part
+    'rect' = rect×rect intersects join (a_id=rect_id, b_id=doc_id, dist
+    -1); part 'eps' = grid-bucketed ε-distance self-join with the exact
+    rounded distance; part 'dbscan' (r6) = density clustering over the
+    same ε-join primitive (clustering.dbscan): a_id=doc_id, b_id=the
+    cluster's min-core-id canonical label, dist=1.0 core / 0.0 border
+    (noise omitted). The oracle rebuilds the exact semantics with a
+    quadratic neighbor join + recursive-CTE reachability over the core
+    graph + min-label border assignment."""
     rect = _q_spatial_rect_join(spark, sf_dir).select(
         F.lit("rect").alias("part"),
         F.col("rect_id").cast("long").alias("a_id"),
@@ -1494,7 +1499,14 @@ def _q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = _q_spatial_distance_join(spark, sf_dir).select(
         F.lit("eps").alias("part"), F.col("a_id").cast("long"),
         F.col("b_id").cast("long"), "dist")
-    return rect.unionByName(eps)
+    from mbrngq_spark.operators.clustering import dbscan
+    docs_geo = H.load_docs_geo(spark, sf_dir)
+    db = dbscan(docs_geo, H.DBSCAN_EPS, H.DBSCAN_MINPTS).select(
+        F.lit("dbscan").alias("part"),
+        F.col("doc_id").cast("long").alias("a_id"),
+        F.col("cluster").cast("long").alias("b_id"),
+        F.when(F.col("is_core"), 1.0).otherwise(0.0).alias("dist"))
+    return rect.unionByName(eps).unionByName(db)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3009,6 +3021,40 @@ def oracle_sql() -> dict[str, str]:
         FROM ({text_pii})
     """
 
+    # dbscan: quadratic symmetric neighbor join with the SAME inclusive
+    # sqrt predicate the eps part uses, degree incl. self, recursive-CTE
+    # reachability seeded at EVERY core (isolated cores self-label),
+    # min-label border assignment — semantics pinned in clustering.py
+    dbscan_sql = f"""
+        WITH RECURSIVE g AS ({geo}),
+        pr AS (
+          SELECT a.doc_id AS pa, b.doc_id AS pb
+          FROM g a JOIN g b ON a.doc_id <> b.doc_id
+          WHERE {d('a.x', 'a.y', 'b.x', 'b.y')} <= {H.DBSCAN_EPS}),
+        cores AS (
+          SELECT pa AS id FROM pr GROUP BY pa
+          HAVING count(*) + 1 >= {H.DBSCAN_MINPTS}),
+        ce AS (
+          SELECT pr.pa AS u, pr.pb AS v FROM pr
+          JOIN cores ca ON pr.pa = ca.id
+          JOIN cores cb ON pr.pb = cb.id),
+        reach(id, r) AS (
+          SELECT id, id FROM cores
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN ce e ON reach.id = e.u),
+        comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        SELECT CAST(comp.id AS BIGINT) AS a_id,
+               CAST(comp.comp AS BIGINT) AS b_id,
+               CAST(1.0 AS DOUBLE) AS dist
+        FROM comp
+        UNION ALL
+        SELECT CAST(pr.pa AS BIGINT), CAST(min(comp.comp) AS BIGINT),
+               CAST(0.0 AS DOUBLE)
+        FROM pr JOIN comp ON comp.id = pr.pb
+        WHERE pr.pa NOT IN (SELECT id FROM cores)
+        GROUP BY pr.pa
+    """
+
     spatial_joins = f"""
         SELECT 'rect' AS part, CAST(rect_id AS BIGINT) AS a_id,
                CAST(doc_id AS BIGINT) AS b_id,
@@ -3017,6 +3063,8 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'eps', CAST(a_id AS BIGINT), CAST(b_id AS BIGINT), dist
         FROM ({spatial_distance_join})
+        UNION ALL
+        SELECT 'dbscan', a_id, b_id, dist FROM ({dbscan_sql})
     """
 
     return {

@@ -50,6 +50,8 @@ TRIANGLES = [
 KNN_K = 10
 KNN_CAP = 6.0                  # radius-capped Nearest: excludes some answers
 EPS_JOIN = 2.0                 # ε-distance self-join radius
+DBSCAN_EPS = 5.0               # DBSCAN neighborhood radius
+DBSCAN_MINPTS = 5              # DBSCAN core threshold (incl. self)
 NGQ_K = 10
 NGQ_L = 32
 NGQ5_M = 5                     # m≠3 coverage (reference Config.m is free)

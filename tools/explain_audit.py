@@ -340,6 +340,22 @@ def main() -> int:
               for ln in p.splitlines() if "Exchange hashpartitioning" in ln)
           and "Exchange hashpartitioning" in p)
 
+    # --- DBSCAN: ε-join + degree + star CC, all JVM-side -------------------
+    from mbrngq_spark.operators.clustering import dbscan
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(12)),
+                      "x": [1.0, 2.0, 3.0, 2.5, 50.0, 51.0, 52.0, 51.5,
+                            90.0, 10.0, 11.0, 12.0],
+                      "y": [1.0, 2.0, 1.5, 2.5, 50.0, 51.0, 50.5, 51.5,
+                            90.0, 80.0, 81.0, 80.5]}))
+    db = dbscan(tiny, eps=3.0, min_pts=3)
+    p = plan_of(db, execute=True)
+    sections.append(("dbscan", p))
+    check("dbscan: no Python evaluation anywhere (ε-join, degree, CC, "
+          "border label are all JVM-side)", "EvalPython" not in p)
+    check("dbscan: degree/label aggregations are map-side partial",
+          "partial_count" in p or "partial_min" in p)
+
     # --- unigram-LM perplexity: broadcast LM, one doc-keyed re-agg ---------
     from mbrngq_spark.operators.text import (train_unigram_lm,
                                              with_perplexity)
