@@ -1506,7 +1506,22 @@ def _q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("a_id"),
         F.col("cluster").cast("long").alias("b_id"),
         F.when(F.col("is_core"), 1.0).otherwise(0.0).alias("dist"))
-    return rect.unionByName(eps).unionByName(db)
+    # part 'line' (r6): point↔polyline corridor join (lines.py) — exact
+    # min point-segment distance over the route's segments; the oracle
+    # unrolls every segment as LEAST(...) with identical IEEE op order
+    import pandas as pd
+    from mbrngq_spark.operators.lines import polyline_distance_join
+    lines_df = spark.createDataFrame(
+        pd.DataFrame({"line_id": [l[0] for l in H.POLYLINES],
+                      "vx": [l[1] for l in H.POLYLINES],
+                      "vy": [l[2] for l in H.POLYLINES]}),
+        "line_id long, vx array<double>, vy array<double>")
+    ln = polyline_distance_join(docs_geo, lines_df, H.LINE_RADIUS).select(
+        F.lit("line").alias("part"),
+        F.col("line_id").cast("long").alias("a_id"),
+        F.col("doc_id").cast("long").alias("b_id"),
+        F.round("dist", 6).alias("dist"))
+    return rect.unionByName(eps).unionByName(db).unionByName(ln)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3065,6 +3080,15 @@ def oracle_sql() -> dict[str, str]:
         FROM ({spatial_distance_join})
         UNION ALL
         SELECT 'dbscan', a_id, b_id, dist FROM ({dbscan_sql})
+        UNION ALL
+        SELECT 'line', a_id, b_id, round(dmin, 6) FROM (
+          {" UNION ALL ".join(
+            f"SELECT CAST({lid} AS BIGINT) AS a_id,"
+            f" CAST(g.doc_id AS BIGINT) AS b_id,"
+            f" {H.polyline_dist_sql('g.x', 'g.y', vx, vy)} AS dmin"
+            f" FROM ({geo}) g"
+            for lid, vx, vy in H.POLYLINES)}
+        ) lj WHERE dmin <= {H.LINE_RADIUS}
     """
 
     return {

@@ -47,6 +47,15 @@ TRIANGLES = [
     (3, 60.0, 5.0, 95.0, 10.0, 75.0, 35.0),
 ]
 
+# polylines (line_id, vx, vy) — routes across the domain; no degenerate
+# (zero-length) segments so the oracle can use plain division
+POLYLINES = [
+    (0, [5.0, 30.0, 60.0, 95.0], [5.0, 20.0, 25.0, 60.0]),
+    (1, [10.0, 40.0, 40.0], [90.0, 90.0, 60.0]),
+    (2, [70.0, 75.0, 90.0, 85.0], [10.0, 40.0, 45.0, 75.0]),
+]
+LINE_RADIUS = 4.0              # corridor half-width for the polyline join
+
 KNN_K = 10
 KNN_CAP = 6.0                  # radius-capped Nearest: excludes some answers
 EPS_JOIN = 2.0                 # ε-distance self-join radius
@@ -114,6 +123,34 @@ def docs_geo_sql(cfg: EngineConfig = CFG) -> str:
 def dist_sql(ax: str, ay: str, bx: str, by: str) -> str:
     """Euclidean distance with the exact op order of geom.dist_point."""
     return f"sqrt(({ax} - {bx}) * ({ax} - {bx}) + ({ay} - {by}) * ({ay} - {by}))"
+
+
+def seg_dist_sql(px: str, py: str,
+                 ax: float, ay: float, bx: float, by: float) -> str:
+    """Point-to-segment distance with the exact op order of
+    lines.segment_distance (literal segment endpoints; dx/dy/len2 are
+    constant-folded in Python — the same IEEE doubles the engine derives
+    at runtime). Assumes a non-degenerate segment (len2 > 0); the
+    engine's try_divide guard only fires on zero-length segments, which
+    the POLYLINES fixture excludes by contract."""
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    assert len2 > 0
+    t = (f"LEAST(GREATEST((({px} - {ax!r}) * {dx!r} + ({py} - {ay!r})"
+         f" * {dy!r}) / {len2!r}, 0.0), 1.0)")
+    qx = f"({ax!r} + {t} * {dx!r})"
+    qy = f"({ay!r} + {t} * {dy!r})"
+    return (f"sqrt(({px} - {qx}) * ({px} - {qx})"
+            f" + ({py} - {qy}) * ({py} - {qy}))")
+
+
+def polyline_dist_sql(px: str, py: str, vx: list, vy: list) -> str:
+    """Exact min distance from (px, py) to the whole polyline: LEAST of
+    the per-segment expressions (min of doubles — order-independent, so
+    it matches the engine's F.min aggregation exactly)."""
+    segs = [seg_dist_sql(px, py, vx[i], vy[i], vx[i + 1], vy[i + 1])
+            for i in range(len(vx) - 1)]
+    return segs[0] if len(segs) == 1 else f"LEAST({', '.join(segs)})"
 
 
 def quantize_sql(expr: str, lo: float, extent: float, res: int) -> str:

@@ -1,0 +1,117 @@
+"""Polyline operators — point↔polyline distance join ("every doc within
+d of a route"), the corridor generalization of the ε-point-join.
+
+The reference's geometry kernel stops at point/rect distances
+(Point.cs:67-75, Rectangle.cs MINDIST); segment distance is the standard
+extension every spatial engine ships. Shape at scale:
+
+- polylines explode to SEGMENTS JVM-side (sequence over vertex indices —
+  the polyline table can be arbitrarily large and stays distributed);
+- each segment emits the grid cells intersecting its bbox EXPANDED by
+  the radius (bounded corridor-area explode at a resolution whose cell
+  edge ≥ radius, so the corridor is ~3 cells wide);
+- docs carry their single cell (computed once, never replicated);
+  one equi-join on the cell key — broadcastable when the route set is
+  small, AQE-skew-split otherwise;
+- refine = exact point-segment distance as pure Column arithmetic
+  (+,-,*,/ and sqrt only — bit-identical across engines), then ONE
+  map-side-combinable min per (line, doc).
+
+A (doc, segment) pair meets at most once (the doc's one cell appears
+once in the segment's cover), and every segment within ``radius`` of a
+doc is guaranteed a candidate (the doc's cell intersects that segment's
+expanded bbox), so min-over-candidates == min-over-ALL-segments for
+every emitted pair — the join is provably exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mbrngq_spark import grid
+from mbrngq_spark.config import DEFAULT, EngineConfig
+from mbrngq_spark.operators.distance_join import eps_join_res
+
+
+def segment_distance(px: Column, py: Column, ax: Column, ay: Column,
+                     bx: Column, by: Column) -> Column:
+    """Distance from point p to CLOSED segment a-b: clamp the projection
+    parameter to [0, 1]; degenerate (a == b) segments fall back to the
+    point distance via try_divide→coalesce(0) (ANSI-safe, same op order
+    as the SQL oracle twin, harness.seg_dist_sql)."""
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    dot = (px - ax) * dx + (py - ay) * dy
+    t = F.least(F.greatest(F.coalesce(F.try_divide(dot, len2), F.lit(0.0)),
+                           F.lit(0.0)), F.lit(1.0))
+    qx, qy = ax + t * dx, ay + t * dy
+    return F.sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy))
+
+
+def polyline_segments(lines: DataFrame) -> DataFrame:
+    """(line_id, seg_idx, ax, ay, bx, by) from (line_id, vx, vy) — JVM
+    sequence/explode over vertex indices, no Python."""
+    return (lines
+            .select("line_id", "vx", "vy",
+                    F.posexplode(F.sequence(
+                        F.lit(1), F.size("vx") - 1)).alias("seg_idx", "i"))
+            .select("line_id", "seg_idx",
+                    F.element_at("vx", F.col("i")).alias("ax"),
+                    F.element_at("vy", F.col("i")).alias("ay"),
+                    F.element_at("vx", F.col("i") + 1).alias("bx"),
+                    F.element_at("vy", F.col("i") + 1).alias("by")))
+
+
+def polyline_distance_join(docs_geo: DataFrame, lines: DataFrame,
+                           radius: float, cfg: EngineConfig = DEFAULT,
+                           res: int | None = None,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(line_id, doc_id, dist): every doc within ``radius`` of each
+    polyline, dist = exact min distance over the line's segments.
+
+    ``lines``: DataFrame (line_id, vx: array<double>, vy: array<double>)
+    — a distributed table, any size. ``docs_geo``: (id_col, x, y)."""
+    res = res or eps_join_res(radius, cfg)
+    n = 1 << res
+
+    seg = polyline_segments(lines)
+    r = F.lit(float(radius))
+    ix0 = grid.quantize(F.least("ax", "bx") - r, cfg.min_x, cfg.width, res)
+    ix1 = grid.quantize(F.greatest("ax", "bx") + r, cfg.min_x, cfg.width, res)
+    iy0 = grid.quantize(F.least("ay", "by") - r, cfg.min_y, cfg.height, res)
+    iy1 = grid.quantize(F.greatest("ay", "by") + r, cfg.min_y, cfg.height, res)
+    cover = (seg
+             .withColumn("ix0", ix0).withColumn("ix1", ix1)
+             .withColumn("iy0", iy0).withColumn("iy1", iy1)
+             .withColumn("ix", F.explode(F.sequence("ix0", "ix1")))
+             .withColumn("iy", F.explode(F.sequence("iy0", "iy1")))
+             .withColumn("cell", grid.cell_from_indices(F.col("ix"),
+                                                        F.col("iy")))
+             .select("line_id", "ax", "ay", "bx", "by", "cell"))
+
+    docs = (docs_geo.select(F.col(id_col).alias("doc_id"), "x", "y")
+            .withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"),
+                                                 res, cfg)))
+    d = segment_distance(F.col("x"), F.col("y"), F.col("ax"), F.col("ay"),
+                         F.col("bx"), F.col("by"))
+    return (docs.join(cover, "cell")
+            .withColumn("__d", d)
+            .groupBy("line_id", "doc_id")
+            .agg(F.min("__d").alias("dist"))
+            .filter(F.col("dist") <= r)
+            .select("line_id", F.col("doc_id").alias(id_col), "dist"))
+
+
+def polyline_length(lines: DataFrame) -> DataFrame:
+    """(line_id, length): sum of segment lengths — one aggregate fold
+    inside the array (no explode, no shuffle beyond the input layout)."""
+    seg_len = F.expr("""
+        aggregate(sequence(1, size(vx) - 1), CAST(0.0 AS DOUBLE),
+                  (acc, i) -> acc + sqrt(
+                    (element_at(vx, i + 1) - element_at(vx, i))
+                      * (element_at(vx, i + 1) - element_at(vx, i))
+                    + (element_at(vy, i + 1) - element_at(vy, i))
+                      * (element_at(vy, i + 1) - element_at(vy, i))))
+    """)
+    return lines.select("line_id", seg_len.alias("length"))

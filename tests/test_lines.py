@@ -1,0 +1,82 @@
+"""Polyline distance join vs a NumPy brute-force point-segment oracle —
+exact pair set AND exact (unrounded) min distances; degenerate-segment
+guard; polyline_length fold."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mbrngq_spark import harness as H
+from mbrngq_spark.functions import derive
+from mbrngq_spark.operators.lines import (polyline_distance_join,
+                                          polyline_length)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs_geo(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return derive.with_geometry(docs).select("doc_id", "x", "y")
+
+
+@pytest.fixture(scope="module")
+def lines_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"line_id": [l[0] for l in H.POLYLINES],
+                      "vx": [l[1] for l in H.POLYLINES],
+                      "vy": [l[2] for l in H.POLYLINES]}),
+        "line_id long, vx array<double>, vy array<double>")
+
+
+def _np_seg_dist(px, py, ax, ay, bx, by):
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    if len2 == 0:
+        t = np.zeros_like(px)
+    else:
+        t = np.clip(((px - ax) * dx + (py - ay) * dy) / len2, 0.0, 1.0)
+    qx, qy = ax + t * dx, ay + t * dy
+    return np.sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy))
+
+
+def test_polyline_join_matches_numpy_oracle(spark, docs_geo, lines_df):
+    got = {(int(r.line_id), int(r.doc_id)): r.dist
+           for r in polyline_distance_join(
+               docs_geo, lines_df, H.LINE_RADIUS).collect()}
+    pdf = docs_geo.toPandas()
+    px, py = pdf.x.to_numpy(), pdf.y.to_numpy()
+    exp = {}
+    for lid, vx, vy in H.POLYLINES:
+        d = np.min([_np_seg_dist(px, py, vx[i], vy[i], vx[i + 1], vy[i + 1])
+                    for i in range(len(vx) - 1)], axis=0)
+        for j in np.where(d <= H.LINE_RADIUS)[0]:
+            exp[(lid, int(pdf.doc_id.iloc[j]))] = d[j]
+    assert set(got) == set(exp)
+    assert 0 < len(got) < len(pdf) * len(H.POLYLINES)
+    for k in got:
+        assert got[k] == exp[k], k  # bit-exact, not approx
+
+
+def test_polyline_join_degenerate_segment(spark, docs_geo):
+    """A zero-length segment must behave as a point (try_divide guard),
+    not crash under ANSI."""
+    ln = spark.createDataFrame(
+        pd.DataFrame({"line_id": [9], "vx": [[50.0, 50.0]],
+                      "vy": [[50.0, 50.0]]}),
+        "line_id long, vx array<double>, vy array<double>")
+    got = {int(r.doc_id): r.dist
+           for r in polyline_distance_join(docs_geo, ln, 10.0).collect()}
+    pdf = docs_geo.toPandas()
+    d = np.sqrt((pdf.x - 50.0) ** 2 + (pdf.y - 50.0) ** 2)
+    exp = {int(pdf.doc_id.iloc[j]): float(d.iloc[j])
+           for j in np.where(d <= 10.0)[0]}
+    assert set(got) == set(exp)
+
+
+def test_polyline_length(spark, lines_df):
+    got = {int(r.line_id): r.length for r in polyline_length(lines_df).collect()}
+    for lid, vx, vy in H.POLYLINES:
+        exp = sum(np.sqrt((vx[i + 1] - vx[i]) ** 2 + (vy[i + 1] - vy[i]) ** 2)
+                  for i in range(len(vx) - 1))
+        assert got[lid] == pytest.approx(exp, rel=1e-12)

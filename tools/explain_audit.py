@@ -340,6 +340,22 @@ def main() -> int:
               for ln in p.splitlines() if "Exchange hashpartitioning" in ln)
           and "Exchange hashpartitioning" in p)
 
+    # --- polyline corridor join: celled candidates, Column refine ----------
+    from mbrngq_spark import harness as _H
+    from mbrngq_spark.operators.lines import polyline_distance_join
+    lines_df = spark.createDataFrame(
+        pd.DataFrame({"line_id": [l[0] for l in _H.POLYLINES],
+                      "vx": [l[1] for l in _H.POLYLINES],
+                      "vy": [l[2] for l in _H.POLYLINES]}),
+        "line_id long, vx array<double>, vy array<double>")
+    lj = polyline_distance_join(docs_geo, lines_df, _H.LINE_RADIUS)
+    p = plan_of(lj, execute=True)
+    sections.append(("polyline corridor join", p))
+    check("polyline join: segment explode + refine are pure Column "
+          "(no Python eval)", "EvalPython" not in p)
+    check("polyline join: per-(line,doc) min has map-side partial "
+          "aggregation", "partial_min" in p)
+
     # --- DBSCAN: ε-join + degree + star CC, all JVM-side -------------------
     from mbrngq_spark.operators.clustering import dbscan
     tiny = spark.createDataFrame(
