@@ -317,7 +317,17 @@ def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll = (tile_distinct_pyramid(dg, "user", [2, H.MASK_RES], H.CFG)
            .select(F.lit("hll").alias("part"), "res", "cell",
                    F.col("register").alias("a"), F.col("rho").alias("b")))
-    return stats.unionByName(hll)
+    # part 'kde' (r6): biweight kernel-density heatmap
+    # (tiles.tile_heatmap) — per-(doc, cell) weights int64-quantized
+    # BEFORE the sum so the aggregate is exactly associative; a = the
+    # quantized weight sum, b = contributing-doc count. Kernel is
+    # +,-,*,/ only (no libm), so both engines compute identical doubles.
+    from mbrngq_spark.operators.tiles import tile_heatmap
+    kde = (tile_heatmap(docs_geo, H.KDE_H, H.KDE_RES, H.CFG)
+           .select(F.lit("kde").alias("part"),
+                   F.lit(H.KDE_RES).cast("int").alias("res"), "cell",
+                   F.col("wq").alias("a"), F.col("n_docs").alias("b")))
+    return stats.unionByName(hll).unionByName(kde)
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1764,6 +1774,44 @@ def oracle_sql() -> dict[str, str]:
                {H.morton_sql(f'({qx_r})', f'({qy_r})', res)} AS cell,
                {_hll_reg} AS a, max({_hll_rho}) AS b
         FROM g GROUP BY 3, 4""")
+    # 'kde' part: the biweight heatmap splat replayed stage-by-stage —
+    # per-row ranges via staged unnest(generate_series) (CLAUDE.md), the
+    # kernel with the engine's exact op order, int64 quantization BEFORE
+    # the sum (exactly associative — shuffle order can't matter)
+    _kh, _kh2, _kq = H.KDE_H, H.KDE_H * H.KDE_H, 1e9
+    _kn = 1 << H.KDE_RES
+    _kwx, _kwy = H.CFG.width / _kn, H.CFG.height / _kn
+    pyr_levels.append(f"""
+        SELECT 'kde' AS part, CAST({H.KDE_RES} AS INT) AS res,
+               {H.morton_sql('ix', 'iy', H.KDE_RES)} AS cell,
+               sum(CAST(round(((1.0 - d2 / {_kh2!r}) * (1.0 - d2 / {_kh2!r}))
+                              * {_kq!r}) AS BIGINT)) AS a,
+               count(*) AS b
+        FROM (
+          SELECT ix, iy,
+                 (x - cx) * (x - cx) + (y - cy) * (y - cy) AS d2
+          FROM (
+            SELECT x, y, ix, iy,
+                   {H.CFG.min_x!r} + (ix + 0.5) * {_kwx!r} AS cx,
+                   {H.CFG.min_y!r} + (iy + 0.5) * {_kwy!r} AS cy
+            FROM (
+              SELECT x, y, ix,
+                     unnest(generate_series(
+                       {H.quantize_sql(f'(y - {_kh!r})', H.CFG.min_y,
+                                       H.CFG.height, H.KDE_RES)},
+                       {H.quantize_sql(f'(y + {_kh!r})', H.CFG.min_y,
+                                       H.CFG.height, H.KDE_RES)})) AS iy
+              FROM (
+                SELECT x, y,
+                       unnest(generate_series(
+                         {H.quantize_sql(f'(x - {_kh!r})', H.CFG.min_x,
+                                         H.CFG.width, H.KDE_RES)},
+                         {H.quantize_sql(f'(x + {_kh!r})', H.CFG.min_x,
+                                         H.CFG.width, H.KDE_RES)})) AS ix
+                FROM g) gx) gxy) gc) gd
+        WHERE d2 <= {_kh2!r}
+        GROUP BY 3""")
+
     cell_pyramid = f"""
         WITH g AS ({geo})
         {' UNION ALL '.join(pyr_levels)}

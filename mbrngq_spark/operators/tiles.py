@@ -183,6 +183,57 @@ def tile_distinct_pyramid(docs_geo: DataFrame, item_col: str,
     return out.select("res", "cell", "register", "rho")
 
 
+def tile_heatmap(docs_geo: DataFrame, h: float, res: int,
+                 cfg: EngineConfig = DEFAULT,
+                 quant: float = 1e9) -> DataFrame:
+    """Kernel-density heatmap per Morton cell: every doc splats the
+    Epanechnikov-family biweight kernel w = (1 − d²/h²)² onto each cell
+    whose CENTER lies within bandwidth ``h`` (d = doc→center distance).
+
+    Deliberately NOT a Gaussian: exp() is libm (JVM and DuckDB differ by
+    ~1 ulp — CLAUDE.md trig/log discipline), while the biweight is
+    +,-,*,/ only, bit-identical across engines. Each per-(doc, cell)
+    weight is quantized to int64 (round(w·quant), HALF_UP in both
+    engines) BEFORE the sum, so the aggregate is exactly associative —
+    shuffle order can't change it. Shape at scale: a doc emits the
+    ≤ (2h/cellw + 2)² cells of its bandwidth bbox (bounded JVM explode,
+    no Python), one map-side-combinable sum per cell — map-only + a
+    single keyed aggregation; per-cell int64 sums hold ~9·10^9 docs per
+    cell before overflow (a per-CELL bound, not per-corpus).
+
+    Returns (cell, ix, iy, n_docs, wq, density) with density = wq/quant.
+    """
+    n = 1 << res
+    wx, wy = cfg.width / n, cfg.height / n
+    h2 = h * h  # Python-folded literal — the oracle embeds the same repr
+    qx0 = grid.quantize(F.col("x") - F.lit(h), cfg.min_x, cfg.width, res)
+    qx1 = grid.quantize(F.col("x") + F.lit(h), cfg.min_x, cfg.width, res)
+    qy0 = grid.quantize(F.col("y") - F.lit(h), cfg.min_y, cfg.height, res)
+    qy1 = grid.quantize(F.col("y") + F.lit(h), cfg.min_y, cfg.height, res)
+    cx = F.lit(cfg.min_x) + (F.col("ix") + 0.5) * F.lit(wx)
+    cy = F.lit(cfg.min_y) + (F.col("iy") + 0.5) * F.lit(wy)
+    d2 = ((F.col("x") - F.col("__cx")) * (F.col("x") - F.col("__cx"))
+          + (F.col("y") - F.col("__cy")) * (F.col("y") - F.col("__cy")))
+    w = (F.lit(1.0) - F.col("__d2") / F.lit(h2)) \
+        * (F.lit(1.0) - F.col("__d2") / F.lit(h2))
+    return (docs_geo
+            .withColumn("ix", F.explode(F.sequence(qx0, qx1)))
+            .withColumn("iy", F.explode(F.sequence(qy0, qy1)))
+            .withColumn("__cx", cx).withColumn("__cy", cy)
+            .withColumn("__d2", d2)
+            .filter(F.col("__d2") <= F.lit(h2))
+            .withColumn("__wq", F.round(w * F.lit(quant)).cast("long"))
+            .groupBy("ix", "iy")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__wq").alias("wq"))
+            .select(grid.cell_from_indices(F.col("ix"),
+                                           F.col("iy")).alias("cell"),
+                    F.col("ix").cast("long").alias("ix"),
+                    F.col("iy").cast("long").alias("iy"),
+                    "n_docs", "wq",
+                    (F.col("wq") / F.lit(quant)).alias("density")))
+
+
 def compact_cover(cells: DataFrame, res: int, min_res: int = 0,
                   key_cols: list[str] | None = None) -> DataFrame:
     """S2/H3-style cell-cover COMPACTION: wherever all 4 children of a

@@ -253,3 +253,39 @@ def test_compact_cover_full_grid_collapses_to_root(spark):
     comp2 = {(r.cell, r.res)
              for r in compact_cover(leaves, res=3, min_res=2).collect()}
     assert comp2 == {(c, 2) for c in range(16)}
+
+
+def test_tile_heatmap_matches_numpy_exactly(spark, docs_geo):
+    """Biweight KDE splat: per-cell int64 weight sums equal a NumPy
+    replay EXACTLY (the quantize-before-sum contract), n_docs too."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mbrngq_spark.operators.tiles import tile_heatmap
+
+    h, res, quant = 10.0, 4, 1e9
+    cfg = grid.DEFAULT if hasattr(grid, "DEFAULT") else None
+    from mbrngq_spark.config import DEFAULT as CFG
+    got = {(int(r.ix), int(r.iy)): (int(r.n_docs), int(r.wq))
+           for r in tile_heatmap(docs_geo, h, res).collect()}
+
+    pdf = docs_geo.toPandas()
+    n = 1 << res
+    wx, wy = CFG.width / n, CFG.height / n
+    h2 = h * h
+    exp = {}
+    for iy in range(n):
+        for ix in range(n):
+            cx = CFG.min_x + (ix + 0.5) * wx
+            cy = CFG.min_y + (iy + 0.5) * wy
+            d2 = (pdf.x.to_numpy() - cx) * (pdf.x.to_numpy() - cx) \
+                + (pdf.y.to_numpy() - cy) * (pdf.y.to_numpy() - cy)
+            m = d2 <= h2
+            if not m.any():
+                continue
+            w = (1.0 - d2[m] / h2) * (1.0 - d2[m] / h2)
+            # Spark F.round is HALF_UP; Python round is banker's (CLAUDE.md)
+            wq = sum(int(Decimal(repr(v * quant)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP)) for v in w)
+            exp[(ix, iy)] = (int(m.sum()), wq)
+    assert got == exp
+    assert len(got) > 20  # h=10 spreads over many 6.25-unit cells

@@ -340,6 +340,16 @@ def main() -> int:
               for ln in p.splitlines() if "Exchange hashpartitioning" in ln)
           and "Exchange hashpartitioning" in p)
 
+    # --- KDE heatmap: map-only splat + one keyed sum ------------------------
+    from mbrngq_spark.operators.tiles import tile_heatmap
+    hm = tile_heatmap(docs_geo, 10.0, 4)
+    p = plan_of(hm, execute=True)
+    sections.append(("kde heatmap", p))
+    check("kde heatmap: splat + kernel are pure Column (no Python, "
+          "no join)", "EvalPython" not in p and "Join" not in p)
+    check("kde heatmap: the single sum is map-side partial",
+          "partial_sum" in p or "partial_count" in p)
+
     # --- polyline corridor join: celled candidates, Column refine ----------
     from mbrngq_spark import harness as _H
     from mbrngq_spark.operators.lines import polyline_distance_join
