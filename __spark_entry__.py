@@ -200,7 +200,18 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("geo_area").alias("part"), "poly_id",
         F.round(F.col("area_km2") * 10000).cast("long").alias("tile_id"),
         F.lit(-1).cast("int").alias("ix"), F.lit(-1).cast("int").alias("iy"))
-    return planar.unionByName(compacted).unionByName(geo).unionByName(area)
+    # part 'zonal' (r6): raster-over-zones aggregate (tiles.zonal_stats)
+    # — per polygon (sum_docs, n_tiles, max_docs) packed into the long
+    # schema as (tile_id, ix, iy); oracle composes the same cover CTE
+    # with a per-tile count left join
+    from mbrngq_spark.operators.tiles import zonal_stats
+    zonal = zonal_stats(spark, H.load_docs_geo(spark, sf_dir), polys).select(
+        F.lit("zonal").alias("part"), "poly_id",
+        F.col("sum_docs").cast("long").alias("tile_id"),
+        F.col("n_tiles").cast("long").alias("ix"),
+        F.col("max_docs").cast("long").alias("iy"))
+    return (planar.unionByName(compacted).unionByName(geo)
+            .unionByName(area).unionByName(zonal))
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1531,7 +1542,17 @@ def _q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("line_id").cast("long").alias("a_id"),
         F.col("doc_id").cast("long").alias("b_id"),
         F.round("dist", 6).alias("dist"))
-    return rect.unionByName(eps).unionByName(db).unionByName(ln)
+    # part 'snap' (r6): nearest-polyline map-matching — rank on the RAW
+    # double distance (bit-identical sqrt), line_id tie anchor,
+    # WindowGroupLimit-capped
+    from mbrngq_spark.operators.lines import nearest_polyline
+    snap = nearest_polyline(docs_geo, lines_df, H.SNAP_RADIUS).select(
+        F.lit("snap").alias("part"),
+        F.col("doc_id").cast("long").alias("a_id"),
+        F.col("line_id").cast("long").alias("b_id"),
+        F.round("dist", 6).alias("dist"))
+    return (rect.unionByName(eps).unionByName(db).unionByName(ln)
+            .unionByName(snap))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2899,6 +2920,16 @@ def oracle_sql() -> dict[str, str]:
         FROM pl
         UNION ALL {_compact_selects}
         UNION ALL
+        SELECT 'zonal', pl.poly_id,
+               CAST(sum(COALESCE(tc.c, 0)) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               CAST(max(COALESCE(tc.c, 0)) AS BIGINT)
+        FROM pl LEFT JOIN (
+          SELECT {qx_tile} AS ix, {qy_tile} AS iy, count(*) AS c
+          FROM ({geo}) g GROUP BY 1, 2) tc
+          ON pl.ix = tc.ix AND pl.iy = tc.iy
+        GROUP BY pl.poly_id
+        UNION ALL
         SELECT part, poly_id, tile_id, ix, iy FROM (
           WITH gc AS (
             SELECT iy, ix,
@@ -3137,6 +3168,20 @@ def oracle_sql() -> dict[str, str]:
             f" FROM ({geo}) g"
             for lid, vx, vy in H.POLYLINES)}
         ) lj WHERE dmin <= {H.LINE_RADIUS}
+        UNION ALL
+        SELECT 'snap', doc, line, round(dmin, 6) FROM (
+          SELECT b_id AS doc, a_id AS line, dmin,
+                 row_number() OVER (PARTITION BY b_id
+                                    ORDER BY dmin, a_id) AS rn
+          FROM (
+            {" UNION ALL ".join(
+              f"SELECT CAST({lid} AS BIGINT) AS a_id,"
+              f" CAST(g.doc_id AS BIGINT) AS b_id,"
+              f" {H.polyline_dist_sql('g.x', 'g.y', vx, vy)} AS dmin"
+              f" FROM ({geo}) g"
+              for lid, vx, vy in H.POLYLINES)}
+          ) sj WHERE dmin <= {H.SNAP_RADIUS}
+        ) sr WHERE rn = 1
     """
 
     return {

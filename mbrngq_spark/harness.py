@@ -55,6 +55,7 @@ POLYLINES = [
     (2, [70.0, 75.0, 90.0, 85.0], [10.0, 40.0, 45.0, 75.0]),
 ]
 LINE_RADIUS = 4.0              # corridor half-width for the polyline join
+SNAP_RADIUS = 8.0              # nearest-polyline snap cutoff
 KDE_H = 10.0                   # heatmap kernel bandwidth
 KDE_RES = 4                    # heatmap grid (16×16 Morton cells)
 

@@ -103,6 +103,29 @@ def polyline_distance_join(docs_geo: DataFrame, lines: DataFrame,
             .select("line_id", F.col("doc_id").alias(id_col), "dist"))
 
 
+def nearest_polyline(docs_geo: DataFrame, lines: DataFrame,
+                     max_radius: float, k: int = 1,
+                     cfg: EngineConfig = DEFAULT,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Map-matching lite: each doc's ``k`` nearest polylines within
+    ``max_radius`` — (doc_id, line_id, dist, rank). Candidates come from
+    the corridor join (provably complete within the radius); the rank
+    orders on the RAW double distance (bit-identical across engines —
+    sqrt of identical arithmetic) with line_id as the tie anchor, and
+    compiles to a WindowGroupLimit (each map task forwards ≤ k rows per
+    doc into the exchange)."""
+    from pyspark.sql import Window
+
+    cand = polyline_distance_join(docs_geo, lines, max_radius,
+                                  cfg=cfg, id_col=id_col)
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(),
+                                           F.col("line_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "line_id", "dist",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def polyline_length(lines: DataFrame) -> DataFrame:
     """(line_id, length): sum of segment lengths — one aggregate fold
     inside the array (no explode, no shuffle beyond the input layout)."""

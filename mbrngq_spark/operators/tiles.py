@@ -183,6 +183,28 @@ def tile_distinct_pyramid(docs_geo: DataFrame, item_col: str,
     return out.select("res", "cell", "register", "rho")
 
 
+def zonal_stats(spark: SparkSession, docs_geo: DataFrame,
+                polygons: pd.DataFrame, res: int | None = None,
+                cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Zonal statistics — the classic raster-over-zones aggregate: per
+    polygon, (sum_docs, n_tiles, max_docs) over the tiles whose center
+    the polygon contains. Composition of the two primitives the engine
+    already trusts: polygon_cover (zones→tiles) LEFT-joined to
+    tile_rollup (the raster), one keyed aggregation. ``n_tiles`` counts
+    EVERY covered tile (empty ones included — the left join + coalesce),
+    sum/max treat empty tiles as 0. At scale the cover side is
+    O(zone area / cell area) rows — compact_cover + broadcast when the
+    zone set is small, plain shuffle join otherwise."""
+    cover = polygon_cover(spark, polygons, res, cfg)
+    roll = tile_rollup(docs_geo, res, cfg).select("tile_id", "n_docs")
+    nd = F.coalesce(F.col("n_docs"), F.lit(0))
+    return (cover.join(roll, "tile_id", "left")
+            .groupBy("poly_id")
+            .agg(F.sum(nd).alias("sum_docs"),
+                 F.count(F.lit(1)).alias("n_tiles"),
+                 F.max(nd).alias("max_docs")))
+
+
 def tile_heatmap(docs_geo: DataFrame, h: float, res: int,
                  cfg: EngineConfig = DEFAULT,
                  quant: float = 1e9) -> DataFrame:

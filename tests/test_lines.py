@@ -80,3 +80,24 @@ def test_polyline_length(spark, lines_df):
         exp = sum(np.sqrt((vx[i + 1] - vx[i]) ** 2 + (vy[i + 1] - vy[i]) ** 2)
                   for i in range(len(vx) - 1))
         assert got[lid] == pytest.approx(exp, rel=1e-12)
+
+
+def test_nearest_polyline_matches_numpy(spark, docs_geo, lines_df):
+    from mbrngq_spark.operators.lines import nearest_polyline
+    R = 8.0
+    got = {(int(r.doc_id)): (int(r.line_id), r.dist)
+           for r in nearest_polyline(docs_geo, lines_df, R).collect()}
+    pdf = docs_geo.toPandas()
+    px, py = pdf.x.to_numpy(), pdf.y.to_numpy()
+    dmat = {}
+    for lid, vx, vy in H.POLYLINES:
+        dmat[lid] = np.min(
+            [_np_seg_dist(px, py, vx[i], vy[i], vx[i + 1], vy[i + 1])
+             for i in range(len(vx) - 1)], axis=0)
+    exp = {}
+    for j in range(len(pdf)):
+        best = min(((dmat[lid][j], lid) for lid in dmat), key=lambda t: t)
+        if best[0] <= R:
+            exp[int(pdf.doc_id.iloc[j])] = (best[1], best[0])
+    assert got == exp
+    assert 0 < len(got) < len(pdf)

@@ -289,3 +289,26 @@ def test_tile_heatmap_matches_numpy_exactly(spark, docs_geo):
             exp[(ix, iy)] = (int(m.sum()), wq)
     assert got == exp
     assert len(got) > 20  # h=10 spreads over many 6.25-unit cells
+
+
+def test_zonal_stats_composition(spark, docs_geo):
+    """zonal_stats == pandas composition of polygon_cover and a per-tile
+    count, empty covered tiles counted in n_tiles but contributing 0."""
+    from mbrngq_spark.operators.tiles import polygon_cover, zonal_stats
+
+    got = {int(r.poly_id): (int(r.sum_docs), int(r.n_tiles), int(r.max_docs))
+           for r in zonal_stats(spark, docs_geo, POLYS).collect()}
+    cover = polygon_cover(spark, POLYS).toPandas()
+    docs = docs_geo.toPandas()
+    from mbrngq_spark.config import DEFAULT as CFG
+    n = 1 << CFG.tile_res
+    tix = np.clip((docs.x / (CFG.width / n)).astype(int), 0, n - 1)
+    tiy = np.clip((docs.y / (CFG.height / n)).astype(int), 0, n - 1)
+    tid = tiy * n + tix
+    from collections import Counter
+    cnt = Counter(tid.tolist())
+    for pid in cover.poly_id.unique():
+        tids = cover[cover.poly_id == pid].tile_id.tolist()
+        vals = [cnt.get(t, 0) for t in tids]
+        assert got[int(pid)] == (sum(vals), len(vals), max(vals)), pid
+    assert set(got) == set(POLYS.poly_id)
