@@ -495,23 +495,54 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: per-user event sessions split at 30-min gaps (lag +
-    running sum — the classic window composition; the streaming twin is a
-    session window with watermark)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .select("user_id", "event_id", F.unix_timestamp("ts").alias("te"))
+    """Temporal tier, three parts (50-entry rotation; columns a..f):
+    'session' = per-user sessions split at 30-min gaps (lag + running
+    sum; a=session_idx, b=n_events, c=start, d=end); 'travel' (r6) =
+    per-user trajectory stats over md5-free LCG-derived event positions
+    (trajectory.travel_stats; a=n_points, b=dist_q, c=max_leg_q,
+    d=disp_q — micro-unit int64, legs quantized BEFORE the sum so the
+    aggregate is exactly associative); 'stay' (r6) = gaps-and-islands
+    stay points (trajectory.stay_points; a=stay_idx, b=n_events,
+    c=start, d=end, e/f=centroid numerators cx_q/cy_q)."""
+    from mbrngq_spark.operators.trajectory import (stay_points,
+                                                   travel_stats,
+                                                   with_event_geometry)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    evt = ev.select("user_id", "event_id",
+                    F.unix_timestamp("ts").alias("te"))
     w = Window.partitionBy("user_id").orderBy("te", "event_id")
     new_s = F.when(
         (F.col("te") - F.lag("te").over(w) > 1800)
         | F.lag("te").over(w).isNull(), 1).otherwise(0)
-    sess = (ev.withColumn("new_s", new_s)
-            .withColumn("session_idx",
-                        F.sum("new_s").over(
-                            w.rowsBetween(Window.unboundedPreceding, 0))))
-    return (sess.groupBy("user_id", "session_idx")
+    sess_df = (evt.withColumn("new_s", new_s)
+               .withColumn("session_idx",
+                           F.sum("new_s").over(
+                               w.rowsBetween(Window.unboundedPreceding, 0))))
+    zero = F.lit(0).cast("long")
+    sess = (sess_df.groupBy("user_id", "session_idx")
             .agg(F.count("*").alias("n_events"),
                  F.min("te").alias("start_epoch"),
-                 F.max("te").alias("end_epoch")))
+                 F.max("te").alias("end_epoch"))
+            .select(F.lit("session").alias("part"), "user_id",
+                    F.col("session_idx").cast("long").alias("a"),
+                    F.col("n_events").cast("long").alias("b"),
+                    F.col("start_epoch").cast("long").alias("c"),
+                    F.col("end_epoch").cast("long").alias("d"),
+                    zero.alias("e"), zero.alias("f")))
+    eg = with_event_geometry(ev)
+    trav = travel_stats(eg).select(
+        F.lit("travel").alias("part"), "user_id",
+        F.col("n_points").cast("long").alias("a"),
+        F.col("dist_q").alias("b"), F.col("max_leg_q").alias("c"),
+        F.col("disp_q").alias("d"), zero.alias("e"), zero.alias("f"))
+    stay = stay_points(eg, H.STAY_EPS, H.STAY_DUR).select(
+        F.lit("stay").alias("part"), "user_id",
+        F.col("stay_idx").cast("long").alias("a"),
+        F.col("n_events").cast("long").alias("b"),
+        F.col("start_epoch").cast("long").alias("c"),
+        F.col("end_epoch").cast("long").alias("d"),
+        F.col("cx_q").alias("e"), F.col("cy_q").alias("f"))
+    return sess.unionByName(trav).unionByName(stay)
 
 
 def _q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2061,9 +2092,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE j >= 0.03
     """
 
-    events_sessionize = """
+    # trajectory parts: event positions via the same LCG derive
+    # (id_expr=event_id), legs = lag-window sqrt (raw-double comparable),
+    # summed quantities micro-quantized BEFORE the sum
+    events_sessionize = f"""
         WITH ev AS (
-          SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS te
+          SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS te,
+                 {derive.x_sql('event_id')} AS x,
+                 {derive.y_sql('event_id')} AS y
           FROM events),
         flagged AS (
           SELECT user_id, event_id, te,
@@ -2076,10 +2112,56 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(new_s) OVER (PARTITION BY user_id
                       ORDER BY te, event_id
                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-          FROM flagged)
-        SELECT user_id, session_idx, count(*) AS n_events,
-               min(te) AS start_epoch, max(te) AS end_epoch
+          FROM flagged),
+        legs AS (
+          SELECT user_id, event_id, te, x, y,
+                 {H.dist_sql('x', 'y', 'lag(x) OVER w', 'lag(y) OVER w')}
+                   AS leg,
+                 row_number() OVER w AS rn_a,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY te DESC, event_id DESC) AS rn_d
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY te, event_id)),
+        trav AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS a,
+                 CAST(COALESCE(sum(CAST(round(leg * 1000000.0) AS BIGINT)),
+                               0) AS BIGINT) AS b,
+                 CAST(COALESCE(CAST(round(max(leg) * 1000000.0) AS BIGINT),
+                               0) AS BIGINT) AS c,
+                 CAST(round({H.dist_sql(
+                     'max(CASE WHEN rn_a = 1 THEN x END)',
+                     'max(CASE WHEN rn_a = 1 THEN y END)',
+                     'max(CASE WHEN rn_d = 1 THEN x END)',
+                     'max(CASE WHEN rn_d = 1 THEN y END)')}
+                     * 1000000.0) AS BIGINT) AS d
+          FROM legs GROUP BY user_id),
+        isl AS (
+          SELECT user_id, te, x, y,
+                 CAST(sum(CASE WHEN leg IS NULL OR leg > {H.STAY_EPS!r}
+                          THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY te, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+          FROM legs),
+        stays AS (
+          SELECT user_id, island AS a,
+                 CAST(count(*) AS BIGINT) AS b,
+                 min(te) AS c, max(te) AS d,
+                 CAST(sum(CAST(round(x * 1000000.0) AS BIGINT))
+                      AS BIGINT) AS e,
+                 CAST(sum(CAST(round(y * 1000000.0) AS BIGINT))
+                      AS BIGINT) AS f
+          FROM isl GROUP BY user_id, island
+          HAVING max(te) - min(te) >= {H.STAY_DUR} AND count(*) >= 2)
+        SELECT 'session' AS part, user_id, session_idx AS a,
+               count(*) AS b, min(te) AS c, max(te) AS d,
+               CAST(0 AS BIGINT) AS e, CAST(0 AS BIGINT) AS f
         FROM sess GROUP BY user_id, session_idx
+        UNION ALL
+        SELECT 'travel', user_id, a, b, c, d,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM trav
+        UNION ALL
+        SELECT 'stay', user_id, a, b, c, d, e, f FROM stays
     """
 
     agg_stats = """

@@ -56,6 +56,8 @@ POLYLINES = [
 ]
 LINE_RADIUS = 4.0              # corridor half-width for the polyline join
 SNAP_RADIUS = 8.0              # nearest-polyline snap cutoff
+STAY_EPS = 40.0                # stay-point leg threshold (trajectory)
+STAY_DUR = 600                 # stay-point min duration, seconds
 KDE_H = 10.0                   # heatmap kernel bandwidth
 KDE_RES = 4                    # heatmap grid (16×16 Morton cells)
 

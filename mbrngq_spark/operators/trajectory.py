@@ -1,0 +1,99 @@
+"""Trajectory analytics over the events stream — per-user movement
+derived from time-ordered event positions.
+
+The reference has no temporal tier at all (RTree.cs is spatial-only);
+trajectories are the natural composition of the engine's two existing
+disciplines: the sessionize window stack (lag + running sum over
+(user, time)) and the geometry kernel. Everything is window + groupBy —
+one shuffle keyed by user_id end to end, no Python, no iteration.
+
+Cross-engine determinism contracts (same as the rest of the repo):
+- legs are sqrt of identical IEEE arithmetic → raw-double comparable;
+- SUMS of doubles are order-dependent, so every summed quantity is
+  quantized to int64 micro-units FIRST (round(v·1e6), HALF_UP in both
+  engines) — the aggregate is then exactly associative;
+- MAX of doubles is order-independent → quantized after the max.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mbrngq_spark import geom
+from mbrngq_spark.config import DEFAULT, EngineConfig
+from mbrngq_spark.functions import derive
+
+_Q = 1e6  # micro-unit quantization for summed distances/coordinates
+
+
+def with_event_geometry(events: DataFrame,
+                        cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """(user_id, event_id, te, x, y): positions derived from event_id by
+    the same md5 mapping the documents table uses (functions/derive.py)
+    — bit-exact in both engines, no external data."""
+    return events.select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("te"),
+        derive.x_col(F.col("event_id"), cfg).alias("x"),
+        derive.y_col(F.col("event_id"), cfg).alias("y"))
+
+
+def _legs(events_geo: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("te", "event_id")
+    leg = geom.dist_point(F.col("x"), F.col("y"),
+                          F.lag("x").over(w), F.lag("y").over(w))
+    return events_geo.withColumn("leg", leg)
+
+
+def travel_stats(events_geo: DataFrame) -> DataFrame:
+    """Per user: (n_points, dist_q, max_leg_q, disp_q) — total path
+    length (per-leg micro-quantized then summed), longest leg, and net
+    first→last displacement, all int64 micro-units."""
+    w = Window.partitionBy("user_id").orderBy("te", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.col("te").desc(),
+                                               F.col("event_id").desc())
+    df = (_legs(events_geo)
+          .withColumn("legq", F.round(F.col("leg") * F.lit(_Q)).cast("long"))
+          .withColumn("rn_a", F.row_number().over(w))
+          .withColumn("rn_d", F.row_number().over(wd)))
+    one = F.lit(1)
+    fx = F.max(F.when(F.col("rn_a") == one, F.col("x")))
+    fy = F.max(F.when(F.col("rn_a") == one, F.col("y")))
+    lx = F.max(F.when(F.col("rn_d") == one, F.col("x")))
+    ly = F.max(F.when(F.col("rn_d") == one, F.col("y")))
+    return (df.groupBy("user_id")
+            .agg(F.count(one).alias("n_points"),
+                 F.coalesce(F.sum("legq"), F.lit(0)).alias("dist_q"),
+                 F.coalesce(F.round(F.max("leg") * F.lit(_Q)).cast("long"),
+                            F.lit(0)).alias("max_leg_q"),
+                 F.round(geom.dist_point(fx, fy, lx, ly)
+                         * F.lit(_Q)).cast("long").alias("disp_q")))
+
+
+def stay_points(events_geo: DataFrame, eps: float,
+                min_dur: int, min_events: int = 2) -> DataFrame:
+    """Gaps-and-islands stay detection: a new island starts whenever the
+    leg from the previous event exceeds ``eps`` (or at the user's first
+    event); islands lasting ≥ ``min_dur`` seconds with ≥ ``min_events``
+    events are stays. Returns (user_id, stay_idx, n_events, start_epoch,
+    end_epoch, cx_q, cy_q) — centroid numerators as summed micro-unit
+    int64 (divide by 1e6·n_events for the mean)."""
+    w = Window.partitionBy("user_id").orderBy("te", "event_id")
+    new_i = F.when(F.col("leg").isNull()
+                   | (F.col("leg") > F.lit(float(eps))), 1).otherwise(0)
+    df = (_legs(events_geo)
+          .withColumn("new_i", new_i)
+          .withColumn("island", F.sum("new_i").over(
+              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (df.groupBy("user_id", F.col("island").alias("stay_idx"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("te").alias("start_epoch"),
+                 F.max("te").alias("end_epoch"),
+                 F.sum(F.round(F.col("x") * F.lit(_Q)).cast("long"))
+                 .alias("cx_q"),
+                 F.sum(F.round(F.col("y") * F.lit(_Q)).cast("long"))
+                 .alias("cy_q"))
+            .filter((F.col("end_epoch") - F.col("start_epoch")
+                     >= F.lit(int(min_dur)))
+                    & (F.col("n_events") >= F.lit(int(min_events)))))

@@ -340,6 +340,19 @@ def main() -> int:
               for ln in p.splitlines() if "Exchange hashpartitioning" in ln)
           and "Exchange hashpartitioning" in p)
 
+    # --- trajectory: one user-keyed shuffle end to end ----------------------
+    from mbrngq_spark.operators.trajectory import (stay_points,
+                                                   with_event_geometry)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sp = stay_points(with_event_geometry(ev), 40.0, 600)
+    p = plan_of(sp, execute=True)
+    sections.append(("trajectory stay points", p))
+    check("trajectory: every Exchange is keyed by user_id (windows and "
+          "the island agg reuse one partitioning)",
+          all("user_id" in ln for ln in p.splitlines()
+              if "Exchange hashpartitioning" in ln)
+          and "EvalPython" not in p)
+
     # --- KDE heatmap: map-only splat + one keyed sum ------------------------
     from mbrngq_spark.operators.tiles import tile_heatmap
     hm = tile_heatmap(docs_geo, 10.0, 4)
