@@ -701,6 +701,16 @@ GEO_POLYS = [
      [40.0, 80.0, 60.0, 55.0, 45.0]),
 ]
 
+# geodetic route fixtures (line_id, vlat, vlon) — line 21 crosses the
+# antimeridian; segments ≤ ~35° central angle, |lat| ≤ 88 (the corridor
+# join's bulge-pad contract)
+GEO_LINES = [
+    (20, [-10.0, 0.0, 15.0], [100.0, 130.0, 160.0]),
+    (21, [10.0, 20.0, 25.0], [170.0, -175.0, -160.0]),
+    (22, [-40.0, -35.0], [-60.0, -20.0]),
+]
+GEO_LINE_RADIUS_M = 1_200_000.0
+
 
 def _geo_pip_pred_sql(vlat: list, vlon: list) -> str:
     """DuckDB predicate twin of the wrap-normalized PNPOLY fold, with
@@ -788,13 +798,34 @@ def _q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe; the planar 3×3 neighborhood is wrong on a lat/lon grid), each
     unordered pair exactly once. Oracle: exhaustive quadratic
     haversine."""
-    from mbrngq_spark.operators.geodetic import geodetic_pairs
+    from mbrngq_spark.operators.geodetic import (geodetic_pairs,
+                                                 geodetic_polyline_join)
     docs_geo = H.load_docs_geo(spark, sf_dir)
     docs_ll = docs_geo.filter(F.col("doc_id") < 250).select(
         "doc_id",
         (F.col("y") * 1.8 - 90.0).alias("lat"),
         (F.col("x") * 3.6 - 180.0).alias("lon"))
-    return geodetic_pairs(spark, docs_ll, 800_000.0, res=4)
+    pairs = geodetic_pairs(spark, docs_ll, 800_000.0, res=4).select(
+        F.lit("pairs").alias("part"), "a_id", "b_id", "dist_m")
+    # part 'corridor' (r6): spherical polyline corridor join over the
+    # FULL lat/lon corpus — exact min great-circle point-to-arc distance
+    # (3-D cross-track with within-arc test), antimeridian route incl.
+    import pandas as pd
+    full_ll = docs_geo.select(
+        "doc_id",
+        (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    lines_df = spark.createDataFrame(
+        pd.DataFrame({"line_id": [l[0] for l in GEO_LINES],
+                      "vlat": [l[1] for l in GEO_LINES],
+                      "vlon": [l[2] for l in GEO_LINES]}),
+        "line_id long, vlat array<double>, vlon array<double>")
+    corr = geodetic_polyline_join(
+        full_ll, lines_df, GEO_LINE_RADIUS_M).select(
+        F.lit("corridor").alias("part"),
+        F.col("line_id").cast("long").alias("a_id"),
+        F.col("doc_id").cast("long").alias("b_id"), "dist_m")
+    return pairs.unionByName(corr)
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -2805,15 +2836,33 @@ def oracle_sql() -> dict[str, str]:
                " + cos(radians(a.lat)) * cos(radians(b.lat))"
                " * pow(sin(radians(fmod(b.lon - a.lon + 540.0, 360.0)"
                " - 180.0) / 2), 2))))")
+    from mbrngq_spark.operators.geodetic import geodetic_polyline_dist_sql
+    _corr_sel = " UNION ALL ".join(
+        f"SELECT CAST({lid} AS BIGINT) AS a_id,"
+        f" CAST(doc_id AS BIGINT) AS b_id,"
+        f" round({geodetic_polyline_dist_sql('px', 'py', 'pz', 'lat', 'lon', vlat, vlon)}, 2) AS dm"
+        f" FROM pv"
+        for lid, vlat, vlon in GEO_LINES)
     geo_pairs = f"""
         WITH g AS ({geo}),
         ll AS (SELECT doc_id, y * 1.8 - 90.0 AS lat,
                       x * 3.6 - 180.0 AS lon
-               FROM g WHERE doc_id < 250)
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               FROM g WHERE doc_id < 250),
+        llf AS (SELECT doc_id, y * 1.8 - 90.0 AS lat,
+                       x * 3.6 - 180.0 AS lon FROM g),
+        pv AS (SELECT doc_id, lat, lon,
+                      cos(radians(lat)) * cos(radians(lon)) AS px,
+                      cos(radians(lat)) * sin(radians(lon)) AS py,
+                      sin(radians(lat)) AS pz
+               FROM llf)
+        SELECT 'pairs' AS part, a.doc_id AS a_id, b.doc_id AS b_id,
                round({_hav_ab}, 2) AS dist_m
         FROM ll a JOIN ll b ON a.doc_id < b.doc_id
         WHERE round({_hav_ab}, 2) <= 800000.0
+        UNION ALL
+        SELECT 'corridor', a_id, b_id, dm FROM (
+          {_corr_sel}
+        ) cj WHERE dm <= {GEO_LINE_RADIUS_M!r}
     """
 
     # geo_ngq: exhaustive fixed-L NGQ on the sphere — per-category top-L

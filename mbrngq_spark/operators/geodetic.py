@@ -1068,3 +1068,228 @@ def geodetic_polygon_area_py(vlat: list, vlon: list) -> float:
         esum += 2.0 * math.atan2(det, dn)
     r_km = R_EARTH / 1000.0
     return round(abs(esum) * r_km * r_km, 4)
+
+
+# --- geodetic polyline corridor join -----------------------------------------
+
+def _uv3_cols(lat: Column, lon: Column) -> tuple[Column, Column, Column]:
+    """Unit 3-vector of a (degree) lat/lon point as scalar Columns."""
+    la, lo = F.radians(lat), F.radians(lon)
+    return (F.cos(la) * F.cos(lo), F.cos(la) * F.sin(lo), F.sin(la))
+
+
+def geodetic_segment_dist_m(plat: Column, plon: Column,
+                            alat: Column, alon: Column,
+                            blat: Column, blon: Column) -> Column:
+    """Great-circle distance (meters) from point P to the MINOR ARC a-b.
+
+    3-D formulation: n = A×B is the arc's great-circle normal; the
+    cross-track angle is asin(P·n̂), and the foot of P on the circle is
+    within the minor arc iff (P·A)/cos(xt) ≥ A·B and (P·B)/cos(xt) ≥
+    A·B (the normalized projection G satisfies G·A = (P·A)/cos(xt)
+    because n̂ ⊥ A). Outside the arc, the distance is to the nearer
+    endpoint (haversine_col — identical formula shape to every other
+    geodetic operator). The within/endpoint branch is CONTINUOUS at its
+    boundary (there the cross-track distance equals the endpoint
+    distance), so a 1-ulp libm difference between engines moves the
+    result by ulps, absorbed by the 2-dp meter rounding discipline.
+    Degenerate segments (A ≈ ±B → |n| = 0) fall back to the endpoint
+    branch via try_divide → null → coalesce(false)."""
+    px, py, pz = _uv3_cols(plat, plon)
+    ax, ay, az = _uv3_cols(alat, alon)
+    bx, by, bz = _uv3_cols(blat, blon)
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    nn = F.sqrt(nx * nx + ny * ny + nz * nz)
+    sinxt = F.try_divide(px * nx + py * ny + pz * nz, nn)
+    cosxt = F.sqrt(F.greatest(F.lit(1.0) - sinxt * sinxt, F.lit(0.0)))
+    ab = ax * bx + ay * by + az * bz
+    pa = px * ax + py * ay + pz * az
+    pb = px * bx + py * by + pz * bz
+    within = ((F.try_divide(pa, cosxt) >= ab)
+              & (F.try_divide(pb, cosxt) >= ab))
+    d_arc = F.lit(R_EARTH) * F.asin(F.least(F.abs(sinxt), F.lit(1.0)))
+    d_end = F.least(haversine_col(plat, plon, alat, alon),
+                    haversine_col(plat, plon, blat, blon))
+    return F.when(F.coalesce(within, F.lit(False)), d_arc).otherwise(d_end)
+
+
+def geodetic_polyline_join(docs_ll: DataFrame, lines_df: DataFrame,
+                           radius_m: float, res: int = 5,
+                           id_col: str = "doc_id",
+                           broadcast_cover: bool = True) -> DataFrame:
+    """Spherical corridor join: every doc within ``radius_m`` of each
+    polyline — (line_id, doc_id, dist_m), dist_m = 2-dp-rounded min
+    over the line's segments; the filter compares the ROUNDED value
+    (the geodetic ranking discipline).
+
+    Fully distributed over BOTH tables: polylines explode to segments
+    JVM-side; each segment emits the lat/lon-grid cells of its padded
+    bbox — lon columns enumerated in the segment's UNWRAPPED anchor
+    window then pmod'd (the `_geo_poly_cover` antimeridian discipline;
+    lon along a minor arc is monotonic, so the endpoint lons bound it),
+    lat rows padded by radius AND by the arc's poleward bulge
+    (sin-space sagitta bound (1/cos(θ/2) − 1), divided by cos of the
+    padded band's max |lat| — contract: |lat| ≤ 88°, θ ≤ ~20°,
+    non-pole-spanning, like the PIP tier). Docs carry their single
+    cell; one equi-join, pure-Column exact refine, one
+    map-side-combinable min per (line, doc). Every segment within the
+    (half-grain-padded) radius of a doc lands in the doc's cell's
+    cover, so min-over-candidates == min-over-all-segments for every
+    emitted pair."""
+    n = 1 << res
+    wlat, wlon = 180.0 / n, 360.0 / n
+    deg = 180.0 / math.pi
+
+    seg = (lines_df
+           .select("line_id", "vlat", "vlon",
+                   F.posexplode(F.sequence(
+                       F.lit(1), F.size("vlat") - 1)).alias("seg_idx", "i"))
+           .select("line_id", "seg_idx",
+                   F.element_at("vlat", F.col("i")).alias("alat"),
+                   F.element_at("vlon", F.col("i")).alias("alon"),
+                   F.element_at("vlat", F.col("i") + 1).alias("blat"),
+                   F.element_at("vlon", F.col("i") + 1).alias("blon")))
+
+    rad_pad = radius_m + _ROUND_PAD_M          # rounded-filter half-grain
+    raddeg = rad_pad / R_EARTH * deg
+    theta = haversine_col(F.col("alat"), F.col("alon"),
+                          F.col("blat"), F.col("blon")) / F.lit(R_EARTH)
+    lat_lo = F.least("alat", "blat")
+    lat_hi = F.greatest("alat", "blat")
+    band = F.least(F.greatest(F.abs(lat_lo), F.abs(lat_hi))
+                   + F.lit(raddeg + 1.0), F.lit(89.0))
+    bulge = (F.try_divide(F.lit(1.0), F.cos(theta / 2)) - 1.0) \
+        / F.cos(F.radians(band)) * F.lit(deg)
+    pad = F.lit(raddeg) + bulge
+    lat0 = F.greatest(lat_lo - pad, F.lit(-90.0))
+    lat1 = F.least(lat_hi + pad, F.lit(90.0))
+    nlon_b = F.pmod(F.col("blon") - F.col("alon") + 540.0,
+                    F.lit(360.0)) - 180.0
+    dlon = F.lit(raddeg) / F.cos(F.radians(
+        F.least(F.greatest(F.abs(lat0), F.abs(lat1)), F.lit(89.0))))
+    lon0 = F.least(F.lit(0.0), nlon_b) - dlon
+    lon1 = F.greatest(F.lit(0.0), nlon_b) + dlon
+
+    cover = (seg
+             .withColumn("__iy", F.explode(F.sequence(
+                 F.greatest(F.floor((lat0 + 90.0) / wlat).cast("long"),
+                            F.lit(0)),
+                 F.least(F.floor((lat1 + 90.0) / wlat).cast("long"),
+                         F.lit(n - 1)))))
+             .withColumn("__ux", F.explode(F.sequence(
+                 F.floor((F.col("alon") + lon0 + 180.0) / wlon).cast("long"),
+                 F.floor((F.col("alon") + lon1 + 180.0) / wlon).cast("long"))))
+             .withColumn("cell", F.col("__iy") * n
+                         + F.pmod(F.col("__ux"), F.lit(n)))
+             .select("line_id", "alat", "alon", "blat", "blon", "cell"))
+
+    lat_row = F.least(F.floor((F.col("lat") + 90.0) / wlat).cast("long"),
+                      F.lit(n - 1))
+    doc_cell = (lat_row * n
+                + F.pmod(F.floor((F.col("lon") + 180.0) / wlon).cast("long"),
+                         F.lit(n)))
+    docs_c = docs_ll.select(F.col(id_col).alias("doc_id"), "lat", "lon") \
+        .withColumn("cell", doc_cell)
+    d = geodetic_segment_dist_m(F.col("lat"), F.col("lon"),
+                                F.col("alat"), F.col("alon"),
+                                F.col("blat"), F.col("blon"))
+    return (docs_c.join(F.broadcast(cover) if broadcast_cover else cover,
+                        "cell")
+            .withColumn("__d", d)
+            .groupBy("line_id", "doc_id")
+            .agg(F.round(F.min("__d"), 2).alias("dist_m"))
+            .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+            .select("line_id", F.col("doc_id").alias(id_col), "dist_m"))
+
+
+def np_geodetic_segment_dist(plat, plon, alat, alon, blat, blon):
+    """NumPy twin of geodetic_segment_dist_m (vectorized over points)."""
+    def uv(la, lo):
+        la, lo = np.radians(la), np.radians(lo)
+        return np.stack([np.cos(la) * np.cos(lo),
+                         np.cos(la) * np.sin(lo), np.sin(la)])
+    p = uv(np.asarray(plat, float), np.asarray(plon, float))
+    a = uv(alat, alon)
+    b = uv(blat, blon)
+    nvec = np.cross(a, b, axis=0) if a.ndim == 1 else np.array(
+        [a[1] * b[2] - a[2] * b[1], a[2] * b[0] - a[0] * b[2],
+         a[0] * b[1] - a[1] * b[0]])
+    nn = np.sqrt((nvec ** 2).sum())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sinxt = (p * nvec[:, None]).sum(0) / nn if nn else \
+            np.full(p.shape[1], np.nan)
+    cosxt = np.sqrt(np.maximum(1.0 - sinxt * sinxt, 0.0))
+    ab = float((a * b).sum())
+    pa = (p * a[:, None]).sum(0)
+    pb = (p * b[:, None]).sum(0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        within = (pa / cosxt >= ab) & (pb / cosxt >= ab)
+    within = np.where(np.isfinite(sinxt) & np.isfinite(cosxt)
+                      & (cosxt > 0), within, False)
+    d_arc = R_EARTH * np.arcsin(np.minimum(np.abs(sinxt), 1.0))
+    d_end = np.minimum(
+        np_haversine(np.asarray(plat, float), np.asarray(plon, float),
+                     alat, alon),
+        np_haversine(np.asarray(plat, float), np.asarray(plon, float),
+                     blat, blon))
+    return np.where(within, d_arc, d_end)
+
+
+def _hav_sql(plat: str, plon: str, qlat: float, qlon: float) -> str:
+    """SQL twin of haversine_col(plat, plon, LITERAL q) — same op order
+    (pmod == fmod for the positive wrap argument, CLAUDE.md)."""
+    return (f"2 * {R_EARTH!r} * asin(least(1.0, sqrt("
+            f"pow(sin(radians({qlat!r} - {plat}) / 2), 2)"
+            f" + cos(radians({plat})) * cos(radians({qlat!r}))"
+            f" * pow(sin(radians(fmod({qlon!r} - {plon} + 540.0, 360.0)"
+            f" - 180.0) / 2), 2))))")
+
+
+def geodetic_segment_dist_sql(px: str, py: str, pz: str,
+                              plat: str, plon: str,
+                              alat: float, alon: float,
+                              blat: float, blon: float) -> str:
+    """SQL twin of geodetic_segment_dist_m for one LITERAL segment:
+    identical 3-D formulation and branch structure (the a/b unit
+    vectors are written as cos/sin expressions so DuckDB's libm
+    computes them, matching the engine's runtime evaluation up to the
+    ~1-ulp tolerance the 2-dp rounding absorbs). ``px/py/pz`` are the
+    caller's precomputed doc unit-vector column names."""
+    def uv(la, lo):
+        return (f"(cos(radians({la!r})) * cos(radians({lo!r})))",
+                f"(cos(radians({la!r})) * sin(radians({lo!r})))",
+                f"sin(radians({la!r}))")
+    ax, ay, az = uv(alat, alon)
+    bx, by, bz = uv(blat, blon)
+    nx = f"({ay} * {bz} - {az} * {by})"
+    ny = f"({az} * {bx} - {ax} * {bz})"
+    nz = f"({ax} * {by} - {ay} * {bx})"
+    nn = f"sqrt({nx} * {nx} + {ny} * {ny} + {nz} * {nz})"
+    pn = f"({px} * {nx} + {py} * {ny} + {pz} * {nz})"
+    sinxt = f"(CASE WHEN {nn} = 0 THEN NULL ELSE {pn} / {nn} END)"
+    cosxt = f"sqrt(greatest(1.0 - {sinxt} * {sinxt}, 0.0))"
+    ab = f"({ax} * {bx} + {ay} * {by} + {az} * {bz})"
+    pa = f"({px} * {ax} + {py} * {ay} + {pz} * {az})"
+    pb = f"({px} * {bx} + {py} * {by} + {pz} * {bz})"
+    div = "(CASE WHEN {c} = 0 THEN NULL ELSE {v} / {c} END)"
+    within = (f"COALESCE({div.format(v=pa, c=cosxt)} >= {ab}"
+              f" AND {div.format(v=pb, c=cosxt)} >= {ab}, FALSE)")
+    d_arc = f"{R_EARTH!r} * asin(least(abs({sinxt}), 1.0))"
+    d_end = (f"least({_hav_sql(plat, plon, alat, alon)}, "
+             f"{_hav_sql(plat, plon, blat, blon)})")
+    return f"(CASE WHEN {within} THEN {d_arc} ELSE {d_end} END)"
+
+
+def geodetic_polyline_dist_sql(px: str, py: str, pz: str,
+                               plat: str, plon: str,
+                               vlat: list, vlon: list) -> str:
+    """Min distance to the whole polyline: LEAST over the unrolled
+    per-segment twins (min of doubles — order-independent, matching the
+    engine's F.min aggregation)."""
+    segs = [geodetic_segment_dist_sql(px, py, pz, plat, plon,
+                                      vlat[i], vlon[i],
+                                      vlat[i + 1], vlon[i + 1])
+            for i in range(len(vlat) - 1)]
+    return segs[0] if len(segs) == 1 else f"LEAST({', '.join(segs)})"

@@ -511,3 +511,69 @@ def test_geodetic_polygon_area_three_engine_and_exactness(spark):
     assert abs(got[14] / planar - 1) < 0.01, (got[14], planar)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+@pytest.mark.parametrize("kind", ["uniform", "antimeridian"])
+def test_geodetic_polyline_join_equals_exhaustive(spark, kind):
+    """Corridor join vs the exhaustive NumPy point-to-arc min over all
+    segments — same rounded distances, same pair set; the antimeridian
+    corpus forces the wrapped-cover path, and the route set includes a
+    wrap-crossing line."""
+    from mbrngq_spark.operators.geodetic import (geodetic_polyline_join,
+                                                 np_geodetic_segment_dist)
+    rng = np.random.default_rng(hash(kind) % 2**31)
+    docs = spark.createDataFrame(_corpus(rng, kind, n=1500))
+    lines = [
+        (0, [-10.0, 0.0, 15.0], [100.0, 130.0, 160.0]),
+        (1, [5.0, 20.0, 25.0], [170.0, -175.0, -160.0]),
+        (2, [-40.0, -35.0], [-60.0, -20.0]),
+    ]
+    lines_df = spark.createDataFrame(
+        pd.DataFrame({"line_id": [l[0] for l in lines],
+                      "vlat": [l[1] for l in lines],
+                      "vlon": [l[2] for l in lines]}),
+        "line_id long, vlat array<double>, vlon array<double>")
+    R = 900_000.0
+    got = {(int(r.line_id), int(r.doc_id)): r.dist_m
+           for r in geodetic_polyline_join(docs, lines_df, R).collect()}
+    pdf = _corpus(rng, kind, n=1500)
+    rng2 = np.random.default_rng(hash(kind) % 2**31)
+    pdf = _corpus(rng2, kind, n=1500)
+    exp = {}
+    for lid, vlat, vlon in lines:
+        dm = np.min([np_geodetic_segment_dist(
+            pdf.lat.to_numpy(), pdf.lon.to_numpy(),
+            vlat[i], vlon[i], vlat[i + 1], vlon[i + 1])
+            for i in range(len(vlat) - 1)], axis=0)
+        dr = np.round(dm, 2)
+        for j in np.where(dr <= R)[0]:
+            exp[(lid, int(pdf.doc_id.iloc[j]))] = dr[j]
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) <= 0.011, (k, got[k], exp[k])
+    if kind == "antimeridian":
+        assert sum(1 for (lid, _) in got if lid == 1) > 0
+
+
+def test_geodetic_segment_degenerate_and_endpoint_branch(spark):
+    """Zero-length segment behaves as a point; a point past the arc's
+    end takes the endpoint branch (continuity pin)."""
+    from mbrngq_spark.operators.geodetic import (geodetic_polyline_join,
+                                                 np_haversine)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "lat": [0.0, 30.0],
+                      "lon": [10.0, 60.0]}))
+    lines_df = spark.createDataFrame(
+        pd.DataFrame({"line_id": [0, 1],
+                      "vlat": [[0.0, 0.0], [0.0, 0.0]],
+                      "vlon": [[20.0, 20.0], [30.0, 50.0]]}),
+        "line_id long, vlat array<double>, vlon array<double>")
+    got = {(int(r.line_id), int(r.doc_id)): r.dist_m
+           for r in geodetic_polyline_join(
+               docs, lines_df, 5_000_000.0).collect()}
+    # degenerate line 0 == point (20, 0); doc 0 pure endpoint distance
+    assert got[(0, 0)] == round(
+        float(np_haversine(0.0, 10.0, 0.0, 20.0)), 2)
+    # doc 0 is west of line 1's start -> endpoint branch to (30, 0)
+    assert got[(1, 0)] == round(
+        float(np_haversine(0.0, 10.0, 0.0, 30.0)), 2)

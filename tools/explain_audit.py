@@ -340,6 +340,24 @@ def main() -> int:
               for ln in p.splitlines() if "Exchange hashpartitioning" in ln)
           and "Exchange hashpartitioning" in p)
 
+    # --- geodetic corridor join: celled candidates, Column refine ----------
+    from mbrngq_spark.operators.geodetic import geodetic_polyline_join
+    gl = spark.createDataFrame(
+        pd.DataFrame({"line_id": [0], "vlat": [[-10.0, 0.0, 15.0]],
+                      "vlon": [[100.0, 130.0, 160.0]]}),
+        "line_id long, vlat array<double>, vlon array<double>")
+    docs_ll_a = docs_geo.select(
+        "doc_id", (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    gj = geodetic_polyline_join(docs_ll_a, gl, 900_000.0)
+    p = plan_of(gj, execute=True)
+    sections.append(("geodetic corridor join", p))
+    check("geo corridor: cover broadcast, refine pure Column (no Python; "
+          "doc side never shuffled before the min)",
+          "EvalPython" not in p and "BroadcastHashJoin" in p)
+    check("geo corridor: per-(line,doc) min has map-side partial "
+          "aggregation", "partial_min" in p)
+
     # --- trajectory: one user-keyed shuffle end to end ----------------------
     from mbrngq_spark.operators.trajectory import (stay_points,
                                                    with_event_geometry)
