@@ -256,8 +256,23 @@ def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                       res=5)
                 .select(F.lit("geo_dist").alias("part"), "poly_id",
                         "doc_id"))
+    # part 'overlay' (r6): polygon×polygon intersects join
+    # (overlay.polygon_intersects_join) — fixture triangles vs per-doc
+    # axis-aligned squares (half-width H.OVERLAY_S); the oracle unrolls
+    # the 12 edge-pair orientation tests + both containment fallbacks
+    from mbrngq_spark.operators.overlay import polygon_intersects_join
+    s = F.lit(H.OVERLAY_S)
+    squares = docs_geo.select(
+        F.col("doc_id").alias("b_id"),
+        F.array(F.col("x") - s, F.col("x") + s, F.col("x") + s,
+                F.col("x") - s).alias("vx"),
+        F.array(F.col("y") - s, F.col("y") - s, F.col("y") + s,
+                F.col("y") + s).alias("vy"))
+    ovl = (polygon_intersects_join(polys_df, squares, a_id="poly_id")
+           .select(F.lit("overlay").alias("part"), "poly_id",
+                   F.col("b_id").alias("doc_id")))
     return (drv.unionByName(dist).unionByName(geo)
-            .unionByName(geo_dist))
+            .unionByName(geo_dist).unionByName(ovl))
 
 
 def _q_spatial_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2009,6 +2024,41 @@ def oracle_sql() -> dict[str, str]:
     # convex CCW triangles: inside ⇔ all three edge cross-products > 0
     def cross(ax, ay, bx, by, px, py):
         return f"(({bx}-{ax})*({py}-{ay}) - ({by}-{ay})*({px}-{ax}))"
+    # overlay part: the 12 triangle-edge × square-edge proper-crossing
+    # orientation tests (identical multiply/subtract op order to the
+    # engine's _edges_cross — pure-boolean parity) plus both containment
+    # fallbacks (convex-cross for the CCW triangle, box test for the
+    # axis-aligned square — equal to the engine's even-odd fold off the
+    # measure-zero boundary)
+    _s = repr(H.OVERLAY_S)
+
+    def _ov_o(px, py, qx, qy, rx, ry):
+        return (f"((({qx}) - ({px})) * (({ry}) - ({py}))"
+                f" - (({qy}) - ({py})) * (({rx}) - ({px})))")
+
+    def _ov_cross(a1, a2, b1, b2):
+        return (f"({_ov_o(*a1, *a2, *b1)} * {_ov_o(*a1, *a2, *b2)} < 0"
+                f" AND {_ov_o(*b1, *b2, *a1)} * {_ov_o(*b1, *b2, *a2)}"
+                f" < 0)")
+
+    _tri_e = [(("t.x1", "t.y1"), ("t.x2", "t.y2")),
+              (("t.x2", "t.y2"), ("t.x3", "t.y3")),
+              (("t.x3", "t.y3"), ("t.x1", "t.y1"))]
+    _sq = [(f"(g.x - {_s})", f"(g.y - {_s})"),
+           (f"(g.x + {_s})", f"(g.y - {_s})"),
+           (f"(g.x + {_s})", f"(g.y + {_s})"),
+           (f"(g.x - {_s})", f"(g.y + {_s})")]
+    _sq_e = [(_sq[i], _sq[(i + 1) % 4]) for i in range(4)]
+    _ov_edge_any = " OR ".join(_ov_cross(e1[0], e1[1], e2[0], e2[1])
+                               for e1 in _tri_e for e2 in _sq_e)
+    _cx, _cy = _sq[0]
+    _ov_corner_in_tri = (
+        f"({cross('t.x1', 't.y1', 't.x2', 't.y2', _cx, _cy)} > 0"
+        f" AND {cross('t.x2', 't.y2', 't.x3', 't.y3', _cx, _cy)} > 0"
+        f" AND {cross('t.x3', 't.y3', 't.x1', 't.y1', _cx, _cy)} > 0)")
+    _ov_v1_in_sq = (f"(t.x1 >= g.x - {_s} AND t.x1 <= g.x + {_s}"
+                    f" AND t.y1 >= g.y - {_s} AND t.y1 <= g.y + {_s})")
+
     spatial_pip = f"""
         WITH g AS ({geo}),
         hits AS (
@@ -2033,6 +2083,12 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'geo_dist' AS part, poly_id, doc_id FROM ghits
         ) g2
+        UNION ALL
+        SELECT 'overlay' AS part, t.poly_id, g.doc_id
+        FROM g CROSS JOIN {H.tri_values_sql()}
+        WHERE ({_ov_edge_any})
+           OR {_ov_corner_in_tri}
+           OR {_ov_v1_in_sq}
     """
 
     spatial_bounds = f"""

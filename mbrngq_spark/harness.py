@@ -56,6 +56,7 @@ POLYLINES = [
 ]
 LINE_RADIUS = 4.0              # corridor half-width for the polyline join
 SNAP_RADIUS = 8.0              # nearest-polyline snap cutoff
+OVERLAY_S = 1.5                # per-doc square half-width (overlay join)
 STAY_EPS = 40.0                # stay-point leg threshold (trajectory)
 STAY_DUR = 600                 # stay-point min duration, seconds
 KDE_H = 10.0                   # heatmap kernel bandwidth

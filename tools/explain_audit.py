@@ -340,6 +340,26 @@ def main() -> int:
               for ln in p.splitlines() if "Exchange hashpartitioning" in ln)
           and "Exchange hashpartitioning" in p)
 
+    # --- polygon overlay join: celled cover, min-cell dedup, Column refine --
+    from mbrngq_spark.operators.overlay import polygon_intersects_join
+    sq_s = F.lit(1.5)
+    squares = docs_geo.select(
+        F.col("doc_id").alias("b_id"),
+        F.array(F.col("x") - sq_s, F.col("x") + sq_s, F.col("x") + sq_s,
+                F.col("x") - sq_s).alias("vx"),
+        F.array(F.col("y") - sq_s, F.col("y") - sq_s, F.col("y") + sq_s,
+                F.col("y") + sq_s).alias("vy"))
+    ov = polygon_intersects_join(polys_df.withColumnRenamed(
+        "poly_id", "a_id"), squares)
+    p = plan_of(ov, execute=True)
+    sections.append(("polygon overlay join", p))
+    check("overlay: edge tests + containment are pure Column (no Python); "
+          "pair dedup is arithmetic, not a distinct (no row shuffle at "
+          "all)", "EvalPython" not in p
+          and "Exchange hashpartitioning" not in p)
+    check("overlay: small polygon side broadcast",
+          "BroadcastHashJoin" in p)
+
     # --- geodetic corridor join: celled candidates, Column refine ----------
     from mbrngq_spark.operators.geodetic import geodetic_polyline_join
     gl = spark.createDataFrame(
