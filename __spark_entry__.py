@@ -210,8 +210,33 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_docs").cast("long").alias("tile_id"),
         F.col("n_tiles").cast("long").alias("ix"),
         F.col("max_docs").cast("long").alias("iy"))
+    # part 'crossing' (r6): route-crossing detection
+    # (lines.segment_crossing_join) — per-doc derived tracks vs the
+    # fixture routes, crossing POINT coordinates micro-quantized
+    # (t = o3/(o3−o4): one division, identical op order → bit-exact)
+    from mbrngq_spark.functions import derive as _derive
+    from mbrngq_spark.operators.lines import segment_crossing_join
+    dg = H.load_docs_geo(spark, sf_dir)
+    xh = _derive.x_col(F.col("doc_id") + 7777)
+    yh = _derive.y_col(F.col("doc_id") + 7777)
+    tracks = dg.select(
+        "doc_id", F.col("x").alias("ax"), F.col("y").alias("ay"),
+        (F.col("x") + (xh - 50.0) / 50.0 * 6.0).alias("bx"),
+        (F.col("y") + (yh - 50.0) / 50.0 * 6.0).alias("by"))
+    lines_df = spark.createDataFrame(
+        pd.DataFrame({"line_id": [l[0] for l in H.POLYLINES],
+                      "vx": [l[1] for l in H.POLYLINES],
+                      "vy": [l[2] for l in H.POLYLINES]}),
+        "line_id long, vx array<double>, vy array<double>")
+    crossing = segment_crossing_join(tracks, lines_df).select(
+        F.lit("crossing").alias("part"),
+        F.col("line_id").alias("poly_id"),
+        F.col("doc_id").alias("tile_id"),
+        F.round(F.col("cx") * 1e6).cast("long").alias("ix"),
+        F.round(F.col("cy") * 1e6).cast("long").alias("iy"))
     return (planar.unionByName(compacted).unionByName(geo)
-            .unionByName(area).unionByName(zonal))
+            .unionByName(area).unionByName(zonal)
+            .unionByName(crossing))
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3076,6 +3101,39 @@ def oracle_sql() -> dict[str, str]:
     _compact_ctes = ",\n        ".join(_cc)
     _compact_selects = "\n        UNION ALL ".join(_cs)
 
+    # 'crossing' part: derived doc tracks vs fixture route segments —
+    # four orientation signs (pure multiply/subtract, boolean parity)
+    # and the crossing point via t = o3/(o3−o4), identical op order
+    _trk = (f"SELECT doc_id, x AS ax, y AS ay,"
+            f" x + ({derive.x_sql('(doc_id + 7777)')} - 50.0) / 50.0 * 6.0"
+            f" AS bx,"
+            f" y + ({derive.y_sql('(doc_id + 7777)')} - 50.0) / 50.0 * 6.0"
+            f" AS by"
+            f" FROM ({H.docs_geo_sql()}) g")
+
+    def _xo(px, py, qx, qy, rx, ry):
+        return (f"((({qx}) - ({px})) * (({ry}) - ({py}))"
+                f" - (({qy}) - ({py})) * (({rx}) - ({px})))")
+
+    _xsels = []
+    for _lid, _vx, _vy in H.POLYLINES:
+        for _si in range(len(_vx) - 1):
+            _lax, _lay = repr(_vx[_si]), repr(_vy[_si])
+            _lbx, _lby = repr(_vx[_si + 1]), repr(_vy[_si + 1])
+            _o1 = _xo("ax", "ay", "bx", "by", _lax, _lay)
+            _o2 = _xo("ax", "ay", "bx", "by", _lbx, _lby)
+            _o3 = _xo(_lax, _lay, _lbx, _lby, "ax", "ay")
+            _o4 = _xo(_lax, _lay, _lbx, _lby, "bx", "by")
+            _t = f"({_o3} / ({_o3} - {_o4}))"
+            _xsels.append(
+                f"SELECT CAST({_lid} AS BIGINT) AS line_id,"
+                f" CAST(doc_id AS BIGINT) AS doc_id,"
+                f" ax + {_t} * (bx - ax) AS cx,"
+                f" ay + {_t} * (by - ay) AS cy"
+                f" FROM ({_trk}) t"
+                f" WHERE {_o1} * {_o2} < 0 AND {_o3} * {_o4} < 0")
+    _crossing_sel = "\n          UNION ALL ".join(_xsels)
+
     poly_cover = f"""
         WITH b AS (
           SELECT poly_id, x1, y1, x2, y2, x3, y3,
@@ -3116,6 +3174,11 @@ def oracle_sql() -> dict[str, str]:
           FROM ({geo}) g GROUP BY 1, 2) tc
           ON pl.ix = tc.ix AND pl.iy = tc.iy
         GROUP BY pl.poly_id
+        UNION ALL
+        SELECT 'crossing', line_id, doc_id,
+               CAST(round(cx * 1000000.0) AS BIGINT),
+               CAST(round(cy * 1000000.0) AS BIGINT)
+        FROM ({_crossing_sel}) xx
         UNION ALL
         SELECT part, poly_id, tile_id, ix, iy FROM (
           WITH gc AS (

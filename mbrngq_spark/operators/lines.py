@@ -126,6 +126,87 @@ def nearest_polyline(docs_geo: DataFrame, lines: DataFrame,
                     F.col("rank").cast("long").alias("rank")))
 
 
+def segment_crossing_join(tracks: DataFrame, lines: DataFrame,
+                          cfg: EngineConfig = DEFAULT,
+                          res: int | None = None,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Route-crossing detection: every (track, polyline) pair whose
+    segments properly cross, WITH the crossing point — (line_id, doc_id,
+    seg_idx, cx, cy). ``tracks`` carries one segment per row (id_col,
+    ax, ay, bx, by) — e.g. a trajectory leg; ``lines`` is the polyline
+    table (line_id, vx, vy).
+
+    Candidates: route segments emit the cells of their bbox (JVM
+    explode), tracks emit the cells of THEIR bbox; equi-join on cell,
+    dedup by the min-shared-cell arithmetic (overlay.py discipline).
+    Refine: proper-crossing via four orientation signs; the crossing
+    point is a1 + t·(a2−a1) with t = o3/(o3−o4) — one division, same op
+    order both engines, so rounded coordinates match exactly.
+    General-position contract (no collinear overlap), as in the overlay
+    tier."""
+    from mbrngq_spark.operators.overlay import _orient
+
+    res = res or cfg.index_res
+
+    def q(col, lo, extent):
+        return grid.quantize(col, lo, extent, res)
+
+    seg = polyline_segments(lines)
+    cov_l = (seg
+             .withColumn("__lx0", F.least("ax", "bx"))
+             .withColumn("__lx1", F.greatest("ax", "bx"))
+             .withColumn("__ly0", F.least("ay", "by"))
+             .withColumn("__ly1", F.greatest("ay", "by"))
+             .withColumn("__ix", F.explode(F.sequence(
+                 q(F.col("__lx0"), cfg.min_x, cfg.width),
+                 q(F.col("__lx1"), cfg.min_x, cfg.width))))
+             .withColumn("__iy", F.explode(F.sequence(
+                 q(F.col("__ly0"), cfg.min_y, cfg.height),
+                 q(F.col("__ly1"), cfg.min_y, cfg.height))))
+             .withColumn("cell", grid.cell_from_indices(F.col("__ix"),
+                                                        F.col("__iy")))
+             .select("line_id", "seg_idx",
+                     F.col("ax").alias("lax"), F.col("ay").alias("lay"),
+                     F.col("bx").alias("lbx"), F.col("by").alias("lby"),
+                     "__lx0", "__ly0", "cell"))
+    cov_t = (tracks
+             .withColumn("__tx0", F.least("ax", "bx"))
+             .withColumn("__tx1", F.greatest("ax", "bx"))
+             .withColumn("__ty0", F.least("ay", "by"))
+             .withColumn("__ty1", F.greatest("ay", "by"))
+             .withColumn("__ix", F.explode(F.sequence(
+                 q(F.col("__tx0"), cfg.min_x, cfg.width),
+                 q(F.col("__tx1"), cfg.min_x, cfg.width))))
+             .withColumn("__iy", F.explode(F.sequence(
+                 q(F.col("__ty0"), cfg.min_y, cfg.height),
+                 q(F.col("__ty1"), cfg.min_y, cfg.height))))
+             .withColumn("cell", grid.cell_from_indices(F.col("__ix"),
+                                                        F.col("__iy")))
+             .select(id_col, "ax", "ay", "bx", "by",
+                     "__tx0", "__ty0", "cell"))
+    cand = (cov_t.join(F.broadcast(cov_l), "cell")
+            .filter(F.col("cell") == grid.cell_from_indices(
+                q(F.greatest("__tx0", "__lx0"), cfg.min_x, cfg.width),
+                q(F.greatest("__ty0", "__ly0"), cfg.min_y, cfg.height))))
+
+    o1 = _orient(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                 F.col("lax"), F.col("lay"))
+    o2 = _orient(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+                 F.col("lbx"), F.col("lby"))
+    o3 = _orient(F.col("lax"), F.col("lay"), F.col("lbx"), F.col("lby"),
+                 F.col("ax"), F.col("ay"))
+    o4 = _orient(F.col("lax"), F.col("lay"), F.col("lbx"), F.col("lby"),
+                 F.col("bx"), F.col("by"))
+    t = o3 / (o3 - o4)
+    return (cand.filter((o1 * o2 < 0) & (o3 * o4 < 0))
+            .select("line_id", id_col,
+                    F.col("seg_idx").cast("long").alias("seg_idx"),
+                    (F.col("ax") + t * (F.col("bx") - F.col("ax")))
+                    .alias("cx"),
+                    (F.col("ay") + t * (F.col("by") - F.col("ay")))
+                    .alias("cy")))
+
+
 def polyline_length(lines: DataFrame) -> DataFrame:
     """(line_id, length): sum of segment lengths — one aggregate fold
     inside the array (no explode, no shuffle beyond the input layout)."""

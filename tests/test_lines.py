@@ -101,3 +101,40 @@ def test_nearest_polyline_matches_numpy(spark, docs_geo, lines_df):
             exp[int(pdf.doc_id.iloc[j])] = (best[1], best[0])
     assert got == exp
     assert 0 < len(got) < len(pdf)
+
+
+def test_segment_crossing_join_exact(spark, docs_geo, lines_df):
+    """Route-crossing join vs quadratic NumPy: same (line, doc, seg)
+    keys AND bit-exact crossing coordinates (one division, same op
+    order)."""
+    from mbrngq_spark.functions import derive
+    from mbrngq_spark.operators.lines import segment_crossing_join
+
+    xh = derive.x_col(F.col("doc_id") + 7777)
+    yh = derive.y_col(F.col("doc_id") + 7777)
+    tracks = docs_geo.select(
+        "doc_id", F.col("x").alias("ax"), F.col("y").alias("ay"),
+        (F.col("x") + (xh - 50.0) / 50.0 * 6.0).alias("bx"),
+        (F.col("y") + (yh - 50.0) / 50.0 * 6.0).alias("by"))
+    got = {(int(r.line_id), int(r.doc_id), int(r.seg_idx)): (r.cx, r.cy)
+           for r in segment_crossing_join(tracks, lines_df).collect()}
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    tp = tracks.toPandas()
+    exp = {}
+    for lid, vx, vy in H.POLYLINES:
+        for si in range(len(vx) - 1):
+            lax, lay, lbx, lby = vx[si], vy[si], vx[si + 1], vy[si + 1]
+            for r in tp.itertuples():
+                o1 = orient(r.ax, r.ay, r.bx, r.by, lax, lay)
+                o2 = orient(r.ax, r.ay, r.bx, r.by, lbx, lby)
+                o3 = orient(lax, lay, lbx, lby, r.ax, r.ay)
+                o4 = orient(lax, lay, lbx, lby, r.bx, r.by)
+                if o1 * o2 < 0 and o3 * o4 < 0:
+                    t = o3 / (o3 - o4)
+                    exp[(lid, int(r.doc_id), si)] = (
+                        r.ax + t * (r.bx - r.ax), r.ay + t * (r.by - r.ay))
+    assert got == exp  # keys AND float values bit-exact
+    assert len(got) > 10
