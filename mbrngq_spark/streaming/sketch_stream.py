@@ -161,3 +161,42 @@ def merge_kmv_sketch_into(spark: SparkSession, state_path: str,
         merged.write.mode("overwrite").parquet(state_path)
 
     return handle
+
+
+# --- streaming KDE heatmap: per-batch deltas, idempotent by PATH --------------
+
+HEATMAP_STATE_SCHEMA = "cell long, ix long, iy long, n_docs long, wq long"
+
+
+def merge_heatmap_into(spark: SparkSession, state_path: str,
+                       h: float, res: int):
+    """foreachBatch handler factory for the biweight-KDE heatmap state
+    (tiles.tile_heatmap). The merge is int64 SUM — not idempotent — so
+    it takes the count-min shape: each micro-batch's (cell, n_docs, wq)
+    splat is overwritten to its own ``batch=<id>`` delta directory;
+    replay rewrites identical content and exactly-once falls out of
+    PATH idempotence. Quantize-before-sum makes the cross-batch rollup
+    exactly associative — the streamed state equals the batch heatmap
+    row-for-row regardless of batch boundaries."""
+    from mbrngq_spark.operators.tiles import tile_heatmap
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (tile_heatmap(batch_df, h, res)
+         .select("cell", "ix", "iy", "n_docs", "wq")
+         .write.mode("overwrite")
+         .parquet(f"{state_path}/batch={batch_id}"))
+
+    return handle
+
+
+def read_heatmap_state(spark: SparkSession, state_path: str,
+                       quant: float = 1e9) -> DataFrame:
+    """Fold the per-batch splat deltas into the live heatmap (cell-wise
+    int64 sums; density re-derived from the exact sum)."""
+    df = (spark.read.schema(HEATMAP_STATE_SCHEMA)
+          .option("basePath", state_path)
+          .parquet(f"{state_path}/batch=*"))
+    return (df.groupBy("cell", "ix", "iy")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("wq").alias("wq"))
+            .withColumn("density", F.col("wq") / F.lit(quant)))

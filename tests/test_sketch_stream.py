@@ -229,3 +229,60 @@ def test_kmv_merge_sink_exactly_once_by_idempotence(spark, tmp_path):
     exp = {(r["k"], r["rk"]): r["h"]
            for r in S.kmv_sketch(batch, ["k"], "item").collect()}
     assert got == exp
+
+
+def test_heatmap_merge_equals_batch_and_replay_safe(spark, tmp_path):
+    """Streaming KDE heatmap: delta-dir state summed across batches ==
+    the one-shot batch heatmap (quantize-before-sum associativity), and
+    a crash-replayed batch does NOT double-count (path idempotence)."""
+    import pyspark.errors
+    from mbrngq_spark.operators.tiles import tile_heatmap
+    from mbrngq_spark.streaming.sketch_stream import (merge_heatmap_into,
+                                                      read_heatmap_state)
+
+    geo_schema = "doc_id long, x double, y double"
+
+    def _geo(batch, n=100):
+        return pd.DataFrame({
+            "doc_id": range(batch * n, (batch + 1) * n),
+            "x": [(i * 37 % 1000) / 10.0 for i in
+                  range(batch * n, (batch + 1) * n)],
+            "y": [(i * 61 % 1000) / 10.0 for i in
+                  range(batch * n, (batch + 1) * n)]})
+
+    src = str(tmp_path / "src")
+    frames = [_geo(b) for b in range(3)]
+    for pdf in frames:
+        spark.createDataFrame(pdf, geo_schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed-once"
+    inner = merge_heatmap_into(spark, state, h=10.0, res=4)
+
+    def handle(df, bid):
+        inner(df, bid)
+        if bid == 1 and not marker.exists():
+            marker.write_text("x")   # delta written, never checkpointed
+            raise RuntimeError("injected crash")
+
+    stream = (spark.readStream.schema(geo_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(
+            (pyspark.errors.exceptions.base.PySparkException, Exception)):
+        q.awaitTermination(180)
+    q2 = (spark.readStream.schema(geo_schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream.foreachBatch(handle)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+
+    got = {(int(r.cell)): (int(r.n_docs), int(r.wq))
+           for r in read_heatmap_state(spark, state).collect()}
+    batch_all = spark.createDataFrame(pd.concat(frames), geo_schema)
+    exp = {(int(r.cell)): (int(r.n_docs), int(r.wq))
+           for r in tile_heatmap(batch_all, 10.0, 4).collect()}
+    assert got == exp
