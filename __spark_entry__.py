@@ -750,6 +750,8 @@ GEO_LINES = [
     (22, [-40.0, -35.0], [-60.0, -20.0]),
 ]
 GEO_LINE_RADIUS_M = 1_200_000.0
+GEO_DBSCAN_EPS_M = 900_000.0
+GEO_DBSCAN_MINPTS = 4
 
 
 def _geo_pip_pred_sql(vlat: list, vlon: list) -> str:
@@ -865,7 +867,18 @@ def _q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("corridor").alias("part"),
         F.col("line_id").cast("long").alias("a_id"),
         F.col("doc_id").cast("long").alias("b_id"), "dist_m")
-    return pairs.unionByName(corr)
+    # part 'cluster' (r6): spherical DBSCAN over the full lat/lon corpus
+    # (clustering.dbscan_geodetic — geodetic_pairs neighborhoods + the
+    # planar tier's star-CC algebra); a_id=doc, b_id=min-core-id label,
+    # dist_m = 1.0 core / 0.0 border
+    from mbrngq_spark.operators.clustering import dbscan_geodetic
+    clus = dbscan_geodetic(spark, full_ll, GEO_DBSCAN_EPS_M,
+                           GEO_DBSCAN_MINPTS).select(
+        F.lit("cluster").alias("part"),
+        F.col("doc_id").cast("long").alias("a_id"),
+        F.col("cluster").cast("long").alias("b_id"),
+        F.when(F.col("is_core"), 1.0).otherwise(0.0).alias("dist_m"))
+    return pairs.unionByName(corr).unionByName(clus)
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -2924,8 +2937,13 @@ def oracle_sql() -> dict[str, str]:
         f" round({geodetic_polyline_dist_sql('px', 'py', 'pz', 'lat', 'lon', vlat, vlon)}, 2) AS dm"
         f" FROM pv"
         for lid, vlat, vlon in GEO_LINES)
+    _ghav = ("2 * 6371000.0 * asin(least(1.0, sqrt("
+             "pow(sin(radians(b.lat - a.lat) / 2), 2)"
+             " + cos(radians(a.lat)) * cos(radians(b.lat))"
+             " * pow(sin(radians(fmod(b.lon - a.lon + 540.0, 360.0)"
+             " - 180.0) / 2), 2))))")
     geo_pairs = f"""
-        WITH g AS ({geo}),
+        WITH RECURSIVE g AS ({geo}),
         ll AS (SELECT doc_id, y * 1.8 - 90.0 AS lat,
                       x * 3.6 - 180.0 AS lon
                FROM g WHERE doc_id < 250),
@@ -2935,7 +2953,23 @@ def oracle_sql() -> dict[str, str]:
                       cos(radians(lat)) * cos(radians(lon)) AS px,
                       cos(radians(lat)) * sin(radians(lon)) AS py,
                       sin(radians(lat)) AS pz
-               FROM llf)
+               FROM llf),
+        gpr AS (
+          SELECT a.doc_id AS pa, b.doc_id AS pb
+          FROM llf a JOIN llf b ON a.doc_id <> b.doc_id
+          WHERE round({_ghav}, 2) <= {GEO_DBSCAN_EPS_M!r}),
+        gcores AS (
+          SELECT pa AS id FROM gpr GROUP BY pa
+          HAVING count(*) + 1 >= {GEO_DBSCAN_MINPTS}),
+        gce AS (
+          SELECT gpr.pa AS u, gpr.pb AS v FROM gpr
+          JOIN gcores ca ON gpr.pa = ca.id
+          JOIN gcores cb ON gpr.pb = cb.id),
+        greach(id, r) AS (
+          SELECT id, id FROM gcores
+          UNION
+          SELECT e.v, greach.r FROM greach JOIN gce e ON greach.id = e.u),
+        gcomp AS (SELECT id, min(r) AS comp FROM greach GROUP BY id)
         SELECT 'pairs' AS part, a.doc_id AS a_id, b.doc_id AS b_id,
                round({_hav_ab}, 2) AS dist_m
         FROM ll a JOIN ll b ON a.doc_id < b.doc_id
@@ -2944,6 +2978,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'corridor', a_id, b_id, dm FROM (
           {_corr_sel}
         ) cj WHERE dm <= {GEO_LINE_RADIUS_M!r}
+        UNION ALL
+        SELECT 'cluster', CAST(gcomp.id AS BIGINT),
+               CAST(gcomp.comp AS BIGINT), CAST(1.0 AS DOUBLE)
+        FROM gcomp
+        UNION ALL
+        SELECT 'cluster', CAST(gpr.pa AS BIGINT),
+               CAST(min(gcomp.comp) AS BIGINT), CAST(0.0 AS DOUBLE)
+        FROM gpr JOIN gcomp ON gcomp.id = gpr.pb
+        WHERE gpr.pa NOT IN (SELECT id FROM gcores)
+        GROUP BY gpr.pa
     """
 
     # geo_ngq: exhaustive fixed-L NGQ on the sphere — per-category top-L

@@ -33,6 +33,18 @@ from mbrngq_spark.operators.distance_join import distance_join
 from mbrngq_spark.operators.graph import connected_components
 
 
+def dbscan_geodetic(spark, docs_ll: DataFrame, eps_m: float, min_pts: int,
+                    res: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Spherical DBSCAN: identical clustering algebra over great-circle
+    ε-neighborhoods (geodetic.geodetic_pairs — pole/wrap-safe cell-PAIR
+    candidates instead of the planar 3×3 trick). Same determinism pins
+    as :func:`dbscan`; distances compare 2-dp-rounded (the geodetic
+    ranking discipline)."""
+    from mbrngq_spark.operators.geodetic import geodetic_pairs
+    pairs = geodetic_pairs(spark, docs_ll, eps_m, res=res, id_col=id_col)
+    return _dbscan_from_pairs(pairs, min_pts, id_col)
+
+
 def dbscan(docs_geo: DataFrame, eps: float, min_pts: int,
            cfg: EngineConfig = DEFAULT, id_col: str = "doc_id") -> DataFrame:
     """(id_col, cluster, is_core) for every non-noise point.
@@ -44,6 +56,13 @@ def dbscan(docs_geo: DataFrame, eps: float, min_pts: int,
     their core neighbors."""
     pairs = distance_join(docs_geo, docs_geo, eps, cfg=cfg,
                           self_join=True, id_col=id_col)
+    return _dbscan_from_pairs(pairs, min_pts, id_col)
+
+
+def _dbscan_from_pairs(pairs: DataFrame, min_pts: int,
+                       id_col: str) -> DataFrame:
+    """Shared clustering algebra over an unordered (a_id, b_id)
+    ε-neighbor pair set (each pair once, a_id < b_id)."""
     sym = (pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
            .union(pairs.select(F.col("b_id").alias("u"),
                                F.col("a_id").alias("v"))))

@@ -63,3 +63,43 @@ def test_dbscan_min_pts_sweep(spark, docs_geo):
     assert got2 == _np_dbscan(pdf, EPS, 2)
     assert all(c for _, c in got2.values())  # every member is core
     assert dbscan(docs_geo, EPS, 10 ** 6).count() == 0
+
+
+def test_dbscan_geodetic_matches_numpy(spark, docs_geo):
+    """Spherical DBSCAN over the lat/lon corpus mapping vs a NumPy
+    replay with 2-dp-rounded haversine neighborhoods."""
+    from pyspark.sql import functions as F
+
+    from mbrngq_spark.operators.clustering import dbscan_geodetic
+    from mbrngq_spark.operators.geodetic import np_haversine
+
+    ll = docs_geo.select("doc_id", (F.col("y") * 1.8 - 90.0).alias("lat"),
+                         (F.col("x") * 3.6 - 180.0).alias("lon"))
+    EPS_M, MP = 900_000.0, 4
+    got = {int(r.doc_id): (int(r.cluster), bool(r.is_core))
+           for r in dbscan_geodetic(spark, ll, EPS_M, MP).collect()}
+
+    pdf = ll.toPandas().sort_values("doc_id").reset_index(drop=True)
+    lat, lon = pdf.lat.to_numpy(), pdf.lon.to_numpy()
+    ids = pdf.doc_id.to_numpy()
+    d = np.round(np_haversine(lat[:, None], lon[:, None],
+                              lat[None, :], lon[None, :]), 2)
+    nbr = d <= EPS_M
+    core = nbr.sum(1) >= MP
+    lbl = {int(ids[i]): int(ids[i]) for i in np.where(core)[0]}
+    adj = nbr & core[:, None] & core[None, :]
+    changed = True
+    while changed:
+        changed = False
+        for i in np.where(core)[0]:
+            m = min(lbl[int(ids[j])] for j in np.where(adj[i])[0])
+            if m < lbl[int(ids[i])]:
+                lbl[int(ids[i])] = m
+                changed = True
+    exp = {int(ids[i]): (lbl[int(ids[i])], True) for i in np.where(core)[0]}
+    for i in np.where(~core)[0]:
+        cn = [lbl[int(ids[j])] for j in np.where(nbr[i] & core)[0]]
+        if cn:
+            exp[int(ids[i])] = (min(cn), False)
+    assert got == exp
+    assert 0 < len(got) and len({c for c, _ in got.values()}) > 1
