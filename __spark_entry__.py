@@ -234,9 +234,28 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("tile_id"),
         F.round(F.col("cx") * 1e6).cast("long").alias("ix"),
         F.round(F.col("cy") * 1e6).cast("long").alias("iy"))
+    # part 'measure' (r6): planar polygon measures
+    # (overlay.polygon_measures) over derived per-doc quads — shoelace
+    # area + centroid as sequential folds, bit-exact cross-engine,
+    # micro-quantized into the long schema
+    from mbrngq_spark.operators.overlay import polygon_measures
+    wq = F.lit(2.0) + (_derive.x_col(F.col("doc_id") + 3333) - 50.0) / 50.0
+    hq = F.lit(2.0) + (_derive.y_col(F.col("doc_id") + 3333) - 50.0) / 50.0
+    quads = dg.select(
+        "doc_id",
+        F.array(F.col("x"), F.col("x") + wq, F.col("x") + wq * 0.6,
+                F.col("x")).alias("vx"),
+        F.array(F.col("y"), F.col("y"), F.col("y") + hq,
+                F.col("y") + hq * 0.8).alias("vy"))
+    meas = polygon_measures(quads, id_col="doc_id").select(
+        F.lit("measure").alias("part"),
+        F.col("doc_id").alias("poly_id"),
+        F.round(F.col("area") * 1e6).cast("long").alias("tile_id"),
+        F.round(F.col("cx") * 1e6).cast("long").alias("ix"),
+        F.round(F.col("cy") * 1e6).cast("long").alias("iy"))
     return (planar.unionByName(compacted).unionByName(geo)
             .unionByName(area).unionByName(zonal)
-            .unionByName(crossing))
+            .unionByName(crossing).unionByName(meas))
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3178,6 +3197,30 @@ def oracle_sql() -> dict[str, str]:
                 f" WHERE {_o1} * {_o2} < 0 AND {_o3} * {_o4} < 0")
     _crossing_sel = "\n          UNION ALL ".join(_xsels)
 
+    # 'measure' part: shoelace folds over the derived doc quads with the
+    # engine's exact left-to-right association
+    _mw = f"(2.0 + ({derive.x_sql('(doc_id + 3333)')} - 50.0) / 50.0)"
+    _mh = f"(2.0 + ({derive.y_sql('(doc_id + 3333)')} - 50.0) / 50.0)"
+    _mvx = ["(g.x)", f"(g.x + {_mw})", f"(g.x + {_mw} * 0.6)", "(g.x)"]
+    _mvy = ["(g.y)", "(g.y)", f"(g.y + {_mh})", f"(g.y + {_mh} * 0.8)"]
+    _mc = [f"(({_mvx[i]}) * ({_mvy[(i + 1) % 4]})"
+           f" - ({_mvx[(i + 1) % 4]}) * ({_mvy[i]}))" for i in range(4)]
+    _m2a = f"((((0.0 + {_mc[0]}) + {_mc[1]}) + {_mc[2]}) + {_mc[3]})"
+    _mcxn = "((((0.0 + {0}) + {1}) + {2}) + {3})".format(
+        *[f"(({_mvx[i]}) + ({_mvx[(i + 1) % 4]})) * {_mc[i]}"
+          for i in range(4)])
+    _mcyn = "((((0.0 + {0}) + {1}) + {2}) + {3})".format(
+        *[f"(({_mvy[i]}) + ({_mvy[(i + 1) % 4]})) * {_mc[i]}"
+          for i in range(4)])
+    _measure_sel = (
+        f"SELECT 'measure' AS part, CAST(doc_id AS BIGINT) AS poly_id,"
+        f" CAST(round(({_m2a} / 2) * 1000000.0) AS BIGINT) AS tile_id,"
+        f" CAST(round(({_mcxn} / (3 * {_m2a})) * 1000000.0) AS BIGINT)"
+        f" AS ix,"
+        f" CAST(round(({_mcyn} / (3 * {_m2a})) * 1000000.0) AS BIGINT)"
+        f" AS iy"
+        f" FROM ({H.docs_geo_sql()}) g")
+
     poly_cover = f"""
         WITH b AS (
           SELECT poly_id, x1, y1, x2, y2, x3, y3,
@@ -3223,6 +3266,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(cx * 1000000.0) AS BIGINT),
                CAST(round(cy * 1000000.0) AS BIGINT)
         FROM ({_crossing_sel}) xx
+        UNION ALL
+        {_measure_sel}
         UNION ALL
         SELECT part, poly_id, tile_id, ix, iy FROM (
           WITH gc AS (

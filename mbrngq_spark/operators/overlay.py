@@ -87,6 +87,51 @@ def _pnpoly_arrays(px: Column, py: Column, vx: str, vy: str) -> Column:
     return F.pmod(flips, F.lit(2)) == 1
 
 
+def polygon_measures(polys: DataFrame, id_col: str = "poly_id"
+                     ) -> DataFrame:
+    """(id, area, perimeter, cx, cy) for each simple polygon — shoelace
+    signed area, edge-length perimeter, and the area-weighted centroid,
+    all as ONE map-only pass of sequential F.aggregate folds over the
+    vertex arrays. Fold order is the vertex index order in BOTH engines
+    (Spark's aggregate and an unrolled left-to-right SQL sum associate
+    identically), so every double is bit-exact cross-engine — the
+    planar-measure companion of geodetic_polygon_area. ``area`` is
+    signed (positive = CCW); callers abs() if they only want magnitude.
+    Degenerate (zero-area) polygons yield null centroids (try_divide)."""
+    n = F.size("vx")
+
+    def at(arr, i):
+        return F.element_at(F.col(arr), i.cast("int"))
+
+    def nxt(i):
+        return (F.pmod(i, n) + 1).cast("int")
+
+    def fold(term):
+        return F.aggregate(F.sequence(F.lit(1), n),
+                           F.lit(0.0), lambda acc, i: acc + term(i))
+
+    def cross(i):
+        return (at("vx", i) * F.element_at(F.col("vy"), nxt(i))
+                - F.element_at(F.col("vx"), nxt(i)) * at("vy", i))
+
+    two_a = fold(cross)
+    perim = fold(lambda i: F.sqrt(
+        (F.element_at(F.col("vx"), nxt(i)) - at("vx", i))
+        * (F.element_at(F.col("vx"), nxt(i)) - at("vx", i))
+        + (F.element_at(F.col("vy"), nxt(i)) - at("vy", i))
+        * (F.element_at(F.col("vy"), nxt(i)) - at("vy", i))))
+    cxn = fold(lambda i: (at("vx", i)
+                          + F.element_at(F.col("vx"), nxt(i))) * cross(i))
+    cyn = fold(lambda i: (at("vy", i)
+                          + F.element_at(F.col("vy"), nxt(i))) * cross(i))
+    return polys.select(
+        id_col,
+        (two_a / 2).alias("area"),
+        perim.alias("perimeter"),
+        F.try_divide(cxn, 3 * two_a).alias("cx"),
+        F.try_divide(cyn, 3 * two_a).alias("cy"))
+
+
 def polygon_intersects_join(polys_a: DataFrame, polys_b: DataFrame,
                             res: int | None = None,
                             cfg: EngineConfig = DEFAULT,

@@ -109,3 +109,46 @@ def test_overlay_containment_both_ways(spark):
                  for r in polygon_intersects_join(a, b).collect())
     assert (0, 100) in got and (0, 101) in got and (1, 101) in got
     assert (1, 102) not in got and (0, 102) not in got
+
+
+def test_polygon_measures_exact(spark):
+    """Shoelace area / perimeter / centroid vs a Python replay with the
+    SAME fold order — bit-exact doubles, signed area orientation, and
+    null centroid on a degenerate ring."""
+    from mbrngq_spark.operators.overlay import polygon_measures
+
+    fixt = pd.DataFrame({
+        "poly_id": [0, 1, 2, 3],
+        "vx": [[0.0, 4.0, 4.0, 0.0],          # CCW square
+               [0.0, 0.0, 4.0, 4.0],          # CW square (negative area)
+               [10.0, 45.0, 20.0],            # triangle
+               [5.0, 5.0, 5.0]],              # degenerate
+        "vy": [[0.0, 0.0, 3.0, 3.0],
+               [0.0, 3.0, 3.0, 0.0],
+               [10.0, 15.0, 40.0],
+               [5.0, 5.0, 5.0]],
+    })
+    df = spark.createDataFrame(
+        fixt, "poly_id long, vx array<double>, vy array<double>")
+    got = {int(r.poly_id): (r.area, r.perimeter, r.cx, r.cy)
+           for r in polygon_measures(df).collect()}
+
+    import math
+    for _, p in fixt.iterrows():
+        vx, vy = list(p.vx), list(p.vy)
+        n = len(vx)
+        two_a = per = cxn = cyn = 0.0
+        for i in range(n):
+            j = (i + 1) % n
+            c = vx[i] * vy[j] - vx[j] * vy[i]
+            two_a += c
+            per += math.sqrt((vx[j] - vx[i]) ** 2 + (vy[j] - vy[i]) ** 2)
+            cxn += (vx[i] + vx[j]) * c
+            cyn += (vy[i] + vy[j]) * c
+        g = got[int(p.poly_id)]
+        assert g[0] == two_a / 2 and g[1] == per
+        if two_a != 0:
+            assert g[2] == cxn / (3 * two_a) and g[3] == cyn / (3 * two_a)
+        else:
+            assert g[2] is None and g[3] is None
+    assert got[0][0] == 12.0 and got[1][0] == -12.0
