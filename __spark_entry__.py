@@ -253,9 +253,22 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("area") * 1e6).cast("long").alias("tile_id"),
         F.round(F.col("cx") * 1e6).cast("long").alias("ix"),
         F.round(F.col("cy") * 1e6).cast("long").alias("iy"))
+    # part 'refpts' (r6): linear referencing (lines.points_along) —
+    # mileposts every REF_STEP along the fixture routes; segment lengths
+    # int64-quantized before the per-line cumulative sum, the k-range
+    # pure integer ceil-division, the interpolation one int→double
+    # division — bit-exact coordinates, micro-quantized into the schema
+    from mbrngq_spark.operators.lines import points_along
+    refpts = points_along(lines_df, H.REF_STEP).select(
+        F.lit("refpts").alias("part"),
+        F.col("line_id").alias("poly_id"),
+        F.col("k").alias("tile_id"),
+        F.round(F.col("px") * 1e6).cast("long").alias("ix"),
+        F.round(F.col("py") * 1e6).cast("long").alias("iy"))
     return (planar.unionByName(compacted).unionByName(geo)
             .unionByName(area).unionByName(zonal)
-            .unionByName(crossing).unionByName(meas))
+            .unionByName(crossing).unionByName(meas)
+            .unionByName(refpts))
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,7 +410,40 @@ def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.lit("kde").alias("part"),
                    F.lit(H.KDE_RES).cast("int").alias("res"), "cell",
                    F.col("wq").alias("a"), F.col("n_docs").alias("b")))
-    return stats.unionByName(hll).unionByName(kde)
+    # part 'focal' (r6): 3×3 focal map algebra (tiles.focal_stats) —
+    # splat, not join: a = focal sum, b = focal max of the 8-neighborhood
+    # (+self) doc counts; exact int64 end to end.
+    from mbrngq_spark.operators.tiles import focal_stats, hotspot_gi, \
+        idw_interpolate
+    focal = (focal_stats(docs_geo, H.MASK_RES, H.CFG)
+             .select(F.lit("focal").alias("part"),
+                     F.lit(H.MASK_RES).cast("int").alias("res"), "cell",
+                     F.col("focal_sum").alias("a"),
+                     F.col("focal_max").alias("b")))
+    # part 'hotspot' (r6): Getis-Ord Gi* z-score per cell
+    # (tiles.hotspot_gi) — every input an exact int64 (focal sum, W_i,
+    # corpus total/sumsq), the score a fixed /,*,−,sqrt dag over them →
+    # bit-identical doubles; packed as a = floor(gi·10^6) (floor, not
+    # round — Gi* is signed and round-half differs at negative .5
+    # boundaries across engines), b = W_i.
+    hot = (hotspot_gi(docs_geo, H.MASK_RES, H.CFG)
+           .select(F.lit("hotspot").alias("part"),
+                   F.lit(H.MASK_RES).cast("int").alias("res"), "cell",
+                   F.floor(F.col("gi") * F.lit(1e6)).cast("long").alias("a"),
+                   F.col("w_i").alias("b")))
+    # part 'idw' (r6): inverse-distance-weighted interpolation surface
+    # (tiles.idw_interpolate) of the derived per-doc value doc_id % 97 —
+    # smoothed weights 1/(d²+s²) and weighted values int64-quantized
+    # BEFORE the sums (exactly associative); a = Σ round(w·v·q),
+    # b = Σ round(w·q).
+    docs_v = docs_geo.withColumn(
+        "v", (F.col("doc_id") % 97).cast("double"))
+    idw = (idw_interpolate(docs_v, "v", H.KDE_H, H.KDE_RES, H.CFG)
+           .select(F.lit("idw").alias("part"),
+                   F.lit(H.KDE_RES).cast("int").alias("res"), "cell",
+                   F.col("numq").alias("a"), F.col("denq").alias("b")))
+    return (stats.unionByName(hll).unionByName(kde)
+            .unionByName(focal).unionByName(hot).unionByName(idw))
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1966,6 +2012,95 @@ def oracle_sql() -> dict[str, str]:
                 FROM g) gx) gxy) gc) gd
         WHERE d2 <= {_kh2!r}
         GROUP BY 3""")
+    # 'focal' + 'hotspot' parts: the 3×3 splat replayed via staged
+    # unnest(generate_series) over the cell raster; Gi* recomputed with
+    # the engine's exact op order over the same exact-int inputs
+    # (counts, focal sums, W_i, corpus total/sumsq) — floor(gi·10^6)
+    # because Gi* is signed (round-half semantics differ across engines
+    # on negatives; floor is identical on identical doubles)
+    _mn = 1 << H.MASK_RES
+    _mnn = float(_mn * _mn)
+    qx_m = H.quantize_sql("g.x", H.CFG.min_x, H.CFG.width, H.MASK_RES)
+    qy_m = H.quantize_sql("g.y", H.CFG.min_y, H.CFG.height, H.MASK_RES)
+    _splat = f"""
+          SELECT tx, ty, n_docs FROM (
+            SELECT n_docs, tx,
+                   unnest(generate_series(iy - 1, iy + 1)) AS ty
+            FROM (
+              SELECT n_docs, iy,
+                     unnest(generate_series(ix - 1, ix + 1)) AS tx
+              FROM (SELECT ({qx_m}) AS ix, ({qy_m}) AS iy,
+                           count(*) AS n_docs
+                    FROM g GROUP BY 1, 2) rb) sx) sxy
+          WHERE tx BETWEEN 0 AND {_mn - 1} AND ty BETWEEN 0 AND {_mn - 1}
+    """
+    pyr_levels.append(f"""
+        SELECT 'focal' AS part, CAST({H.MASK_RES} AS INT) AS res,
+               {H.morton_sql('tx', 'ty', H.MASK_RES)} AS cell,
+               CAST(sum(n_docs) AS BIGINT) AS a,
+               CAST(max(n_docs) AS BIGINT) AS b
+        FROM ({_splat}) sp
+        GROUP BY 3""")
+    _w_sql = (f"CAST((3 - CASE WHEN tx = 0 THEN 1 ELSE 0 END"
+              f" - CASE WHEN tx = {_mn - 1} THEN 1 ELSE 0 END)"
+              f" * (3 - CASE WHEN ty = 0 THEN 1 ELSE 0 END"
+              f" - CASE WHEN ty = {_mn - 1} THEN 1 ELSE 0 END) AS BIGINT)")
+    _xbar = f"(CAST(total AS DOUBLE) / {_mnn!r})"
+    _sdev = f"sqrt(CAST(sumsq AS DOUBLE) / {_mnn!r} - {_xbar} * {_xbar})"
+    _wd = "CAST(w_i AS DOUBLE)"
+    _gi = (f"(CAST(s_i AS DOUBLE) - {_xbar} * {_wd})"
+           f" / ({_sdev} * sqrt(({_mnn!r} * {_wd} - {_wd} * {_wd})"
+           f" / {_mnn - 1.0!r}))")
+    pyr_levels.append(f"""
+        SELECT 'hotspot' AS part, CAST({H.MASK_RES} AS INT) AS res,
+               {H.morton_sql('tx', 'ty', H.MASK_RES)} AS cell,
+               CAST(FLOOR({_gi} * 1000000.0) AS BIGINT) AS a,
+               w_i AS b
+        FROM (SELECT tx, ty, {_w_sql} AS w_i,
+                     CAST(sum(n_docs) AS BIGINT) AS s_i
+              FROM ({_splat}) sp GROUP BY 1, 2) fo
+        CROSS JOIN (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                 CAST(sum(n_docs * n_docs) AS BIGINT) AS sumsq
+          FROM (SELECT ({qx_m}) AS ix, ({qy_m}) AS iy, count(*) AS n_docs
+                FROM g GROUP BY 1, 2) rb) gl""")
+    # 'idw' part: the smoothed-IDW splat replayed stage-by-stage (same
+    # staged generate_series shape as kde) — w = 1/(d²+s²), w·v and w
+    # quantized to int64 BEFORE the sums (exactly associative)
+    _is2, _iq = 0.5 * 0.5, 1e9
+    pyr_levels.append(f"""
+        SELECT 'idw' AS part, CAST({H.KDE_RES} AS INT) AS res,
+               {H.morton_sql('ix', 'iy', H.KDE_RES)} AS cell,
+               CAST(sum(CAST(round((1.0 / (d2 + {_is2!r})) * v * {_iq!r})
+                             AS BIGINT)) AS BIGINT) AS a,
+               CAST(sum(CAST(round((1.0 / (d2 + {_is2!r})) * {_iq!r})
+                             AS BIGINT)) AS BIGINT) AS b
+        FROM (
+          SELECT ix, iy, v,
+                 (x - cx) * (x - cx) + (y - cy) * (y - cy) AS d2
+          FROM (
+            SELECT x, y, v, ix, iy,
+                   {H.CFG.min_x!r} + (ix + 0.5) * {_kwx!r} AS cx,
+                   {H.CFG.min_y!r} + (iy + 0.5) * {_kwy!r} AS cy
+            FROM (
+              SELECT x, y, v, ix,
+                     unnest(generate_series(
+                       {H.quantize_sql(f'(y - {_kh!r})', H.CFG.min_y,
+                                       H.CFG.height, H.KDE_RES)},
+                       {H.quantize_sql(f'(y + {_kh!r})', H.CFG.min_y,
+                                       H.CFG.height, H.KDE_RES)})) AS iy
+              FROM (
+                SELECT x, y, v,
+                       unnest(generate_series(
+                         {H.quantize_sql(f'(x - {_kh!r})', H.CFG.min_x,
+                                         H.CFG.width, H.KDE_RES)},
+                         {H.quantize_sql(f'(x + {_kh!r})', H.CFG.min_x,
+                                         H.CFG.width, H.KDE_RES)})) AS ix
+                FROM (SELECT g.x, g.y,
+                             CAST(g.doc_id % 97 AS DOUBLE) AS v
+                      FROM g) gv) gx) gxy) gc) gd
+        WHERE d2 <= {_kh2!r}
+        GROUP BY 3""")
 
     cell_pyramid = f"""
         WITH g AS ({geo})
@@ -3221,6 +3356,49 @@ def oracle_sql() -> dict[str, str]:
         f" AS iy"
         f" FROM ({H.docs_geo_sql()}) g")
 
+    # 'refpts' part: linear referencing replayed — segment literals from
+    # the POLYLINES fixture, lenq = round(len·10⁹) in-SQL (same sqrt dag),
+    # cumq = exact BIGINT window sum (quantize-before-sum makes the
+    # running offset immune to windowed-double reordering), k-range via
+    # integer ceil-division, t = one int→double division
+    _stepq = int(round(H.REF_STEP * 1e9))
+    _segrows = ", ".join(
+        f"({lid}, {si}, {vx[si]!r}, {vy[si]!r}, {vx[si + 1]!r}, "
+        f"{vy[si + 1]!r})"
+        for lid, vx, vy in H.POLYLINES for si in range(len(vx) - 1))
+    _reft = "(CAST(k * {s} - cumq AS DOUBLE) / CAST(lenq AS DOUBLE))" \
+        .format(s=_stepq)
+    _refpts_sel = f"""
+        SELECT 'refpts' AS part, line_id AS poly_id,
+               CAST(k AS BIGINT) AS tile_id,
+               CAST(round((ax + {_reft} * (bx - ax)) * 1000000.0)
+                    AS BIGINT) AS ix,
+               CAST(round((ay + {_reft} * (by - ay)) * 1000000.0)
+                    AS BIGINT) AS iy
+        FROM (
+          SELECT *, unnest(generate_series(
+                   (cumq + {_stepq - 1}) // {_stepq},
+                   (cumq + lenq + {_stepq - 1}) // {_stepq} - 1)) AS k
+          FROM (
+            SELECT *, CAST(COALESCE(sum(lenq) OVER (
+                     PARTITION BY line_id ORDER BY seg_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cumq
+            FROM (
+              SELECT line_id, seg_idx, ax, ay, bx, by,
+                     CAST(round(sqrt((bx - ax) * (bx - ax)
+                                     + (by - ay) * (by - ay))
+                                * 1000000000.0) AS BIGINT) AS lenq
+              FROM (SELECT CAST(line_id AS BIGINT) AS line_id,
+                           CAST(seg_idx AS BIGINT) AS seg_idx,
+                           CAST(ax AS DOUBLE) AS ax,
+                           CAST(ay AS DOUBLE) AS ay,
+                           CAST(bx AS DOUBLE) AS bx,
+                           CAST(by AS DOUBLE) AS by
+                    FROM (VALUES {_segrows})
+                    AS v(line_id, seg_idx, ax, ay, bx, by)) sv) sl) sc) sk
+    """
+
     poly_cover = f"""
         WITH b AS (
           SELECT poly_id, x1, y1, x2, y2, x3, y3,
@@ -3288,6 +3466,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(area_km2 * 10000) AS BIGINT),
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
         FROM ({geodetic_polygon_area_sql(GEO_POLYS)}) ga
+        UNION ALL
+        {_refpts_sel}
     """
 
     # spans_invariant: DuckDB rebuilds the EXPECTED span sequence from

@@ -55,6 +55,7 @@ POLYLINES = [
     (2, [70.0, 75.0, 90.0, 85.0], [10.0, 40.0, 45.0, 75.0]),
 ]
 LINE_RADIUS = 4.0              # corridor half-width for the polyline join
+REF_STEP = 7.0                 # linear-referencing milepost spacing
 SNAP_RADIUS = 8.0              # nearest-polyline snap cutoff
 OVERLAY_S = 1.5                # per-doc square half-width (overlay join)
 STAY_EPS = 40.0                # stay-point leg threshold (trajectory)

@@ -207,6 +207,57 @@ def segment_crossing_join(tracks: DataFrame, lines: DataFrame,
                     .alias("cy")))
 
 
+def points_along(lines: DataFrame, step: float,
+                 quant: float = 1e9) -> DataFrame:
+    """Linear referencing: points at distances 0, step, 2·step, … along
+    each polyline (milepost generation / route resampling) —
+    (line_id, k, seg_idx, px, py) with the k-th point at arc distance
+    k·step, carried by the segment that contains it.
+
+    Cross-engine exactness: segment lengths are int64-quantized
+    (round(len·quant), HALF_UP — lengths are nonnegative) BEFORE the
+    cumulative sum, so the running offset is exact integer arithmetic —
+    immune to the windowed-double-sum reordering DuckDB's segment-tree
+    frames can introduce. The k-range per segment is then PURE integer
+    ceil-division: k ∈ [⌈cumq/stepq⌉, ⌈(cumq+lenq)/stepq⌉ − 1] (a point
+    landing exactly on a segment boundary belongs to the NEXT segment;
+    the final endpoint at exactly the total length is omitted — contract:
+    k·step < total). The interpolation parameter t = (k·stepq − cumq)/lenq
+    is one int→double division; px/py are +,* over it — bit-identical
+    across engines. Zero-length segments emit no points and never reach
+    the division.
+
+    Shape at scale: explode to segments (JVM), one window over
+    (line_id, seg_idx) — per-line state only, lines parallelize freely —
+    then a bounded sequence/explode; map-only after the single per-line
+    window, no join."""
+    from pyspark.sql import Window
+
+    stepq = int(round(step * quant))
+    d2 = ((F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+          + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay")))
+    w = Window.partitionBy("line_id").orderBy("seg_idx") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    seg = (polyline_segments(lines)
+           .withColumn("lenq", F.round(F.sqrt(d2)
+                                       * F.lit(quant)).cast("long"))
+           .withColumn("cumq", F.coalesce(F.sum("lenq").over(w),
+                                          F.lit(0)).cast("long")))
+    k0 = F.expr(f"(cumq + {stepq - 1}) div {stepq}")
+    k1 = F.expr(f"(cumq + lenq + {stepq - 1}) div {stepq} - 1")
+    ks = F.when(k0 <= k1, F.sequence(k0, k1)) \
+        .otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    t = (F.col("k") * F.lit(stepq) - F.col("cumq")).cast("double") \
+        / F.col("lenq").cast("double")
+    return (seg.withColumn("k", F.explode(ks))
+            .select("line_id", "k",
+                    F.col("seg_idx").cast("long").alias("seg_idx"),
+                    (F.col("ax") + t * (F.col("bx") - F.col("ax")))
+                    .alias("px"),
+                    (F.col("ay") + t * (F.col("by") - F.col("ay")))
+                    .alias("py")))
+
+
 def polyline_length(lines: DataFrame) -> DataFrame:
     """(line_id, length): sum of segment lengths — one aggregate fold
     inside the array (no explode, no shuffle beyond the input layout)."""

@@ -256,6 +256,163 @@ def tile_heatmap(docs_geo: DataFrame, h: float, res: int,
                     (F.col("wq") / F.lit(quant)).alias("density")))
 
 
+def focal_stats(docs_geo: DataFrame, res: int,
+                cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """3×3 focal map algebra over the count raster (the classic raster
+    "focal sum / focal max" neighborhood operation): for every cell
+    within one step of a nonempty cell, aggregate the 8-neighborhood
+    (plus self) of per-cell doc counts.
+
+    Implemented as a SPLAT, not a join: the corpus collapses to the cell
+    raster first (one keyed aggregation), then each nonempty cell emits
+    its ≤9 in-bounds neighbor targets via a bounded JVM sequence/explode
+    and ONE second keyed aggregation produces every focal stat — no
+    self-join, no driver loop. At 100 TB the first aggregation is the
+    only corpus-sized stage; the splat is 9×|nonempty cells| rows.
+    Empty cells inside a neighborhood contribute 0 (sum/max semantics);
+    cells farther than one step from any doc are not emitted (their
+    focal stats are identically 0 — the raster analog of an outer join
+    nobody reads).
+
+    Returns (cell, ix, iy, focal_sum, focal_max, n_nonempty)."""
+    n = 1 << res
+    base = (docs_geo
+            .select(grid.quantize(F.col("x"), cfg.min_x, cfg.width,
+                                  res).alias("ix"),
+                    grid.quantize(F.col("y"), cfg.min_y, cfg.height,
+                                  res).alias("iy"))
+            .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n_docs")))
+    splat = (base
+             .withColumn("tx", F.explode(F.sequence(F.col("ix") - 1,
+                                                    F.col("ix") + 1)))
+             .withColumn("ty", F.explode(F.sequence(F.col("iy") - 1,
+                                                    F.col("iy") + 1)))
+             .filter((F.col("tx") >= 0) & (F.col("tx") <= n - 1)
+                     & (F.col("ty") >= 0) & (F.col("ty") <= n - 1)))
+    return (splat.groupBy("tx", "ty")
+            .agg(F.sum("n_docs").alias("focal_sum"),
+                 F.max("n_docs").alias("focal_max"),
+                 F.count(F.lit(1)).alias("n_nonempty"))
+            .select(grid.cell_from_indices(F.col("tx"),
+                                           F.col("ty")).alias("cell"),
+                    F.col("tx").alias("ix"), F.col("ty").alias("iy"),
+                    "focal_sum", "focal_max", "n_nonempty"))
+
+
+def hotspot_gi(docs_geo: DataFrame, res: int,
+               cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Getis-Ord Gi* hot-spot statistic per raster cell — the standard
+    local spatial-autocorrelation z-score over the doc-count raster with
+    binary 3×3 weights (self included, Gi-star form):
+
+        Gi* = (S_i − x̄·W_i) / (S·sqrt((N·W_i − W_i²)/(N − 1)))
+
+    where S_i = focal sum, W_i = in-bounds neighborhood size (ix/iy
+    edge-clamped), N = 4^res raster cells (empty cells are x_j = 0
+    population members — the classic raster convention), x̄ = total/N,
+    S = sqrt(sumsq/N − x̄²).
+
+    Cross-engine exactness: every input is an exact int64 (counts,
+    squared counts, W_i), and the score is a fixed dag of /,*,−,sqrt
+    over them — IEEE-correctly-rounded ops on identical operands are
+    bit-identical in the JVM and DuckDB (no libm). The global (total,
+    sumsq) row is a broadcast scalar, not a shuffle.
+
+    Emitted for cells with a nonzero neighborhood (S_i > 0); all-empty
+    neighborhoods have the constant score −x̄·W_i/denom that nobody maps.
+    Returns (cell, ix, iy, w_i, s_i, gi)."""
+    n = 1 << res
+    nn = float(n * n)
+    base = (docs_geo
+            .select(grid.quantize(F.col("x"), cfg.min_x, cfg.width,
+                                  res).alias("ix"),
+                    grid.quantize(F.col("y"), cfg.min_y, cfg.height,
+                                  res).alias("iy"))
+            .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n_docs")))
+    glob = base.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.sum(F.col("n_docs") * F.col("n_docs")).cast("long").alias("sumsq"))
+    focal = (base
+             .withColumn("tx", F.explode(F.sequence(F.col("ix") - 1,
+                                                    F.col("ix") + 1)))
+             .withColumn("ty", F.explode(F.sequence(F.col("iy") - 1,
+                                                    F.col("iy") + 1)))
+             .filter((F.col("tx") >= 0) & (F.col("tx") <= n - 1)
+                     & (F.col("ty") >= 0) & (F.col("ty") <= n - 1))
+             .groupBy("tx", "ty")
+             .agg(F.sum("n_docs").cast("long").alias("s_i")))
+    wx = (F.lit(3) - (F.col("tx") == 0).cast("int")
+          - (F.col("tx") == n - 1).cast("int"))
+    wy = (F.lit(3) - (F.col("ty") == 0).cast("int")
+          - (F.col("ty") == n - 1).cast("int"))
+    out = (focal.crossJoin(F.broadcast(glob))
+           .withColumn("w_i", (wx * wy).cast("long")))
+    xbar = F.col("total").cast("double") / F.lit(nn)
+    s_dev = F.sqrt(F.col("sumsq").cast("double") / F.lit(nn) - xbar * xbar)
+    w_d = F.col("w_i").cast("double")
+    denom = s_dev * F.sqrt((F.lit(nn) * w_d - w_d * w_d)
+                           / F.lit(nn - 1.0))
+    gi = (F.col("s_i").cast("double") - xbar * w_d) / denom
+    return out.select(
+        grid.cell_from_indices(F.col("tx"), F.col("ty")).alias("cell"),
+        F.col("tx").alias("ix"), F.col("ty").alias("iy"),
+        "w_i", "s_i", gi.alias("gi"))
+
+
+def idw_interpolate(docs_geo: DataFrame, value_col: str, radius: float,
+                    res: int, cfg: EngineConfig = DEFAULT,
+                    smooth: float = 0.5, quant: float = 1e9) -> DataFrame:
+    """Inverse-distance-weighted interpolation of a per-doc value onto
+    the raster: v̂(cell) = Σ wᵢ·vᵢ / Σ wᵢ over the sample docs within
+    ``radius`` of the cell center, with the smoothed IDW weight
+    w = 1/(d² + smooth²) (the smoothing term is the standard guard that
+    also bounds w ≤ 1/smooth², keeping the int64 quantization
+    overflow-free: per-cell sums hold ~2^63/(quant/smooth²) samples).
+
+    Same splat shape as tile_heatmap: each doc emits the ≤(2r/cellw+2)²
+    cells of its radius bbox via bounded JVM explode — map-only plus ONE
+    keyed aggregation, no join. Both wᵢ·vᵢ and wᵢ are quantized to int64
+    (round·quant, HALF_UP both engines — weights and values are
+    nonnegative) BEFORE the sums, so the aggregate is exactly
+    associative and the final division is one double op on exact ints —
+    bit-identical cross-engine.
+
+    Returns (cell, ix, iy, n_samples, numq, denq, value)."""
+    n = 1 << res
+    wx, wy = cfg.width / n, cfg.height / n
+    r2 = radius * radius
+    s2 = smooth * smooth
+    qx0 = grid.quantize(F.col("x") - F.lit(radius), cfg.min_x, cfg.width, res)
+    qx1 = grid.quantize(F.col("x") + F.lit(radius), cfg.min_x, cfg.width, res)
+    qy0 = grid.quantize(F.col("y") - F.lit(radius), cfg.min_y, cfg.height, res)
+    qy1 = grid.quantize(F.col("y") + F.lit(radius), cfg.min_y, cfg.height, res)
+    cx = F.lit(cfg.min_x) + (F.col("ix") + 0.5) * F.lit(wx)
+    cy = F.lit(cfg.min_y) + (F.col("iy") + 0.5) * F.lit(wy)
+    d2 = ((F.col("x") - F.col("__cx")) * (F.col("x") - F.col("__cx"))
+          + (F.col("y") - F.col("__cy")) * (F.col("y") - F.col("__cy")))
+    w = F.lit(1.0) / (F.col("__d2") + F.lit(s2))
+    return (docs_geo
+            .withColumn("ix", F.explode(F.sequence(qx0, qx1)))
+            .withColumn("iy", F.explode(F.sequence(qy0, qy1)))
+            .withColumn("__cx", cx).withColumn("__cy", cy)
+            .withColumn("__d2", d2)
+            .filter(F.col("__d2") <= F.lit(r2))
+            .withColumn("__numq", F.round(w * F.col(value_col)
+                                          * F.lit(quant)).cast("long"))
+            .withColumn("__denq", F.round(w * F.lit(quant)).cast("long"))
+            .groupBy("ix", "iy")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.sum("__numq").alias("numq"),
+                 F.sum("__denq").alias("denq"))
+            .select(grid.cell_from_indices(F.col("ix"),
+                                           F.col("iy")).alias("cell"),
+                    F.col("ix").cast("long").alias("ix"),
+                    F.col("iy").cast("long").alias("iy"),
+                    "n_samples", "numq", "denq",
+                    (F.col("numq").cast("double")
+                     / F.col("denq").cast("double")).alias("value")))
+
+
 def compact_cover(cells: DataFrame, res: int, min_res: int = 0,
                   key_cols: list[str] | None = None) -> DataFrame:
     """S2/H3-style cell-cover COMPACTION: wherever all 4 children of a

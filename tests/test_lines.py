@@ -138,3 +138,64 @@ def test_segment_crossing_join_exact(spark, docs_geo, lines_df):
                         r.ax + t * (r.bx - r.ax), r.ay + t * (r.by - r.ay))
     assert got == exp  # keys AND float values bit-exact
     assert len(got) > 10
+
+
+def test_points_along_matches_python_bit_exact(spark, lines_df):
+    """Linear referencing: a pure-Python replay (Decimal HALF_UP length
+    quantization, integer ceil-division k-ranges, one int→double t)
+    reproduces every milepost bit-exactly, and the k sequence per line
+    is contiguous from 0."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mbrngq_spark.operators.lines import points_along
+
+    step, quant = H.REF_STEP, 1e9
+    stepq = int(round(step * quant))
+    got = {(int(r.line_id), int(r.k)): (int(r.seg_idx), float(r.px),
+                                        float(r.py))
+           for r in points_along(lines_df, step).collect()}
+
+    exp = {}
+    for lid, vx, vy in H.POLYLINES:
+        cumq = 0
+        for si in range(len(vx) - 1):
+            ax, ay, bx, by = vx[si], vy[si], vx[si + 1], vy[si + 1]
+            ln = math.sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+            lenq = int(Decimal(repr(ln * quant)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP))
+            k0 = (cumq + stepq - 1) // stepq
+            k1 = (cumq + lenq + stepq - 1) // stepq - 1
+            for k in range(k0, k1 + 1):
+                t = float(k * stepq - cumq) / float(lenq)
+                exp[(lid, k)] = (si, ax + t * (bx - ax), ay + t * (by - ay))
+            cumq += lenq
+    assert got == exp  # positions bit-exact
+    for lid, vx, vy in H.POLYLINES:
+        ks = sorted(k for l, k in got if l == lid)
+        assert ks == list(range(len(ks)))  # contiguous mileposts from 0
+        assert got[(lid, 0)][1:] == (vx[0], vy[0])  # k=0 is the start
+
+
+def test_points_along_spacing_invariant(spark, lines_df):
+    """Arc distance between consecutive mileposts equals step to within
+    the 1e-9 length-quantization grain (accumulated over the segments
+    between them)."""
+    import numpy as np
+
+    from mbrngq_spark.operators.lines import points_along
+
+    rows = points_along(lines_df, H.REF_STEP).collect()
+    by_line = {}
+    for r in rows:
+        by_line.setdefault(int(r.line_id), []).append(
+            (int(r.k), int(r.seg_idx), float(r.px), float(r.py)))
+    for lid, vx, vy in H.POLYLINES:
+        pts = sorted(by_line[lid])
+        for (k0, s0, x0, y0), (k1, s1, x1, y1) in zip(pts, pts[1:]):
+            # arc length from point k0 to k1 via intermediate vertices
+            path = [(x0, y0)] + [(vx[s], vy[s])
+                                 for s in range(s0 + 1, s1 + 1)] + [(x1, y1)]
+            arc = sum(np.hypot(bx - ax, by - ay)
+                      for (ax, ay), (bx, by) in zip(path, path[1:]))
+            assert abs(arc - H.REF_STEP) < 1e-6, (lid, k0)

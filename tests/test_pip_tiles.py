@@ -312,3 +312,116 @@ def test_zonal_stats_composition(spark, docs_geo):
         vals = [cnt.get(t, 0) for t in tids]
         assert got[int(pid)] == (sum(vals), len(vals), max(vals)), pid
     assert set(got) == set(POLYS.poly_id)
+
+
+def _raster_counts(pdf, res):
+    """Quantized (ix, iy) → count, replicating grid.quantize's clamp."""
+    from collections import Counter
+    from mbrngq_spark.config import DEFAULT as CFG
+    n = 1 << res
+    ix = np.clip(np.floor((pdf.x.to_numpy() - CFG.min_x)
+                          / CFG.width * float(n)).astype(int), 0, n - 1)
+    iy = np.clip(np.floor((pdf.y.to_numpy() - CFG.min_y)
+                          / CFG.height * float(n)).astype(int), 0, n - 1)
+    return Counter(zip(ix.tolist(), iy.tolist()))
+
+
+def test_focal_stats_matches_numpy_exactly(spark, docs_geo):
+    """3×3 focal sum/max/nonempty-count equal a NumPy splat replay
+    exactly (all-int arithmetic — no rounding discipline needed)."""
+    from mbrngq_spark.operators.tiles import focal_stats
+
+    res = 4
+    n = 1 << res
+    got = {(int(r.ix), int(r.iy)): (int(r.focal_sum), int(r.focal_max),
+                                    int(r.n_nonempty))
+           for r in focal_stats(docs_geo, res).collect()}
+    cnt = _raster_counts(docs_geo.toPandas(), res)
+    exp = {}
+    for (ix, iy), c in cnt.items():
+        for tx in range(max(ix - 1, 0), min(ix + 1, n - 1) + 1):
+            for ty in range(max(iy - 1, 0), min(iy + 1, n - 1) + 1):
+                s, m, k = exp.get((tx, ty), (0, 0, 0))
+                exp[(tx, ty)] = (s + c, max(m, c), k + 1)
+    assert got == exp
+    assert len(got) > 16  # the splat reaches beyond the nonempty cells
+
+
+def test_hotspot_gi_matches_numpy_bit_exact(spark, docs_geo):
+    """Getis-Ord Gi* — the /,*,−,sqrt dag over exact ints is
+    bit-identical between the JVM and NumPy (assert ==, not approx),
+    and W_i is edge-clamped."""
+    import math
+
+    from mbrngq_spark.operators.tiles import hotspot_gi
+
+    res = 4
+    n = 1 << res
+    nn = float(n * n)
+    got = {(int(r.ix), int(r.iy)): (int(r.w_i), int(r.s_i), float(r.gi))
+           for r in hotspot_gi(docs_geo, res).collect()}
+    cnt = _raster_counts(docs_geo.toPandas(), res)
+    total = sum(cnt.values())
+    sumsq = sum(c * c for c in cnt.values())
+    xbar = float(total) / nn
+    s_dev = math.sqrt(float(sumsq) / nn - xbar * xbar)
+    focal = {}
+    for (ix, iy), c in cnt.items():
+        for tx in range(max(ix - 1, 0), min(ix + 1, n - 1) + 1):
+            for ty in range(max(iy - 1, 0), min(iy + 1, n - 1) + 1):
+                focal[(tx, ty)] = focal.get((tx, ty), 0) + c
+    exp = {}
+    for (tx, ty), s_i in focal.items():
+        w = ((3 - (tx == 0) - (tx == n - 1))
+             * (3 - (ty == 0) - (ty == n - 1)))
+        wd = float(w)
+        gi = (float(s_i) - xbar * wd) \
+            / (s_dev * math.sqrt((nn * wd - wd * wd) / (nn - 1.0)))
+        exp[(tx, ty)] = (w, s_i, gi)
+    assert got == exp  # exact float equality — same IEEE dag
+    # edge cells exist and carry clamped W_i
+    assert any(w < 9 for w, _, _ in got.values())
+    assert any(w == 9 for w, _, _ in got.values())
+
+
+def test_idw_matches_numpy_exactly(spark, docs_geo):
+    """Smoothed-IDW surface: quantized numerator/denominator sums equal
+    a NumPy replay EXACTLY (quantize-before-sum), and value = numq/denq."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mbrngq_spark.config import DEFAULT as CFG
+    from mbrngq_spark.operators.tiles import idw_interpolate
+
+    radius, res, quant, s2 = 10.0, 4, 1e9, 0.25
+    docs_v = docs_geo.withColumn("v", (F.col("doc_id") % 97).cast("double"))
+    rows = idw_interpolate(docs_v, "v", radius, res).collect()
+    got = {(int(r.ix), int(r.iy)): (int(r.n_samples), int(r.numq),
+                                    int(r.denq)) for r in rows}
+    for r in rows:
+        assert float(r.value) == float(r.numq) / float(r.denq)
+
+    pdf = docs_v.toPandas()
+    n = 1 << res
+    wx, wy = CFG.width / n, CFG.height / n
+    r2 = radius * radius
+
+    def q(v):
+        return int(Decimal(repr(v)).quantize(Decimal(1),
+                                             rounding=ROUND_HALF_UP))
+
+    exp = {}
+    for iy in range(n):
+        for ix in range(n):
+            cx = CFG.min_x + (ix + 0.5) * wx
+            cy = CFG.min_y + (iy + 0.5) * wy
+            d2 = (pdf.x.to_numpy() - cx) * (pdf.x.to_numpy() - cx) \
+                + (pdf.y.to_numpy() - cy) * (pdf.y.to_numpy() - cy)
+            m = d2 <= r2
+            if not m.any():
+                continue
+            w = 1.0 / (d2[m] + s2)
+            v = pdf.v.to_numpy()[m]
+            exp[(ix, iy)] = (int(m.sum()),
+                             sum(q(x) for x in (w * v * quant).tolist()),
+                             sum(q(x) for x in (w * quant).tolist()))
+    assert got == exp

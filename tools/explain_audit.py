@@ -401,6 +401,35 @@ def main() -> int:
     check("kde heatmap: the single sum is map-side partial",
           "partial_sum" in p or "partial_count" in p)
 
+    # --- focal / hotspot / IDW: splats, not joins ---------------------------
+    from mbrngq_spark.operators.tiles import (focal_stats, hotspot_gi,
+                                              idw_interpolate)
+    fo = focal_stats(docs_geo, 4)
+    p = plan_of(fo, execute=True)
+    sections.append(("focal map algebra", p))
+    check("focal stats: neighborhood aggregation is a splat — no join, "
+          "no Python", "Join" not in p and "EvalPython" not in p)
+    check("focal stats: both aggregations have map-side partials",
+          p.count("partial_sum") + p.count("partial_count") >= 2)
+    gi = hotspot_gi(docs_geo, 4)
+    p = plan_of(gi, execute=True)
+    sections.append(("Gi* hotspot", p))
+    check("hotspot Gi*: the only join is the broadcast of the 1-row "
+          "global stats",
+          "BroadcastNestedLoopJoin" in p
+          and "SortMergeJoin" not in p and "ShuffledHashJoin" not in p)
+    check("hotspot Gi*: score is pure Column over exact ints (no Python)",
+          "EvalPython" not in p)
+    iw = idw_interpolate(
+        docs_geo.withColumn("v", (F.col("doc_id") % 97).cast("double")),
+        "v", 10.0, 4)
+    p = plan_of(iw, execute=True)
+    sections.append(("IDW interpolation", p))
+    check("IDW: splat + weights are pure Column (no Python, no join)",
+          "EvalPython" not in p and "Join" not in p)
+    check("IDW: the quantized sums are map-side partial",
+          "partial_sum" in p)
+
     # --- polyline corridor join: celled candidates, Column refine ----------
     from mbrngq_spark import harness as _H
     from mbrngq_spark.operators.lines import polyline_distance_join
