@@ -253,6 +253,19 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("area") * 1e6).cast("long").alias("tile_id"),
         F.round(F.col("cx") * 1e6).cast("long").alias("ix"),
         F.round(F.col("cy") * 1e6).cast("long").alias("iy"))
+    # part 'hull' (r6): distributed convex hull (hull.convex_hull) —
+    # per-partition monotone chain → final chain over the tiny candidate
+    # union, all orientation tests exact int64 cross products on the
+    # micro-quantized grid; emitted as the directed CCW edge set
+    # (poly_id = vertex id, tile_id = next vertex id, ix/iy = the
+    # vertex), start-independent. The oracle runs the O(n³)
+    # all-points-left edge test WITH the collinear-on-edge case (the
+    # lattice fixture makes collinear hull-edge points common).
+    from mbrngq_spark.operators.hull import convex_hull
+    hull = convex_hull(dg).select(
+        F.lit("hull").alias("part"), F.col("id").alias("poly_id"),
+        F.col("next_id").alias("tile_id"),
+        F.col("qx").alias("ix"), F.col("qy").alias("iy"))
     # part 'refpts' (r6): linear referencing (lines.points_along) —
     # mileposts every REF_STEP along the fixture routes; segment lengths
     # int64-quantized before the per-line cumulative sum, the k-range
@@ -268,7 +281,7 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (planar.unionByName(compacted).unionByName(geo)
             .unionByName(area).unionByName(zonal)
             .unionByName(crossing).unionByName(meas)
-            .unionByName(refpts))
+            .unionByName(hull).unionByName(refpts))
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3400,7 +3413,13 @@ def oracle_sql() -> dict[str, str]:
     """
 
     poly_cover = f"""
-        WITH b AS (
+        WITH hpts AS (
+          SELECT min(doc_id) AS id, qx, qy FROM (
+            SELECT doc_id, CAST(round(x * 1000000.0) AS BIGINT) AS qx,
+                   CAST(round(y * 1000000.0) AS BIGINT) AS qy
+            FROM ({geo}) hg) hq
+          GROUP BY qx, qy),
+        b AS (
           SELECT poly_id, x1, y1, x2, y2, x3, y3,
                  {H.quantize_sql('least(x1, x2, x3)', H.CFG.min_x, H.CFG.width, H.TILE_RES)} AS ix0,
                  {H.quantize_sql('greatest(x1, x2, x3)', H.CFG.min_x, H.CFG.width, H.TILE_RES)} AS ix1,
@@ -3466,6 +3485,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(area_km2 * 10000) AS BIGINT),
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
         FROM ({geodetic_polygon_area_sql(GEO_POLYS)}) ga
+        UNION ALL
+        SELECT 'hull' AS part, a_id AS poly_id, b_id AS tile_id, hqx AS ix,
+               hqy AS iy
+        FROM (
+          SELECT a.id a_id, b.id b_id, a.qx hqx, a.qy hqy,
+                 min(CASE
+                     WHEN (b.qx - a.qx) * (r.qy - a.qy)
+                          - (b.qy - a.qy) * (r.qx - a.qx) > 0 THEN 1
+                     WHEN (b.qx - a.qx) * (r.qy - a.qy)
+                          - (b.qy - a.qy) * (r.qx - a.qx) = 0
+                          AND (r.qx - a.qx) * (b.qx - a.qx)
+                              + (r.qy - a.qy) * (b.qy - a.qy) > 0
+                          AND (r.qx - a.qx) * (b.qx - a.qx)
+                              + (r.qy - a.qy) * (b.qy - a.qy)
+                              < (b.qx - a.qx) * (b.qx - a.qx)
+                                + (b.qy - a.qy) * (b.qy - a.qy)
+                          THEN 1
+                     ELSE 0 END) AS ok
+          FROM hpts a JOIN hpts b ON a.id <> b.id
+          JOIN hpts r ON r.id <> a.id AND r.id <> b.id
+          GROUP BY 1, 2, 3, 4) he
+        WHERE ok = 1
         UNION ALL
         {_refpts_sel}
     """

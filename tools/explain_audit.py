@@ -430,6 +430,20 @@ def main() -> int:
     check("IDW: the quantized sums are map-side partial",
           "partial_sum" in p)
 
+    # --- convex hull: two-stage reduction -----------------------------------
+    from mbrngq_spark.operators.hull import convex_hull
+    hu = convex_hull(docs_geo)
+    p = plan_of(hu, execute=True)
+    sections.append(("convex hull", p))
+    check("hull: per-partition and final chains are Arrow map-only "
+          "(no join)", "MapInPandas" in p and "Join" not in p)
+    check("hull: every hash exchange is the quantized-point dedup "
+          "(keyed by qx); candidates collapse via one SinglePartition "
+          "exchange",
+          all("qx" in ln for ln in p.splitlines()
+              if "Exchange hashpartitioning" in ln)
+          and "Exchange SinglePartition" in p)
+
     # --- polyline corridor join: celled candidates, Column refine ----------
     from mbrngq_spark import harness as _H
     from mbrngq_spark.operators.lines import polyline_distance_join
