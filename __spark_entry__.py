@@ -266,6 +266,15 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hull").alias("part"), F.col("id").alias("poly_id"),
         F.col("next_id").alias("tile_id"),
         F.col("qx").alias("ix"), F.col("qy").alias("iy"))
+    # part 'diameter' (r6): farthest pair (hull.hull_diameter) — the
+    # point-set diameter is always a strict-hull-vertex pair, so the
+    # quadratic scan runs over O(h) hull vertices; exact int64 squared
+    # distance, (a_id, b_id) tiebreak. Oracle scans ALL quantized pairs.
+    from mbrngq_spark.operators.hull import hull_diameter
+    diam = hull_diameter(dg).select(
+        F.lit("diameter").alias("part"), F.col("a_id").alias("poly_id"),
+        F.col("b_id").alias("tile_id"), F.col("d2q").alias("ix"),
+        F.lit(-1).cast("long").alias("iy"))
     # part 'refpts' (r6): linear referencing (lines.points_along) —
     # mileposts every REF_STEP along the fixture routes; segment lengths
     # int64-quantized before the per-line cumulative sum, the k-range
@@ -281,7 +290,7 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (planar.unionByName(compacted).unionByName(geo)
             .unionByName(area).unionByName(zonal)
             .unionByName(crossing).unionByName(meas)
-            .unionByName(hull).unionByName(refpts))
+            .unionByName(hull).unionByName(diam).unionByName(refpts))
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,8 +464,21 @@ def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.lit("idw").alias("part"),
                    F.lit(H.KDE_RES).cast("int").alias("res"), "cell",
                    F.col("numq").alias("a"), F.col("denq").alias("b")))
+    # part 'moran' (r6): global Moran's I over the same raster — ONE row
+    # (cell = −1), every corpus-sized input an exact int64 (crossnum,
+    # sumxw, total, sumsq, closed-form W), score a fixed double dag;
+    # a = floor(I·10⁹) (signed → floor), b = W.
+    from mbrngq_spark.operators.tiles import moran_i
+    mor = (moran_i(docs_geo, H.MASK_RES, H.CFG)
+           .select(F.lit("moran").alias("part"),
+                   F.lit(H.MASK_RES).cast("int").alias("res"),
+                   F.lit(-1).cast("long").alias("cell"),
+                   F.floor(F.col("moran") * F.lit(1e9)).cast("long")
+                   .alias("a"),
+                   F.col("w_tot").alias("b")))
     return (stats.unionByName(hll).unionByName(kde)
-            .unionByName(focal).unionByName(hot).unionByName(idw))
+            .unionByName(focal).unionByName(hot).unionByName(idw)
+            .unionByName(mor))
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2114,6 +2136,47 @@ def oracle_sql() -> dict[str, str]:
                       FROM g) gv) gx) gxy) gc) gd
         WHERE d2 <= {_kh2!r}
         GROUP BY 3""")
+    # 'moran' part: global Moran's I — exact-int scalar inputs
+    # (crossnum via the self-excluding neighbor-pair join, sumxw, total,
+    # sumsq) combined with the engine's exact double dag; one row
+    _wtot = (3 * _mn - 2) ** 2 - _mn * _mn
+    _rb = (f"SELECT ({qx_m}) AS ix, ({qy_m}) AS iy, count(*) AS n_docs "
+           f"FROM g GROUP BY 1, 2")
+    _wex = (f"CAST((3 - CASE WHEN ix = 0 THEN 1 ELSE 0 END"
+            f" - CASE WHEN ix = {_mn - 1} THEN 1 ELSE 0 END)"
+            f" * (3 - CASE WHEN iy = 0 THEN 1 ELSE 0 END"
+            f" - CASE WHEN iy = {_mn - 1} THEN 1 ELSE 0 END)"
+            f" - 1 AS BIGINT)")
+    _mxbar = f"(CAST(total AS DOUBLE) / {_mnn!r})"
+    _mnum = (f"(CAST(crossnum AS DOUBLE)"
+             f" - {_mxbar} * (2.0 * CAST(sumxw AS DOUBLE))"
+             f" + {_mxbar} * {_mxbar} * {float(_wtot)!r})")
+    _mden = (f"(CAST(sumsq AS DOUBLE)"
+             f" - CAST(total AS DOUBLE) * CAST(total AS DOUBLE)"
+             f" / {_mnn!r})")
+    pyr_levels.append(f"""
+        SELECT 'moran' AS part, CAST({H.MASK_RES} AS INT) AS res,
+               CAST(-1 AS BIGINT) AS cell,
+               CAST(FLOOR({_mnn / float(_wtot)!r} * {_mnum} / {_mden}
+                          * 1000000000.0) AS BIGINT) AS a,
+               CAST({_wtot} AS BIGINT) AS b
+        FROM (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                 CAST(sum(n_docs * n_docs) AS BIGINT) AS sumsq,
+                 CAST(sum(n_docs * {_wex}) AS BIGINT) AS sumxw
+          FROM ({_rb}) rb) g1
+        CROSS JOIN (
+          SELECT CAST(sum(s.n_docs * t.n_docs) AS BIGINT) AS crossnum
+          FROM (
+            SELECT ix, iy, n_docs, tx,
+                   unnest(generate_series(iy - 1, iy + 1)) AS ty
+            FROM (SELECT ix, iy, n_docs,
+                         unnest(generate_series(ix - 1, ix + 1)) AS tx
+                  FROM ({_rb}) r0) r1) s
+          JOIN ({_rb}) t ON s.tx = t.ix AND s.ty = t.iy
+          WHERE s.tx BETWEEN 0 AND {_mn - 1}
+            AND s.ty BETWEEN 0 AND {_mn - 1}
+            AND (s.tx <> s.ix OR s.ty <> s.iy)) g2""")
 
     cell_pyramid = f"""
         WITH g AS ({geo})
@@ -3507,6 +3570,14 @@ def oracle_sql() -> dict[str, str]:
           JOIN hpts r ON r.id <> a.id AND r.id <> b.id
           GROUP BY 1, 2, 3, 4) he
         WHERE ok = 1
+        UNION ALL
+        SELECT 'diameter' AS part, a_id AS poly_id, b_id AS tile_id,
+               d2 AS ix, CAST(-1 AS BIGINT) AS iy
+        FROM (SELECT a.id a_id, b.id b_id,
+                     (b.qx - a.qx) * (b.qx - a.qx)
+                     + (b.qy - a.qy) * (b.qy - a.qy) AS d2
+              FROM hpts a JOIN hpts b ON a.id < b.id
+              ORDER BY d2 DESC, a_id, b_id LIMIT 1) dd
         UNION ALL
         {_refpts_sel}
     """

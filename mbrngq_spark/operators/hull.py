@@ -113,3 +113,32 @@ def convex_hull(points: DataFrame, id_col: str = "doc_id",
     cand = pts.select("id", "qx", "qy").mapInPandas(local_hull, _SCHEMA)
     return cand.repartition(1).mapInPandas(
         final_hull, "pos long, id long, qx long, qy long, next_id long")
+
+
+def hull_diameter(points: DataFrame, id_col: str = "doc_id",
+                  quant: float = 1e6) -> DataFrame:
+    """Farthest pair (the point-set diameter): ONE row
+    (a_id, b_id, d2q, dist) with d2q the exact int64 squared quantized
+    distance and dist = sqrt(d2q)/quant.
+
+    The farthest pair is always a pair of STRICT hull vertices (distance
+    to an edge-interior point is strictly below the max of the edge's
+    endpoints — |q−(a+t(b−a))|² is strictly convex in t), so the
+    quadratic scan runs over the hull's O(h) vertices, not the corpus:
+    corpus-scale work is the hull reduction; the pair scan is h² rows on
+    one executor. Ties break on (a_id, b_id) — exact int comparisons,
+    identical in every engine."""
+    h = convex_hull(points, id_col=id_col, quant=quant)
+    a = h.select(F.col("id").alias("a_id"), F.col("qx").alias("aqx"),
+                 F.col("qy").alias("aqy"))
+    b = h.select(F.col("id").alias("b_id"), F.col("qx").alias("bqx"),
+                 F.col("qy").alias("bqy"))
+    d2 = ((F.col("bqx") - F.col("aqx")) * (F.col("bqx") - F.col("aqx"))
+          + (F.col("bqy") - F.col("aqy")) * (F.col("bqy") - F.col("aqy")))
+    return (a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("d2q", d2)
+            .orderBy(F.col("d2q").desc(), F.col("a_id"), F.col("b_id"))
+            .limit(1)
+            .select("a_id", "b_id", "d2q",
+                    (F.sqrt(F.col("d2q").cast("double"))
+                     / F.lit(quant)).alias("dist")))

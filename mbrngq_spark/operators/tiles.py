@@ -359,6 +359,72 @@ def hotspot_gi(docs_geo: DataFrame, res: int,
         "w_i", "s_i", gi.alias("gi"))
 
 
+def moran_i(docs_geo: DataFrame, res: int,
+            cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the doc-count
+    raster with binary 3×3 weights EXCLUDING self (the global companion
+    of hotspot_gi; empty cells are x=0 population members, N = 4^res):
+
+        I = (N/W)·Σᵢⱼ wᵢⱼ(xᵢ−x̄)(xⱼ−x̄) / Σᵢ(xᵢ−x̄)²
+
+    expanded so every corpus-sized quantity is an exact int64:
+    Σᵢⱼ wᵢⱼxᵢxⱼ = crossnum (directed nonempty neighbor-pair product
+    sum), Σᵢⱼ wᵢⱼ(xᵢ+xⱼ) = 2·Σᵢ xᵢ·Wᵢᵉˣ (symmetry; empty cells
+    contribute 0), W = Σ over ALL cells of Wᵢᵉˣ = (3n−2)² − n² (closed
+    form — Σ of the edge-clamped 3×3 size is (3n−2) per axis). The
+    final score is a fixed /,*,−,+ dag over those ints — bit-identical
+    across engines.
+
+    Shape at scale: corpus → raster (one agg), raster self-join on the
+    9-cell splat (cell-count-sized, broadcastable), two scalar
+    aggregates. Returns ONE row (total, sumsq, sumxw, crossnum, w_tot,
+    moran)."""
+    n = 1 << res
+    nn = float(n * n)
+    w_tot = (3 * n - 2) ** 2 - n * n
+    base = (docs_geo
+            .select(grid.quantize(F.col("x"), cfg.min_x, cfg.width,
+                                  res).alias("ix"),
+                    grid.quantize(F.col("y"), cfg.min_y, cfg.height,
+                                  res).alias("iy"))
+            .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n_docs")))
+    wx = (F.lit(3) - (F.col("ix") == 0).cast("int")
+          - (F.col("ix") == n - 1).cast("int"))
+    wy = (F.lit(3) - (F.col("iy") == 0).cast("int")
+          - (F.col("iy") == n - 1).cast("int"))
+    glob = base.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.sum(F.col("n_docs") * F.col("n_docs")).cast("long").alias("sumsq"),
+        F.sum(F.col("n_docs") * (wx * wy - F.lit(1)).cast("long"))
+        .cast("long").alias("sumxw"))
+    spl = (base
+           .withColumn("tx", F.explode(F.sequence(F.col("ix") - 1,
+                                                  F.col("ix") + 1)))
+           .withColumn("ty", F.explode(F.sequence(F.col("iy") - 1,
+                                                  F.col("iy") + 1)))
+           .filter((F.col("tx") >= 0) & (F.col("tx") <= n - 1)
+                   & (F.col("ty") >= 0) & (F.col("ty") <= n - 1)
+                   & ((F.col("tx") != F.col("ix"))
+                      | (F.col("ty") != F.col("iy")))))
+    tgt = base.select(F.col("ix").alias("tx"), F.col("iy").alias("ty"),
+                      F.col("n_docs").alias("c_tgt"))
+    cross = (spl.join(tgt, ["tx", "ty"])
+             .agg(F.sum(F.col("n_docs") * F.col("c_tgt")).cast("long")
+                  .alias("crossnum")))
+    one = cross.crossJoin(F.broadcast(glob))
+    xbar = F.col("total").cast("double") / F.lit(nn)
+    num = (F.col("crossnum").cast("double")
+           - xbar * (F.lit(2.0) * F.col("sumxw").cast("double"))
+           + xbar * xbar * F.lit(float(w_tot)))
+    den = (F.col("sumsq").cast("double")
+           - F.col("total").cast("double")
+           * F.col("total").cast("double") / F.lit(nn))
+    moran = F.lit(nn / float(w_tot)) * num / den
+    return one.select("total", "sumsq", "sumxw", "crossnum",
+                      F.lit(w_tot).cast("long").alias("w_tot"),
+                      moran.alias("moran"))
+
+
 def idw_interpolate(docs_geo: DataFrame, value_col: str, radius: float,
                     res: int, cfg: EngineConfig = DEFAULT,
                     smooth: float = 0.5, quant: float = 1e9) -> DataFrame:

@@ -78,3 +78,46 @@ def test_hull_degenerate_inputs(spark):
         "doc_id long, x double, y double")
     got = sorted(convex_hull(dup).collect(), key=lambda r: r.pos)
     assert sorted(int(r.id) for r in got) == [3, 5, 6]
+
+
+def test_hull_diameter_is_global_max_pair(spark, docs_geo):
+    """Farthest pair over the hull == exhaustive quadratic max over ALL
+    quantized points, with the (a_id, b_id) tiebreak."""
+    from mbrngq_spark.operators.hull import hull_diameter
+
+    r = hull_diameter(docs_geo).collect()
+    assert len(r) == 1
+    r = r[0]
+    pdf = docs_geo.toPandas()
+    import pandas as pd
+    qx = np.round(pdf.x.to_numpy() * 1e6).astype(np.int64)
+    qy = np.round(pdf.y.to_numpy() * 1e6).astype(np.int64)
+    ids = pdf.doc_id.to_numpy().astype(np.int64)
+    d = (pd.DataFrame({"id": ids, "qx": qx, "qy": qy})
+         .groupby(["qx", "qy"], as_index=False)["id"].min())
+    x = d["qx"].to_numpy()[:, None] - d["qx"].to_numpy()[None, :]
+    y = d["qy"].to_numpy()[:, None] - d["qy"].to_numpy()[None, :]
+    d2 = x * x + y * y
+    best = None
+    di = d["id"].to_numpy()
+    mx = d2.max()
+    ii, jj = np.where(d2 == mx)
+    for i, j in zip(ii, jj):
+        a, b = sorted((int(di[i]), int(di[j])))
+        if best is None or (a, b) < best:
+            best = (a, b)
+    assert (int(r.a_id), int(r.b_id), int(r.d2q)) == (*best, int(mx))
+    assert float(r.dist) == float(np.sqrt(float(mx))) / 1e6
+
+
+def test_hull_diameter_tiebreak(spark):
+    """A square has two equal diagonals — the (a_id, b_id) tiebreak must
+    pick the lexicographically smallest pair."""
+    from mbrngq_spark.operators.hull import hull_diameter
+
+    sq = spark.createDataFrame(
+        [(4, 0.0, 0.0), (2, 1.0, 0.0), (3, 1.0, 1.0), (9, 0.0, 1.0)],
+        "doc_id long, x double, y double")
+    r = hull_diameter(sq).collect()[0]
+    # diagonals: (4,3) and (2,9) -> sorted pairs (3,4) and (2,9); min = (2,9)
+    assert (int(r.a_id), int(r.b_id)) == (2, 9)

@@ -425,3 +425,61 @@ def test_idw_matches_numpy_exactly(spark, docs_geo):
                              sum(q(x) for x in (w * v * quant).tolist()),
                              sum(q(x) for x in (w * quant).tolist()))
     assert got == exp
+
+
+def test_moran_i_matches_numpy_bit_exact(spark, docs_geo):
+    """Global Moran's I — exact-int scalar inputs recomputed in Python,
+    the double dag asserted with == (bit-exact)."""
+    from mbrngq_spark.operators.tiles import moran_i
+
+    res = 4
+    n = 1 << res
+    nn = float(n * n)
+    w_tot = (3 * n - 2) ** 2 - n * n
+    r = moran_i(docs_geo, res).collect()
+    assert len(r) == 1
+    r = r[0]
+    cnt = _raster_counts(docs_geo.toPandas(), res)
+    total = sum(cnt.values())
+    sumsq = sum(c * c for c in cnt.values())
+    sumxw = sum(c * ((3 - (ix == 0) - (ix == n - 1))
+                     * (3 - (iy == 0) - (iy == n - 1)) - 1)
+                for (ix, iy), c in cnt.items())
+    crossnum = 0
+    for (ix, iy), c in cnt.items():
+        for tx in range(max(ix - 1, 0), min(ix + 1, n - 1) + 1):
+            for ty in range(max(iy - 1, 0), min(iy + 1, n - 1) + 1):
+                if (tx, ty) != (ix, iy) and (tx, ty) in cnt:
+                    crossnum += c * cnt[(tx, ty)]
+    assert (int(r.total), int(r.sumsq), int(r.sumxw), int(r.crossnum),
+            int(r.w_tot)) == (total, sumsq, sumxw, crossnum, w_tot)
+    xbar = float(total) / nn
+    num = float(crossnum) - xbar * (2.0 * float(sumxw)) \
+        + xbar * xbar * float(w_tot)
+    den = float(sumsq) - float(total) * float(total) / nn
+    assert float(r.moran) == (nn / float(w_tot)) * num / den
+    # near-uniform fixture counts → |I| small-ish, well inside [-1, 1]
+    assert -1.0 < float(r.moran) < 1.0
+
+
+def test_moran_i_sign_semantics(spark):
+    """A tight cluster → strongly positive I; a checkerboard → strongly
+    negative I (the statistic's defining behavior)."""
+    from mbrngq_spark.operators.tiles import moran_i
+
+    res, n = 3, 8
+    cell_w = 100.0 / n
+    # cluster: many docs in the 2×2 block of cells at the origin
+    cl = [(i, (i % 2 + 0.5) * cell_w, (i // 2 % 2 + 0.5) * cell_w)
+          for i in range(200)]
+    clustered = spark.createDataFrame(cl, "doc_id long, x double, y double")
+    i_cl = float(moran_i(clustered, res).collect()[0].moran)
+    assert i_cl > 0.3
+    # vertical stripes: under QUEEN (8-neighbor) weights a checkerboard
+    # is only mildly negative (its diagonal neighbors are the same
+    # color); stripes anti-correlate strongly (I = -7/15 on 8×8)
+    st = [(ix * n + iy, (ix + 0.5) * cell_w, (iy + 0.5) * cell_w)
+          for ix in range(n) for iy in range(n) if ix % 2 == 0]
+    stripes = spark.createDataFrame(st, "doc_id long, x double, y double")
+    i_st = float(moran_i(stripes, res).collect()[0].moran)
+    assert i_st < -0.3

@@ -420,6 +420,13 @@ def main() -> int:
           and "SortMergeJoin" not in p and "ShuffledHashJoin" not in p)
     check("hotspot Gi*: score is pure Column over exact ints (no Python)",
           "EvalPython" not in p)
+    from mbrngq_spark.operators.tiles import moran_i
+    mo = moran_i(docs_geo, 4)
+    p = plan_of(mo, execute=True)
+    sections.append(("Moran's I", p))
+    check("moran: corpus collapses to the raster map-side (partial "
+          "aggregation) and the score dag is pure Column",
+          "partial_count" in p and "EvalPython" not in p)
     iw = idw_interpolate(
         docs_geo.withColumn("v", (F.col("doc_id") % 97).cast("double")),
         "v", 10.0, 4)
