@@ -682,7 +682,21 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_epoch").cast("long").alias("c"),
         F.col("end_epoch").cast("long").alias("d"),
         F.col("cx_q").alias("e"), F.col("cy_q").alias("f"))
-    return sess.unionByName(trav).unionByName(stay)
+    # part 'contact' (r6): space-time co-location
+    # (trajectory.colocation_contacts) — pairs of users within COLOC_EPS
+    # AND COLOC_TAU seconds, via the (cell, te div tau)-keyed lossless
+    # candidate join; per unordered pair: count, first/last epoch,
+    # micro-quantized closest approach. user_id=ua, a=ub, b=n_contacts,
+    # c=first_te, d=last_te, e=min_dist_q.
+    from mbrngq_spark.operators.trajectory import colocation_contacts
+    egc = with_event_geometry(ev.filter(F.col("event_id") < H.COLOC_N))
+    contact = colocation_contacts(egc, H.COLOC_EPS, H.COLOC_TAU).select(
+        F.lit("contact").alias("part"), F.col("ua").alias("user_id"),
+        F.col("ub").alias("a"), F.col("n_contacts").alias("b"),
+        F.col("first_te").alias("c"), F.col("last_te").alias("d"),
+        F.col("min_dist_q").alias("e"), zero.alias("f"))
+    return (sess.unionByName(trav).unionByName(stay)
+            .unionByName(contact))
 
 
 def _q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2517,6 +2531,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM trav
         UNION ALL
         SELECT 'stay', user_id, a, b, c, d, e, f FROM stays
+        UNION ALL
+        SELECT 'contact', ua AS user_id, ub AS a,
+               CAST(count(*) AS BIGINT) AS b,
+               min(least(a_te, b_te)) AS c,
+               max(greatest(a_te, b_te)) AS d,
+               min(CAST(round(dist * 1000000.0) AS BIGINT)) AS e,
+               CAST(0 AS BIGINT) AS f
+        FROM (
+          SELECT least(a.user_id, b.user_id) AS ua,
+                 greatest(a.user_id, b.user_id) AS ub,
+                 a.te AS a_te, b.te AS b_te,
+                 {H.dist_sql('a.x', 'a.y', 'b.x', 'b.y')} AS dist
+          FROM (SELECT * FROM ev WHERE event_id < {H.COLOC_N}) a
+          JOIN (SELECT * FROM ev WHERE event_id < {H.COLOC_N}) b
+            ON a.event_id < b.event_id AND a.user_id <> b.user_id
+          WHERE abs(a.te - b.te) <= {H.COLOC_TAU}
+            AND {H.dist_sql('a.x', 'a.y', 'b.x', 'b.y')}
+                <= {H.COLOC_EPS!r}) cp
+        GROUP BY ua, ub
     """
 
     agg_stats = """

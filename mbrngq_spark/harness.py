@@ -59,6 +59,13 @@ REF_STEP = 7.0                 # linear-referencing milepost spacing
 SNAP_RADIUS = 8.0              # nearest-polyline snap cutoff
 OVERLAY_S = 1.5                # per-doc square half-width (overlay join)
 STAY_EPS = 40.0                # stay-point leg threshold (trajectory)
+# co-location contact params: the derived event positions are a
+# low-discrepancy sequence of event_id, so distances of time-near pairs
+# are BANDED with minimum ~14.02 — eps must clear that band to produce
+# contacts (16.0 → ~2.9k pairs at sf0.01 within 900 s)
+COLOC_EPS = 16.0               # co-location contact distance
+COLOC_TAU = 900                # co-location contact window, seconds
+COLOC_N = 4000                 # event_id cap for the contact gate fixture
 STAY_DUR = 600                 # stay-point min duration, seconds
 KDE_H = 10.0                   # heatmap kernel bandwidth
 KDE_RES = 4                    # heatmap grid (16×16 Morton cells)

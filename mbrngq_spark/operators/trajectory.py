@@ -97,3 +97,86 @@ def stay_points(events_geo: DataFrame, eps: float,
             .filter((F.col("end_epoch") - F.col("start_epoch")
                      >= F.lit(int(min_dur)))
                     & (F.col("n_events") >= F.lit(int(min_events)))))
+
+
+def colocation_pairs(events_geo: DataFrame, eps: float, tau: int,
+                     cfg: EngineConfig = DEFAULT,
+                     res: int | None = None) -> DataFrame:
+    """Space-time co-location join (contact tracing): every pair of
+    events from DIFFERENT users within ``eps`` distance AND ``tau``
+    seconds — (a_user, b_user, a_event, b_event, a_te, b_te, dist, dt).
+
+    The ε-join's celled-candidate discipline extended with a TIME axis:
+    each event carries its (cell, te div tau) key; side A additionally
+    emits its 3×3 spatial neighborhood × 3 time buckets (bounded JVM
+    explode, ≤27 rows), side B emits only its own key, so a qualifying
+    pair meets EXACTLY once (cell edge ≥ eps ⟹ |Δcell| ≤ 1 per axis;
+    bucket width = tau ⟹ |Δbucket| ≤ 1) and the equi-join is provably
+    lossless. Pair dedup by a_event < b_event (each unordered pair would
+    otherwise appear once per role assignment). Refine = exact sqrt
+    distance + integer Δt — no Python, one shuffle keyed by
+    (cell, bucket); AQE skew-splits dense cells at scale."""
+    from mbrngq_spark import grid
+    from mbrngq_spark.operators.distance_join import eps_join_res
+
+    res = res or eps_join_res(eps, cfg)
+    n = 1 << res
+    base = (events_geo
+            .select("user_id", "event_id", "te", "x", "y")
+            .withColumn("__ix", grid.quantize(F.col("x"), cfg.min_x,
+                                              cfg.width, res))
+            .withColumn("__iy", grid.quantize(F.col("y"), cfg.min_y,
+                                              cfg.height, res))
+            .withColumn("__tb", F.expr(f"te div {int(tau)}")))
+    a = (base
+         .withColumn("cix", F.explode(F.sequence(F.col("__ix") - 1,
+                                                 F.col("__ix") + 1)))
+         .withColumn("ciy", F.explode(F.sequence(F.col("__iy") - 1,
+                                                 F.col("__iy") + 1)))
+         .withColumn("ctb", F.explode(F.sequence(F.col("__tb") - 1,
+                                                 F.col("__tb") + 1)))
+         .filter((F.col("cix") >= 0) & (F.col("cix") <= n - 1)
+                 & (F.col("ciy") >= 0) & (F.col("ciy") <= n - 1))
+         .select(F.col("user_id").alias("a_user"),
+                 F.col("event_id").alias("a_event"),
+                 F.col("te").alias("a_te"),
+                 F.col("x").alias("ax"), F.col("y").alias("ay"),
+                 grid.cell_from_indices(F.col("cix"),
+                                        F.col("ciy")).alias("cell"),
+                 F.col("ctb").alias("tb")))
+    b = base.select(F.col("user_id").alias("b_user"),
+                    F.col("event_id").alias("b_event"),
+                    F.col("te").alias("b_te"),
+                    F.col("x").alias("bx"), F.col("y").alias("by"),
+                    grid.cell_from_indices(F.col("__ix"),
+                                           F.col("__iy")).alias("cell"),
+                    F.col("__tb").alias("tb"))
+    d = geom.dist_point(F.col("ax"), F.col("ay"),
+                        F.col("bx"), F.col("by"))
+    return (a.join(b, ["cell", "tb"])
+            .filter((F.col("a_event") < F.col("b_event"))
+                    & (F.col("a_user") != F.col("b_user")))
+            .withColumn("dist", d)
+            .withColumn("dt", F.abs(F.col("a_te") - F.col("b_te")))
+            .filter((F.col("dist") <= F.lit(float(eps)))
+                    & (F.col("dt") <= F.lit(int(tau))))
+            .select("a_user", "b_user", "a_event", "b_event",
+                    "a_te", "b_te", "dist", "dt"))
+
+
+def colocation_contacts(events_geo: DataFrame, eps: float, tau: int,
+                        cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Per unordered user pair: contact count, first/last contact epoch,
+    and closest approach (micro-quantized min distance — min of int64 is
+    order-free). One keyed aggregation over colocation_pairs."""
+    pairs = colocation_pairs(events_geo, eps, tau, cfg)
+    ua = F.least("a_user", "b_user")
+    ub = F.greatest("a_user", "b_user")
+    return (pairs
+            .withColumn("ua", ua).withColumn("ub", ub)
+            .groupBy("ua", "ub")
+            .agg(F.count(F.lit(1)).alias("n_contacts"),
+                 F.min(F.least("a_te", "b_te")).alias("first_te"),
+                 F.max(F.greatest("a_te", "b_te")).alias("last_te"),
+                 F.min(F.round(F.col("dist") * F.lit(1e6)).cast("long"))
+                 .alias("min_dist_q")))

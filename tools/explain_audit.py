@@ -391,6 +391,22 @@ def main() -> int:
               if "Exchange hashpartitioning" in ln)
           and "EvalPython" not in p)
 
+    # --- co-location join: one (cell, bucket)-keyed equi-join ---------------
+    from mbrngq_spark.operators.trajectory import (colocation_contacts,
+                                                   with_event_geometry)
+    ev4 = spark.read.parquet(f"{SF}/events.parquet") \
+        .filter(F.col("event_id") < 4000)
+    cc_df = colocation_contacts(with_event_geometry(ev4), 16.0, 900)
+    p = plan_of(cc_df, execute=True)
+    sections.append(("co-location contacts", p))
+    check("colocation: the candidate stage is ONE equi-join keyed by "
+          "(cell, tb) — no nested loop, no Python",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and "EvalPython" not in p
+          and all(("cell" in ln and "tb" in ln) or "ua" in ln or "knownfloatingpointnormalized" in ln
+                  for ln in p.splitlines()
+                  if "Exchange hashpartitioning" in ln))
+
     # --- KDE heatmap: map-only splat + one keyed sum ------------------------
     from mbrngq_spark.operators.tiles import tile_heatmap
     hm = tile_heatmap(docs_geo, 10.0, 4)
