@@ -695,8 +695,41 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ub").alias("a"), F.col("n_contacts").alias("b"),
         F.col("first_te").alias("c"), F.col("last_te").alias("d"),
         F.col("min_dist_q").alias("e"), zero.alias("f"))
+    # part 'overlap' (r6): interval-overlap join / session co-presence
+    # (intervals.session_copresence) — sessions rebuilt at a 6 h gap,
+    # pairs via the bucket-celled 1-D join with first-shared-bucket
+    # dedup (no distinct); per unordered user pair: n_overlaps, total
+    # overlapped seconds (exact int64), first/last co-presence.
+    # user_id=ua, a=ub, b=n_overlaps, c=first_te, d=last_te,
+    # e=total_overlap_s.
+    from mbrngq_spark.operators.intervals import session_copresence
+    new_cp = F.when(
+        (F.col("te") - F.lag("te").over(w) > H.CP_GAP)
+        | F.lag("te").over(w).isNull(), 1).otherwise(0)
+    iv = (evt.withColumn("new_s", new_cp)
+          .withColumn("sidx", F.sum("new_s").over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sidx")
+          .agg(F.min("te").alias("t0"), F.max("te").alias("t1"))
+          .select("user_id", F.col("sidx").alias("session_idx"),
+                  "t0", "t1"))
+    ovl = session_copresence(iv, width=H.CP_WIDTH).select(
+        F.lit("overlap").alias("part"), F.col("ua").alias("user_id"),
+        F.col("ub").alias("a"), F.col("n_overlaps").alias("b"),
+        F.col("first_te").alias("c"), F.col("last_te").alias("d"),
+        F.col("total_overlap_s").alias("e"), zero.alias("f"))
+    # part 'od' (r6): origin-destination flow matrix
+    # (trajectory.od_matrix) over the derived event positions at the
+    # 8×8 Morton grid. user_id=cell_from, a=cell_to, b=n_trips,
+    # c=n_users.
+    from mbrngq_spark.operators.trajectory import od_matrix
+    od = od_matrix(eg, H.OD_RES).select(
+        F.lit("od").alias("part"), F.col("cell_from").alias("user_id"),
+        F.col("cell_to").alias("a"), F.col("n_trips").alias("b"),
+        F.col("n_users").alias("c"), zero.alias("d"), zero.alias("e"),
+        zero.alias("f"))
     return (sess.unionByName(trav).unionByName(stay)
-            .unionByName(contact))
+            .unionByName(contact).unionByName(ovl).unionByName(od))
 
 
 def _q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2464,6 +2497,10 @@ def oracle_sql() -> dict[str, str]:
     # trajectory parts: event positions via the same LCG derive
     # (id_expr=event_id), legs = lag-window sqrt (raw-double comparable),
     # summed quantities micro-quantized BEFORE the sum
+    _od_cell = H.morton_sql(
+        f"({H.quantize_sql('x', H.CFG.min_x, H.CFG.width, H.OD_RES)})",
+        f"({H.quantize_sql('y', H.CFG.min_y, H.CFG.height, H.OD_RES)})",
+        H.OD_RES)
     events_sessionize = f"""
         WITH ev AS (
           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS te,
@@ -2521,7 +2558,21 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(CAST(round(y * 1000000.0) AS BIGINT))
                       AS BIGINT) AS f
           FROM isl GROUP BY user_id, island
-          HAVING max(te) - min(te) >= {H.STAY_DUR} AND count(*) >= 2)
+          HAVING max(te) - min(te) >= {H.STAY_DUR} AND count(*) >= 2),
+        cp_flag AS (
+          SELECT user_id, event_id, te,
+                 CASE WHEN te - lag(te) OVER w > {H.CP_GAP}
+                      OR lag(te) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY te, event_id)),
+        cp_iv AS (
+          SELECT user_id, min(te) AS t0, max(te) AS t1
+          FROM (SELECT user_id, te,
+                       CAST(sum(new_s) OVER (PARTITION BY user_id
+                            ORDER BY te, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx
+                FROM cp_flag) cs
+          GROUP BY user_id, sidx)
         SELECT 'session' AS part, user_id, session_idx AS a,
                count(*) AS b, min(te) AS c, max(te) AS d,
                CAST(0 AS BIGINT) AS e, CAST(0 AS BIGINT) AS f
@@ -2550,6 +2601,36 @@ def oracle_sql() -> dict[str, str]:
             AND {H.dist_sql('a.x', 'a.y', 'b.x', 'b.y')}
                 <= {H.COLOC_EPS!r}) cp
         GROUP BY ua, ub
+        UNION ALL
+        SELECT 'overlap', ua AS user_id, ub AS a,
+               CAST(count(*) AS BIGINT) AS b,
+               min(ostart) AS c, max(oend) AS d,
+               CAST(sum(oend - ostart) AS BIGINT) AS e,
+               CAST(0 AS BIGINT) AS f
+        FROM (
+          SELECT a.user_id AS ua, b.user_id AS ub,
+                 greatest(a.t0, b.t0) AS ostart,
+                 least(a.t1, b.t1) AS oend
+          FROM cp_iv a JOIN cp_iv b
+            ON a.user_id < b.user_id
+           AND greatest(a.t0, b.t0) <= least(a.t1, b.t1)) op
+        GROUP BY ua, ub
+        UNION ALL
+        SELECT 'od', cell_from AS user_id, cell_to AS a,
+               CAST(count(*) AS BIGINT) AS b,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS c,
+               CAST(0 AS BIGINT) AS d, CAST(0 AS BIGINT) AS e,
+               CAST(0 AS BIGINT) AS f
+        FROM (
+          SELECT user_id,
+                 lag(cell) OVER (PARTITION BY user_id
+                                 ORDER BY te, event_id) AS cell_from,
+                 cell AS cell_to
+          FROM (SELECT user_id, event_id, te,
+                       {_od_cell} AS cell
+                FROM ev) ec) tr
+        WHERE cell_from IS NOT NULL
+        GROUP BY cell_from, cell_to
     """
 
     agg_stats = """

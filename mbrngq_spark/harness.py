@@ -66,6 +66,9 @@ STAY_EPS = 40.0                # stay-point leg threshold (trajectory)
 COLOC_EPS = 16.0               # co-location contact distance
 COLOC_TAU = 900                # co-location contact window, seconds
 COLOC_N = 4000                 # event_id cap for the contact gate fixture
+CP_GAP = 21600                 # co-presence sessionize gap (6 h)
+CP_WIDTH = 86400               # interval-join bucket width (1 day)
+OD_RES = 3                     # origin-destination flow grid (8×8)
 STAY_DUR = 600                 # stay-point min duration, seconds
 KDE_H = 10.0                   # heatmap kernel bandwidth
 KDE_RES = 4                    # heatmap grid (16×16 Morton cells)

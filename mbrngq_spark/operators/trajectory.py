@@ -180,3 +180,22 @@ def colocation_contacts(events_geo: DataFrame, eps: float, tau: int,
                  F.max(F.greatest("a_te", "b_te")).alias("last_te"),
                  F.min(F.round(F.col("dist") * F.lit(1e6)).cast("long"))
                  .alias("min_dist_q")))
+
+
+def od_matrix(events_geo: DataFrame, res: int,
+              cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Origin-destination flow matrix: per (cell_from, cell_to) Morton
+    cell pair, the number of consecutive-event transitions and distinct
+    users making them — the classic trajectory aggregate (flow maps,
+    transition matrices). One lag window keyed by user_id + one keyed
+    aggregation; all int64."""
+    from mbrngq_spark import grid
+    w = Window.partitionBy("user_id").orderBy("te", "event_id")
+    cell = grid.cell_encode(F.col("x"), F.col("y"), res, cfg)
+    df = (events_geo.withColumn("cell", cell)
+          .withColumn("prev", F.lag("cell").over(w)))
+    return (df.filter(F.col("prev").isNotNull())
+            .groupBy(F.col("prev").alias("cell_from"),
+                     F.col("cell").alias("cell_to"))
+            .agg(F.count(F.lit(1)).alias("n_trips"),
+                 F.countDistinct("user_id").alias("n_users")))

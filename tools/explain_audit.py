@@ -407,6 +407,19 @@ def main() -> int:
                   for ln in p.splitlines()
                   if "Exchange hashpartitioning" in ln))
 
+    # --- interval-overlap join: bucket-keyed, dedup by arithmetic ----------
+    from mbrngq_spark.operators.intervals import interval_overlap_join
+    iv_a = spark.range(200).select(
+        F.col("id"), (F.col("id") * 977).alias("t0"),
+        (F.col("id") * 977 + 5000).alias("t1"))
+    ov = interval_overlap_join(iv_a, iv_a, width=4000)
+    p = plan_of(ov, execute=True)
+    sections.append(("interval overlap join", p))
+    check("interval join: one bucket-keyed equi-join, dedup is "
+          "first-shared-bucket arithmetic — no distinct, no nested loop",
+          "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and "HashAggregate" not in p and "EvalPython" not in p)
+
     # --- KDE heatmap: map-only splat + one keyed sum ------------------------
     from mbrngq_spark.operators.tiles import tile_heatmap
     hm = tile_heatmap(docs_geo, 10.0, 4)
