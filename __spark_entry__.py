@@ -1813,8 +1813,24 @@ def _q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("a_id"),
         F.col("line_id").cast("long").alias("b_id"),
         F.round("dist", 6).alias("dist"))
+    # part 'match' (r6): HMM map matching (trajectory.map_match) — the
+    # full Viterbi DP cost table over user trajectories vs the fixture
+    # routes: emissions micro-quantized JVM-side, the DP pure int64
+    # min-plus in an Arrow per-user kernel; the oracle replays it with
+    # a pivoted recursive CTE (c0..c2 columns per step). b_id packs
+    # (step, route) as step·4+route; dist carries the exact int cost.
+    # The backtraced path itself is pytest-verified vs a Python twin.
+    from mbrngq_spark.operators.trajectory import (map_match,
+                                                   with_event_geometry)
+    mev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_id") < H.MATCH_N)
+    mm = map_match(with_event_geometry(mev), lines_df,
+                   H.MATCH_SWITCH).select(
+        F.lit("match").alias("part"), F.col("user_id").alias("a_id"),
+        (F.col("step") * 4 + F.col("route_id")).alias("b_id"),
+        F.col("costq").cast("double").alias("dist"))
     return (rect.unionByName(eps).unionByName(db).unionByName(ln)
-            .unionByName(snap))
+            .unionByName(snap).unionByName(mm))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3894,6 +3910,50 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY pr.pa
     """
 
+    # 'match' part: Viterbi DP replayed as a pivoted recursive CTE —
+    # per-step state is one row (user, step, c0..cR) of exact int64
+    # costs; emissions are the corridor join's LEAST chain quantized
+    # with round(·1e6); transitions unrolled per route
+    _mm_swq = int(round(H.MATCH_SWITCH * 1e6))
+    _mm_R = len(H.POLYLINES)
+    _mm_em_cols = ", ".join(
+        f"CAST(round(({H.polyline_dist_sql('x', 'y', vx, vy)})"
+        f" * 1000000.0) AS BIGINT) AS e{k}"
+        for k, (_l, vx, vy) in enumerate(H.POLYLINES))
+    _mm_next = ", ".join(
+        "least({terms}) + e.e{r} AS c{r}".format(
+            terms=", ".join(
+                f"d.c{rp}" if rp == r else f"d.c{rp} + {_mm_swq}"
+                for rp in range(_mm_R)), r=r)
+        for r in range(_mm_R))
+    _mm_init = ", ".join(f"e{r} AS c{r}" for r in range(_mm_R))
+    _mm_out = "\n          UNION ALL ".join(
+        f"SELECT 'match' AS part, CAST(user_id AS BIGINT) AS a_id,"
+        f" CAST(step * 4 + {r} AS BIGINT) AS b_id,"
+        f" CAST(c{r} AS DOUBLE) AS dist FROM mdp"
+        for r in range(_mm_R))
+    _match_sql = f"""
+        WITH RECURSIVE mev AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS te,
+                 {derive.x_sql('event_id')} AS x,
+                 {derive.y_sql('event_id')} AS y
+          FROM events WHERE event_id < {H.MATCH_N}),
+        mst AS (
+          SELECT user_id, event_id, x, y,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY te, event_id) - 1 AS step
+          FROM mev),
+        mem AS (SELECT user_id, step, {_mm_em_cols} FROM mst),
+        mdp AS (
+          SELECT user_id, step, {_mm_init} FROM mem WHERE step = 0
+          UNION ALL
+          SELECT e.user_id, e.step, {_mm_next}
+          FROM mdp d JOIN mem e
+            ON e.user_id = d.user_id AND e.step = d.step + 1)
+        {_mm_out}
+    """
+
     spatial_joins = f"""
         SELECT 'rect' AS part, CAST(rect_id AS BIGINT) AS a_id,
                CAST(doc_id AS BIGINT) AS b_id,
@@ -3927,6 +3987,8 @@ def oracle_sql() -> dict[str, str]:
               for lid, vx, vy in H.POLYLINES)}
           ) sj WHERE dmin <= {H.SNAP_RADIUS}
         ) sr WHERE rn = 1
+        UNION ALL
+        SELECT part, a_id, b_id, dist FROM ({_match_sql}) mm
     """
 
     return {

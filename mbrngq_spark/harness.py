@@ -69,6 +69,8 @@ COLOC_N = 4000                 # event_id cap for the contact gate fixture
 CP_GAP = 21600                 # co-presence sessionize gap (6 h)
 CP_WIDTH = 86400               # interval-join bucket width (1 day)
 OD_RES = 3                     # origin-destination flow grid (8×8)
+MATCH_SWITCH = 8.0             # map-matching route-switch penalty
+MATCH_N = 3000                 # event_id cap for the map-matching gate
 STAY_DUR = 600                 # stay-point min duration, seconds
 KDE_H = 10.0                   # heatmap kernel bandwidth
 KDE_RES = 4                    # heatmap grid (16×16 Morton cells)

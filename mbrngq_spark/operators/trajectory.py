@@ -199,3 +199,99 @@ def od_matrix(events_geo: DataFrame, res: int,
                      F.col("cell").alias("cell_to"))
             .agg(F.count(F.lit(1)).alias("n_trips"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+def route_emissions(events_geo: DataFrame, lines: DataFrame,
+                    quant: float = 1e6) -> DataFrame:
+    """Per (event, route) emission table for map matching:
+    (user_id, event_id, step, line_id, eq) with step the 0-based
+    position in the user's time-ordered trajectory and eq the
+    micro-quantized exact point→polyline distance.
+
+    The distance is the same fold the corridor join proved bit-exact
+    (min over segment_distance Columns — pure +,-,*,/ and sqrt), and
+    the quantization is JVM-side F.round (HALF_UP — DuckDB's half-away
+    agrees on nonnegative values), so the DP downstream never touches a
+    float: everything after this table is exact int64 min-plus."""
+    from mbrngq_spark.operators.lines import segment_distance
+
+    def segd(i):
+        return segment_distance(
+            F.col("x"), F.col("y"),
+            F.element_at(F.col("vx"), i), F.element_at(F.col("vy"), i),
+            F.element_at(F.col("vx"), i + F.lit(1)),
+            F.element_at(F.col("vy"), i + F.lit(1)))
+
+    d = F.array_min(F.transform(
+        F.sequence(F.lit(1), F.size("vx") - 1), lambda i: segd(i)))
+    w = Window.partitionBy("user_id").orderBy("te", "event_id")
+    st = events_geo.withColumn("step", F.row_number().over(w) - F.lit(1))
+    return (st.crossJoin(F.broadcast(lines))
+            .withColumn("eq", F.round(d * F.lit(quant)).cast("long"))
+            .select("user_id", "event_id", "step", "line_id", "eq"))
+
+
+def map_match(events_geo: DataFrame, lines: DataFrame,
+              switch_penalty: float, quant: float = 1e6) -> DataFrame:
+    """HMM-style map matching (Viterbi): per user trajectory, the
+    route assignment per point minimizing Σ emission (point→route
+    distance) + Σ switch penalties (route changes between consecutive
+    points). Returns the full DP cost table with the matched path:
+    (user_id, step, event_id, route_id, costq, matched) — costq the
+    exact int64 min cost of any path ending at (step, route_id),
+    matched marking the backtraced optimum (ties: smallest route_id at
+    the final step and at every backward argmin).
+
+    Shape at scale: emissions are a broadcast join + window (corpus
+    shuffled ONCE by user); the DP is an Arrow-batched per-user kernel
+    (applyInPandas — the NGQ refine discipline) doing integer min-plus
+    over R routes × T points, O(R²T) per user. Every quantity after the
+    JVM-side quantization is int64 — the kernel is float-free, so
+    Spark, the Python twin, and the DuckDB recursive-CTE oracle agree
+    bit for bit."""
+    import numpy as np
+    import pandas as pd
+
+    swq = int(round(switch_penalty * quant))
+    em = route_emissions(events_geo, lines, quant)
+
+    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["step", "line_id"])
+        routes = np.sort(pdf["line_id"].unique())
+        steps = int(pdf["step"].max()) + 1
+        rix = {r: i for i, r in enumerate(routes)}
+        e = np.full((steps, len(routes)), np.iinfo(np.int64).max // 4,
+                    dtype=np.int64)
+        eid = np.zeros(steps, dtype=np.int64)
+        for r in pdf.itertuples():
+            e[r.step, rix[r.line_id]] = r.eq
+            eid[r.step] = r.event_id
+        dp = np.zeros_like(e)
+        dp[0] = e[0]
+        for t in range(1, steps):
+            prev = dp[t - 1]
+            base = np.minimum(prev, prev.min() + swq)
+            # exact per-route: min(prev[r], min over r'!=r of prev[r']+swq)
+            # == min(prev[r], global_min + swq) (adding swq to prev[r]
+            # itself never beats prev[r])
+            dp[t] = base + e[t]
+        # backtrace, smallest route id on ties
+        path = np.zeros(steps, dtype=np.int64)
+        path[-1] = int(np.argmin(dp[-1]))
+        for t in range(steps - 1, 0, -1):
+            r = path[t]
+            cand = dp[t - 1] + swq
+            cand[r] = dp[t - 1, r]
+            path[t - 1] = int(np.argmin(cand))
+        rows = []
+        uid = int(pdf["user_id"].iloc[0])
+        for t in range(steps):
+            for r, rid in enumerate(routes):
+                rows.append((uid, t, int(eid[t]), int(rid),
+                             int(dp[t, r]), bool(path[t] == r)))
+        return pd.DataFrame(rows, columns=["user_id", "step", "event_id",
+                                           "route_id", "costq", "matched"])
+
+    return em.groupBy("user_id").applyInPandas(
+        viterbi, "user_id long, step long, event_id long, route_id long, "
+                 "costq long, matched boolean")

@@ -137,3 +137,81 @@ def test_colocation_contacts_aggregate(spark):
         exp[(ua, ub)] = (n + 1, min(f, min(r.a_te, r.b_te)),
                          max(l, max(r.a_te, r.b_te)), min(m, dq))
     assert got == exp
+
+
+def _lines_df(spark):
+    import pandas as pd
+    return spark.createDataFrame(
+        pd.DataFrame({"line_id": [l[0] for l in H.POLYLINES],
+                      "vx": [l[1] for l in H.POLYLINES],
+                      "vy": [l[2] for l in H.POLYLINES]}),
+        "line_id long, vx array<double>, vy array<double>")
+
+
+def test_map_match_equals_python_viterbi(spark):
+    """Full DP cost table AND backtraced path equal a pure-Python
+    Viterbi over the same quantized emission table (the emissions are
+    read back from the engine, so this isolates the DP/backtrace)."""
+    from mbrngq_spark.operators.trajectory import (map_match,
+                                                   route_emissions,
+                                                   with_event_geometry)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .filter(F.col("event_id") < 600)
+    eg = with_event_geometry(ev)
+    lines = _lines_df(spark)
+    swq = int(round(H.MATCH_SWITCH * 1e6))
+    em = route_emissions(eg, lines).toPandas()
+    got = {(int(r.user_id), int(r.step), int(r.route_id)):
+           (int(r.costq), bool(r.matched))
+           for r in map_match(eg, lines, H.MATCH_SWITCH).collect()}
+
+    exp = {}
+    for uid, grp in em.groupby("user_id"):
+        grp = grp.sort_values(["step", "line_id"])
+        routes = sorted(grp.line_id.unique())
+        steps = int(grp.step.max()) + 1
+        e = {(int(r.step), int(r.line_id)): int(r.eq)
+             for r in grp.itertuples()}
+        dp = [[0] * len(routes) for _ in range(steps)]
+        for i, r in enumerate(routes):
+            dp[0][i] = e[(0, r)]
+        for t in range(1, steps):
+            for i, r in enumerate(routes):
+                dp[t][i] = min(dp[t - 1][j] + (0 if j == i else swq)
+                               for j in range(len(routes))) + e[(t, r)]
+        path = [0] * steps
+        path[-1] = min(range(len(routes)), key=lambda i: (dp[-1][i], i))
+        for t in range(steps - 1, 0, -1):
+            i = path[t]
+            path[t - 1] = min(
+                range(len(routes)),
+                key=lambda j: (dp[t - 1][j] + (0 if j == i else swq), j))
+        for t in range(steps):
+            for i, r in enumerate(routes):
+                exp[(int(uid), t, int(r))] = (dp[t][i], path[t] == i)
+    assert got == exp
+    assert len(got) > 100
+
+
+def test_map_match_switch_semantics(spark):
+    """A trajectory hugging route 0 then route 1 switches exactly once
+    under a small penalty and never under a prohibitive one."""
+    import pandas as pd
+    from mbrngq_spark.operators.trajectory import map_match
+
+    lines = spark.createDataFrame(
+        pd.DataFrame({"line_id": [0, 1],
+                      "vx": [[0.0, 100.0], [0.0, 100.0]],
+                      "vy": [[10.0, 10.0], [90.0, 90.0]]}),
+        "line_id long, vx array<double>, vy array<double>")
+    # 4 points near y=10, then 4 near y=90, one user
+    pts = [(7, i, 1000 + i, 10.0 * (i + 1),
+            11.0 if i < 4 else 89.0) for i in range(8)]
+    eg = spark.createDataFrame(
+        pts, "user_id long, event_id long, te long, x double, y double")
+    small = {int(r.step): int(r.route_id)
+             for r in map_match(eg, lines, 5.0).collect() if r.matched}
+    assert [small[t] for t in range(8)] == [0] * 4 + [1] * 4
+    big = {int(r.step): int(r.route_id)
+           for r in map_match(eg, lines, 1e6).collect() if r.matched}
+    assert len(set(big.values())) == 1  # never switches

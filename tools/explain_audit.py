@@ -407,6 +407,26 @@ def main() -> int:
                   for ln in p.splitlines()
                   if "Exchange hashpartitioning" in ln))
 
+    # --- map matching: broadcast emissions, one user-keyed DP kernel --------
+    import pandas as pd_mm
+    from mbrngq_spark.operators.trajectory import map_match
+    mm_lines = spark.createDataFrame(
+        pd_mm.DataFrame({"line_id": [l[0] for l in H.POLYLINES],
+                         "vx": [l[1] for l in H.POLYLINES],
+                         "vy": [l[2] for l in H.POLYLINES]}),
+        "line_id long, vx array<double>, vy array<double>")
+    mm_df = map_match(with_event_geometry(ev4), mm_lines, 8.0)
+    p = plan_of(mm_df, execute=True)
+    sections.append(("map matching", p))
+    check("map match: route side broadcast (emissions never shuffle "
+          "the corpus per route)", "BroadcastNestedLoopJoin" in p
+          or "BroadcastHashJoin" in p)
+    check("map match: Viterbi runs in Arrow (FlatMapGroupsInPandas), "
+          "every row exchange keyed by user_id",
+          "FlatMapGroupsInPandas" in p
+          and all("user_id" in ln for ln in p.splitlines()
+                  if "Exchange hashpartitioning" in ln))
+
     # --- interval-overlap join: bucket-keyed, dedup by arithmetic ----------
     from mbrngq_spark.operators.intervals import interval_overlap_join
     iv_a = spark.range(200).select(
