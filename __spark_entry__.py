@@ -476,9 +476,20 @@ def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.floor(F.col("moran") * F.lit(1e9)).cast("long")
                    .alias("a"),
                    F.col("w_tot").alias("b")))
+    # part 'balance' (r6): equi-depth Morton range partitioner
+    # (index.balanced_cell_partitions) — cell → part assignment via the
+    # closed form (cum_before·P) div total; contiguous ranges,
+    # ≤ total/P + max_cell docs per part, all integer. a=part_id,
+    # b=n_docs.
+    from mbrngq_spark.index import balanced_cell_partitions
+    bal = (balanced_cell_partitions(docs_geo, H.MASK_RES, H.BAL_P, H.CFG)
+           .select(F.lit("balance").alias("part"),
+                   F.lit(H.MASK_RES).cast("int").alias("res"), "cell",
+                   F.col("part_id").alias("a"),
+                   F.col("n_docs").alias("b")))
     return (stats.unionByName(hll).unionByName(kde)
             .unionByName(focal).unionByName(hot).unionByName(idw)
-            .unionByName(mor))
+            .unionByName(mor).unionByName(bal))
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,8 +1840,28 @@ def _q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("match").alias("part"), F.col("user_id").alias("a_id"),
         (F.col("step") * 4 + F.col("route_id")).alias("b_id"),
         F.col("costq").cast("double").alias("dist"))
+    # part 'sssp' (r6): bounded-hop weighted shortest paths
+    # (graph.sssp_khop) over the symmetrized ε-join graph with
+    # micro-quantized edge weights, multi-source seeds — exact integer
+    # min-plus, k unrolled relaxation rounds in the oracle. a_id=node,
+    # b_id=-1, dist=exact int path cost.
+    from mbrngq_spark.operators.distance_join import distance_join
+    from mbrngq_spark.operators.graph import sssp_khop
+    ep = distance_join(docs_geo, docs_geo, H.DBSCAN_EPS, self_join=True)
+    wq = F.round(F.col("dist") * F.lit(1e6)).cast("long")
+    edges = (ep.select(F.col("a_id").alias("src"),
+                       F.col("b_id").alias("dst"), wq.alias("wq"))
+             .unionByName(ep.select(F.col("b_id").alias("src"),
+                                    F.col("a_id").alias("dst"),
+                                    wq.alias("wq"))))
+    srcs = spark.createDataFrame([(i,) for i in H.SSSP_SOURCES],
+                                 "id long")
+    sp = sssp_khop(edges, srcs, H.SSSP_K).select(
+        F.lit("sssp").alias("part"), F.col("id").alias("a_id"),
+        F.lit(-1).cast("long").alias("b_id"),
+        F.col("distq").cast("double").alias("dist"))
     return (rect.unionByName(eps).unionByName(db).unionByName(ln)
-            .unionByName(snap).unionByName(mm))
+            .unionByName(snap).unionByName(mm).unionByName(sp))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2240,6 +2271,22 @@ def oracle_sql() -> dict[str, str]:
           WHERE s.tx BETWEEN 0 AND {_mn - 1}
             AND s.ty BETWEEN 0 AND {_mn - 1}
             AND (s.tx <> s.ix OR s.ty <> s.iy)) g2""")
+    # 'balance' part: the equi-depth range partitioner's closed form
+    # replayed — one window cumsum over the Morton-ordered cell table
+    pyr_levels.append(f"""
+        SELECT 'balance' AS part, CAST({H.MASK_RES} AS INT) AS res,
+               cell, CAST((cum_before * {H.BAL_P}) // total AS BIGINT)
+               AS a, n_docs AS b
+        FROM (
+          SELECT cell, n_docs,
+                 CAST(coalesce(sum(n_docs) OVER (ORDER BY cell
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cum_before,
+                 CAST(sum(n_docs) OVER () AS BIGINT) AS total
+          FROM (SELECT {H.morton_sql(f'({qx_m})', f'({qy_m})',
+                                     H.MASK_RES)} AS cell,
+                       count(*) AS n_docs
+                FROM g GROUP BY 1) mb) bb""")
 
     cell_pyramid = f"""
         WITH g AS ({geo})
@@ -3954,6 +4001,36 @@ def oracle_sql() -> dict[str, str]:
         {_mm_out}
     """
 
+    # 'sssp' part: k unrolled Bellman-Ford rounds (the compact_cover
+    # unrolled-round discipline) over the symmetric quadratic ε-edge
+    # table with micro-quantized weights — exact integer min-plus
+    _sp_srcs = ", ".join(f"({i}, 0)" for i in H.SSSP_SOURCES)
+    _sp_ctes = [f"""
+        sse AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst,
+                 CAST(round({d('a.x', 'a.y', 'b.x', 'b.y')} * 1000000.0)
+                      AS BIGINT) AS wq
+          FROM ({geo}) a JOIN ({geo}) b ON a.doc_id <> b.doc_id
+          WHERE {d('a.x', 'a.y', 'b.x', 'b.y')} <= {H.DBSCAN_EPS}),
+        sd0 AS (
+          SELECT CAST(id AS BIGINT) AS id, CAST(dq AS BIGINT) AS distq
+          FROM (VALUES {_sp_srcs}) AS v(id, dq))"""]
+    for _r in range(1, H.SSSP_K + 1):
+        _sp_ctes.append(f"""
+        sd{_r} AS (
+          SELECT id, min(distq) AS distq FROM (
+            SELECT id, distq FROM sd{_r - 1}
+            UNION ALL
+            SELECT e.dst, dd.distq + e.wq
+            FROM sd{_r - 1} dd JOIN sse e ON dd.id = e.src) u{_r}
+          GROUP BY id)""")
+    _sssp_sql = f"""
+        WITH {','.join(_sp_ctes)}
+        SELECT 'sssp' AS part, id AS a_id, CAST(-1 AS BIGINT) AS b_id,
+               CAST(distq AS DOUBLE) AS dist
+        FROM sd{H.SSSP_K}
+    """
+
     spatial_joins = f"""
         SELECT 'rect' AS part, CAST(rect_id AS BIGINT) AS a_id,
                CAST(doc_id AS BIGINT) AS b_id,
@@ -3989,6 +4066,8 @@ def oracle_sql() -> dict[str, str]:
         ) sr WHERE rn = 1
         UNION ALL
         SELECT part, a_id, b_id, dist FROM ({_match_sql}) mm
+        UNION ALL
+        SELECT part, a_id, b_id, dist FROM ({_sssp_sql}) sq
     """
 
     return {

@@ -71,6 +71,9 @@ CP_WIDTH = 86400               # interval-join bucket width (1 day)
 OD_RES = 3                     # origin-destination flow grid (8×8)
 MATCH_SWITCH = 8.0             # map-matching route-switch penalty
 MATCH_N = 3000                 # event_id cap for the map-matching gate
+BAL_P = 8                      # equi-depth partitioner target parts
+SSSP_K = 6                     # bounded-hop shortest-path rounds
+SSSP_SOURCES = (0, 1, 2)       # multi-source seeds (doc ids)
 STAY_DUR = 600                 # stay-point min duration, seconds
 KDE_H = 10.0                   # heatmap kernel bandwidth
 KDE_RES = 4                    # heatmap grid (16×16 Morton cells)

@@ -100,3 +100,41 @@ def verify_span_invariant(docs_with_ck: DataFrame) -> int:
     return (docs_with_ck
             .filter(span_checksum(F.col("spans")) != F.col("span_ck"))
             .count())
+
+
+def balanced_cell_partitions(docs_geo: DataFrame, res: int, n_parts: int,
+                             cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Equi-depth Morton range partitioner — the explicit answer to
+    "how do 1000 executors share a skewed planet": assign every cell to
+    one of ``n_parts`` so that (a) each partition is a CONTIGUOUS Morton
+    range (spatial locality / range-prunable), and (b) partition doc
+    counts are balanced up to one cell: the closed form
+    part_id = (cum_before · P) div total guarantees every partition
+    carries ≤ ceil(total/P) + max_cell docs and ≥ 1 cell.
+
+    All integer arithmetic — bit-exact in every engine. The global
+    window runs over the CELL table (≤ 4^res rows regardless of corpus
+    size — the corpus collapses map-side first), so the single-task
+    ordering stage is bounded, never corpus-scaled; the output is a tiny
+    broadcastable plan table (cell → part) that downstream writers use
+    as their repartition key.
+
+    Returns (cell, n_docs, cum_before, part_id)."""
+    from pyspark.sql import Window
+
+    cells = (docs_geo
+             .withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"),
+                                                  res, cfg))
+             .groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    glob = cells.agg(F.sum("n_docs").cast("long").alias("total"))
+    out = (cells
+           .withColumn("cum_before",
+                       F.coalesce(F.sum("n_docs").over(w),
+                                  F.lit(0)).cast("long"))
+           .crossJoin(F.broadcast(glob))
+           .withColumn("part_id",
+                       F.expr(f"(cum_before * {int(n_parts)}) div total")
+                       .cast("long")))
+    return out.select("cell", "n_docs", "cum_before", "part_id")

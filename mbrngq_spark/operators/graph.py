@@ -90,3 +90,32 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
             .union(e.select(F.col("b").alias("id"),
                             F.col("b").alias("component")))
             .distinct())
+
+
+def sssp_khop(edges: DataFrame, sources: DataFrame, k: int) -> DataFrame:
+    """Bounded-hop (multi-source) weighted shortest paths — the
+    Bellman-Ford relaxation as k map-reduce rounds: dist_{i+1}(v) =
+    min(dist_i(v), min over edges (u,v) of dist_i(u) + w). Returns
+    (id, distq) = the EXACT minimum path weight over paths of ≤ k
+    edges from any source — a well-defined operator in its own right
+    (k-hop reachability cost), and equal to the true SSSP whenever
+    k ≥ the weighted-path hop diameter.
+
+    ``edges``: (src, dst, wq) directed, int64 weights (callers quantize
+    distances first — all arithmetic is exact integer min-plus, so
+    Spark, Python, and the unrolled-round SQL oracle agree bit for
+    bit). ``sources``: (id) — multi-source gives closest-facility
+    semantics. Each round is ONE equi-join + ONE min aggregation
+    (shuffle keyed by node id, map-side combinable); localCheckpoint
+    per round caps the iterative lineage exactly like the CC rounds."""
+    e = edges.select(F.col("src").alias("__s"), F.col("dst").alias("__d"),
+                     F.col("wq").alias("__w"))
+    dist = sources.select(F.col("id"), F.lit(0).cast("long").alias("distq"))
+    for _ in range(int(k)):
+        relaxed = (dist.join(e, dist["id"] == e["__s"])
+                   .select(F.col("__d").alias("id"),
+                           (F.col("distq") + F.col("__w")).alias("distq")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("id").agg(F.min("distq").alias("distq"))
+                .localCheckpoint(eager=True))
+    return dist

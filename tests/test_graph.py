@@ -7,6 +7,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from mbrngq_spark.operators.graph import connected_components
+from tests.conftest import SF_DIR
 
 
 def _union_find(edges):
@@ -131,3 +132,53 @@ def test_cc_giant_component_via_dedup_pipeline(spark):
                          clustering="cc")
     keep = sorted(r.doc_id for r in out.collect())
     assert keep == [0]
+
+
+def test_sssp_khop_matches_python_bellman_ford(spark):
+    """k-round relaxation == pure-Python Bellman-Ford (exact ints) on
+    the ε-graph of the sf fixture, multi-source."""
+    from mbrngq_spark import harness as H
+    from mbrngq_spark.operators.distance_join import distance_join
+    from mbrngq_spark.operators.graph import sssp_khop
+
+    docs_geo = H.load_docs_geo(spark, SF_DIR)
+    ep = distance_join(docs_geo, docs_geo, H.DBSCAN_EPS, self_join=True)
+    wq = F.round(F.col("dist") * F.lit(1e6)).cast("long")
+    edges = (ep.select(F.col("a_id").alias("src"),
+                       F.col("b_id").alias("dst"), wq.alias("wq"))
+             .unionByName(ep.select(F.col("b_id").alias("src"),
+                                    F.col("a_id").alias("dst"),
+                                    wq.alias("wq"))))
+    srcs = spark.createDataFrame([(i,) for i in (0, 1, 2)], "id long")
+    k = 5
+    got = {int(r.id): int(r.distq)
+           for r in sssp_khop(edges, srcs, k).collect()}
+
+    ed = [(int(r.src), int(r.dst), int(r.wq)) for r in edges.collect()]
+    dist = {0: 0, 1: 0, 2: 0}
+    for _ in range(k):
+        nxt = dict(dist)
+        for s, t, w in ed:
+            if s in dist and dist[s] + w < nxt.get(t, 1 << 62):
+                nxt[t] = dist[s] + w
+        dist = nxt
+    assert got == dist
+    assert len(got) > 3  # reaches beyond the seeds
+
+
+def test_sssp_khop_bounded_hops_semantics(spark):
+    """On a weighted chain, k rounds reach exactly k hops, and a short
+    heavy edge loses to a longer light path once enough rounds run."""
+    from mbrngq_spark.operators.graph import sssp_khop
+
+    # chain 0-1-2-3 weight 1 each, plus direct 0->3 weight 10
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10)],
+        "src long, dst long, wq long")
+    srcs = spark.createDataFrame([(0,)], "id long")
+    d1 = {int(r.id): int(r.distq)
+          for r in sssp_khop(edges, srcs, 1).collect()}
+    assert d1 == {0: 0, 1: 1, 3: 10}          # 1 hop: direct edges only
+    d3 = {int(r.id): int(r.distq)
+          for r in sssp_khop(edges, srcs, 3).collect()}
+    assert d3 == {0: 0, 1: 1, 2: 2, 3: 3}     # light path wins at 3 hops

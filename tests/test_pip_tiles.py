@@ -483,3 +483,40 @@ def test_moran_i_sign_semantics(spark):
     stripes = spark.createDataFrame(st, "doc_id long, x double, y double")
     i_st = float(moran_i(stripes, res).collect()[0].moran)
     assert i_st < -0.3
+
+
+def test_balanced_cell_partitions_invariants_and_replay(spark, docs_geo):
+    """Equi-depth Morton range partitioner: exact NumPy replay, plus the
+    two contracts — contiguous Morton ranges (part_id nondecreasing in
+    cell order) and every part ≤ ceil(total/P) + max_cell docs."""
+    import math
+
+    from mbrngq_spark.index import balanced_cell_partitions
+
+    res, P = 4, 8
+    rows = sorted(balanced_cell_partitions(docs_geo, res, P).collect(),
+                  key=lambda r: r.cell)
+    cnt = _raster_counts(docs_geo.toPandas(), res)
+    # exact replay: morton-encode the keys, cumsum in cell order
+    from mbrngq_spark import grid as G
+    ks = sorted((int(G.np_spread_bits(np.array([ix]))[0]
+                     | (G.np_spread_bits(np.array([iy]))[0] << 1)), c)
+                for (ix, iy), c in cnt.items())
+    total = sum(c for _, c in ks)
+    cum = 0
+    exp = {}
+    for cell, c in ks:
+        exp[cell] = ((cum * P) // total, c, cum)
+        cum += c
+    got = {int(r.cell): (int(r.part_id), int(r.n_docs), int(r.cum_before))
+           for r in rows}
+    assert got == exp
+    # contiguity + balance
+    parts = [int(r.part_id) for r in rows]
+    assert parts == sorted(parts)
+    assert set(parts) == set(range(P))
+    sizes = {}
+    for r in rows:
+        sizes[int(r.part_id)] = sizes.get(int(r.part_id), 0) + int(r.n_docs)
+    bound = math.ceil(total / P) + max(c for _, c in ks)
+    assert all(s <= bound for s in sizes.values())
