@@ -407,6 +407,25 @@ def main() -> int:
                   for ln in p.splitlines()
                   if "Exchange hashpartitioning" in ln))
 
+    # --- rollup store: dirty-partition-pruned incremental merge -------------
+    import tempfile
+    from mbrngq_spark.plans.rollup_store import RollupStore
+    with tempfile.TemporaryDirectory() as td:
+        rs = RollupStore(spark, td + "/pyr")
+        rs.create(docs_geo.filter(F.col("doc_id") < 400))
+        dd = docs_geo.filter(F.col("doc_id") >= 400).select(
+            "doc_id", (F.col("x") * 0.05).alias("x"),
+            (F.col("y") * 0.05).alias("y"), "category")
+        _delta, merged = rs.dirty_merge(dd)
+        p = plan_of(merged, execute=True)
+        sections.append(("rollup store incremental merge", p))
+        check("rollup store: the dirty read is partition-pruned on "
+              "(res, bucket) — append cost scales with the delta",
+              "PartitionFilters" in p
+              and "res" in p.split("PartitionFilters")[1][:400])
+        check("rollup store: merge aggregation has a map-side partial",
+              "partial_sum" in p or "partial_count" in p)
+
     # --- map matching: broadcast emissions, one user-keyed DP kernel --------
     import pandas as pd_mm
     from mbrngq_spark.operators.trajectory import map_match
