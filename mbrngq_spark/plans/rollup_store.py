@@ -31,6 +31,26 @@ from mbrngq_spark import grid
 from mbrngq_spark.config import DEFAULT, EngineConfig
 
 
+def pyramid_agg(docs_geo: DataFrame, levels: tuple[int, ...],
+                cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """(res, cell, n_docs, catmask) at every pyramid level — the shared
+    aggregation of the batch store and the streaming delta twin. Both
+    stats are exactly associative (sum / bit_or), so any partition of
+    the corpus into deltas folds to the same table."""
+    out = None
+    for res in sorted(levels):
+        lvl = (docs_geo
+               .withColumn("cell", grid.cell_encode(
+                   F.col("x"), F.col("y"), res, cfg))
+               .groupBy("cell")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.bit_or(F.expr("shiftleft(1, category)"))
+                    .cast("long").alias("catmask"))
+               .withColumn("res", F.lit(res).cast("int")))
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
 class RollupStore:
     def __init__(self, spark: SparkSession, path: str,
                  levels: tuple[int, ...] = (2, 4, 6),
@@ -44,18 +64,7 @@ class RollupStore:
     # --- aggregation -------------------------------------------------------
 
     def _pyramid(self, docs_geo: DataFrame) -> DataFrame:
-        out = None
-        for res in self.levels:
-            lvl = (docs_geo
-                   .withColumn("cell", grid.cell_encode(
-                       F.col("x"), F.col("y"), res, self.cfg))
-                   .groupBy("cell")
-                   .agg(F.count(F.lit(1)).alias("n_docs"),
-                        F.bit_or(F.expr("shiftleft(1, category)"))
-                        .cast("long").alias("catmask"))
-                   .withColumn("res", F.lit(res).cast("int")))
-            out = lvl if out is None else out.unionByName(lvl)
-        return out.withColumn(
+        return pyramid_agg(docs_geo, self.levels, self.cfg).withColumn(
             "bucket", F.pmod(F.col("cell"),
                              F.lit(self.n_buckets)).cast("int"))
 

@@ -200,3 +200,39 @@ def read_heatmap_state(spark: SparkSession, state_path: str,
             .agg(F.sum("n_docs").alias("n_docs"),
                  F.sum("wq").alias("wq"))
             .withColumn("density", F.col("wq") / F.lit(quant)))
+
+
+# --- streaming cell-pyramid: per-batch delta dirs (sum/bit_or merge) ---------
+
+PYR_STATE_SCHEMA = "cell long, n_docs long, catmask long, res int"
+
+
+def merge_pyramid_into(spark: SparkSession, state_path: str,
+                       levels: tuple[int, ...] = (2, 4, 6), cfg=None):
+    """foreachBatch handler for the streaming cell-pyramid twin of
+    plans/rollup_store.py. The pyramid merge is SUM (+ bit_or) — not
+    idempotent — so exactly-once uses the count-min delta-dir shape:
+    each micro-batch's pyramid is overwritten to ``batch=<id>``; a
+    crash-replayed batch rewrites identical content (path idempotence),
+    and ``read_pyramid_state`` folds the deltas with the same exactly
+    associative algebra the batch store uses."""
+    from mbrngq_spark.config import DEFAULT
+    from mbrngq_spark.plans.rollup_store import pyramid_agg
+
+    cfg = cfg or DEFAULT
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (pyramid_agg(batch_df, levels, cfg)
+         .write.mode("overwrite")
+         .parquet(f"{state_path}/batch={batch_id}"))
+
+    return handle
+
+
+def read_pyramid_state(spark: SparkSession, state_path: str) -> DataFrame:
+    df = (spark.read.schema(PYR_STATE_SCHEMA)
+          .option("basePath", state_path)
+          .parquet(f"{state_path}/batch=*"))
+    return (df.groupBy("res", "cell")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.bit_or("catmask").cast("long").alias("catmask")))

@@ -286,3 +286,61 @@ def test_heatmap_merge_equals_batch_and_replay_safe(spark, tmp_path):
     exp = {(int(r.cell)): (int(r.n_docs), int(r.wq))
            for r in tile_heatmap(batch_all, 10.0, 4).collect()}
     assert got == exp
+
+
+def test_pyramid_merge_equals_batch_and_replay_safe(spark, tmp_path):
+    """Streaming cell-pyramid: delta-dir state folded across batches ==
+    the one-shot batch pyramid (sum/bit_or associativity), surviving an
+    injected crash between delta write and checkpoint commit."""
+    import pyspark.errors
+    from mbrngq_spark.plans.rollup_store import pyramid_agg
+    from mbrngq_spark.streaming.sketch_stream import (merge_pyramid_into,
+                                                      read_pyramid_state)
+
+    geo_schema = "doc_id long, x double, y double, category int"
+
+    def _geo(batch, n=120):
+        ids = range(batch * n, (batch + 1) * n)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "x": [(i * 37 % 1000) / 10.0 for i in ids],
+            "y": [(i * 61 % 1000) / 10.0 for i in ids],
+            "category": [i % 3 for i in ids]})
+
+    src = str(tmp_path / "src")
+    frames = [_geo(b) for b in range(3)]
+    for pdf in frames:
+        spark.createDataFrame(pdf, geo_schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed-once"
+    inner = merge_pyramid_into(spark, state, levels=(2, 4))
+
+    def handle(df, bid):
+        inner(df, bid)
+        if bid == 1 and not marker.exists():
+            marker.write_text("x")
+            raise RuntimeError("injected crash")
+
+    stream = (spark.readStream.schema(geo_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with pytest.raises(
+            (pyspark.errors.exceptions.base.PySparkException, Exception)):
+        q.awaitTermination(180)
+    q2 = (spark.readStream.schema(geo_schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream.foreachBatch(handle)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+
+    got = {(int(r.res), int(r.cell)): (int(r.n_docs), int(r.catmask))
+           for r in read_pyramid_state(spark, state).collect()}
+    batch_all = spark.createDataFrame(pd.concat(frames), geo_schema)
+    exp = {(int(r.res), int(r.cell)): (int(r.n_docs), int(r.catmask))
+           for r in pyramid_agg(batch_all, (2, 4)).collect()}
+    assert got == exp
+    assert len(got) > 16
