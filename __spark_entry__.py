@@ -1036,7 +1036,26 @@ def _q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("a_id"),
         F.col("cluster").cast("long").alias("b_id"),
         F.when(F.col("is_core"), 1.0).otherwise(0.0).alias("dist_m"))
-    return pairs.unionByName(corr).unionByName(clus)
+    # part 'contact' (r6): spherical co-location
+    # (trajectory.colocation_pairs_geodetic) — cross-user event pairs
+    # within GEO_COLOC_EPS_M great-circle meters AND COLOC_TAU seconds
+    # over the lat/lon event mapping; dist 2dp meters (the geodetic
+    # rounding discipline)
+    from mbrngq_spark.operators.trajectory import (
+        colocation_pairs_geodetic, with_event_geometry)
+    evc = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_id") < H.COLOC_N)
+    ell = with_event_geometry(evc).select(
+        "user_id", "event_id", "te",
+        (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    geoc = colocation_pairs_geodetic(spark, ell, H.GEO_COLOC_EPS_M,
+                                     H.COLOC_TAU).select(
+        F.lit("contact").alias("part"),
+        F.col("a_event").alias("a_id"), F.col("b_event").alias("b_id"),
+        F.round("dist_m", 2).alias("dist_m"))
+    return (pairs.unionByName(corr).unionByName(clus)
+            .unionByName(geoc))
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -3356,6 +3375,11 @@ def oracle_sql() -> dict[str, str]:
                FROM g WHERE doc_id < 250),
         llf AS (SELECT doc_id, y * 1.8 - 90.0 AS lat,
                        x * 3.6 - 180.0 AS lon FROM g),
+        cev AS (SELECT user_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS te,
+                       ({derive.y_sql('event_id')}) * 1.8 - 90.0 AS lat,
+                       ({derive.x_sql('event_id')}) * 3.6 - 180.0 AS lon
+                FROM events WHERE event_id < {H.COLOC_N}),
         pv AS (SELECT doc_id, lat, lon,
                       cos(radians(lat)) * cos(radians(lon)) AS px,
                       cos(radians(lat)) * sin(radians(lon)) AS py,
@@ -3395,6 +3419,13 @@ def oracle_sql() -> dict[str, str]:
         FROM gpr JOIN gcomp ON gcomp.id = gpr.pb
         WHERE gpr.pa NOT IN (SELECT id FROM gcores)
         GROUP BY gpr.pa
+        UNION ALL
+        SELECT 'contact', CAST(a.event_id AS BIGINT),
+               CAST(b.event_id AS BIGINT), round({_ghav}, 2)
+        FROM cev a JOIN cev b
+          ON a.event_id < b.event_id AND a.user_id <> b.user_id
+        WHERE round({_ghav}, 2) <= {H.GEO_COLOC_EPS_M!r}
+          AND abs(a.te - b.te) <= {H.COLOC_TAU}
     """
 
     # geo_ngq: exhaustive fixed-L NGQ on the sphere — per-category top-L

@@ -72,6 +72,7 @@ OD_RES = 3                     # origin-destination flow grid (8×8)
 MATCH_SWITCH = 8.0             # map-matching route-switch penalty
 MATCH_N = 3000                 # event_id cap for the map-matching gate
 BAL_P = 8                      # equi-depth partitioner target parts
+GEO_COLOC_EPS_M = 2_000_000.0  # spherical contact distance (2000 km)
 SSSP_K = 6                     # bounded-hop shortest-path rounds
 SSSP_SOURCES = (0, 1, 2)       # multi-source seeds (doc ids)
 STAY_DUR = 600                 # stay-point min duration, seconds

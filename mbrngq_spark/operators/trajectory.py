@@ -295,3 +295,43 @@ def map_match(events_geo: DataFrame, lines: DataFrame,
     return em.groupBy("user_id").applyInPandas(
         viterbi, "user_id long, step long, event_id long, route_id long, "
                  "costq long, matched boolean")
+
+
+def colocation_pairs_geodetic(spark, events_ll: DataFrame, eps_m: float,
+                              tau: int, res: int = 4) -> DataFrame:
+    """Spherical co-location: cross-user event pairs within ``eps_m``
+    great-circle meters AND ``tau`` seconds — the geodetic twin of
+    colocation_pairs. ``events_ll`` carries (user_id, event_id, te,
+    lat, lon).
+
+    Composition: the pole/wrap-safe geodetic ε-pair join (cell-PAIR
+    bounds table — the planar 3×3 neighborhood is wrong on a lat/lon
+    grid) produces the spatial candidates; two id-keyed joins attach
+    (user, te); the |Δt| filter finishes. Exact — a time-blind spatial
+    superset filtered down. At scale, fuse the time bucket into the
+    pair-join key exactly as the planar colocation_pairs does; the
+    composition here keeps the geodetic planner untouched.
+
+    Returns (a_user, b_user, a_event, b_event, a_te, b_te, dist_m, dt)
+    with a_event < b_event (from the ε-join's unordered-pair contract)."""
+    from mbrngq_spark.operators.geodetic import geodetic_pairs
+
+    pts = events_ll.select(F.col("event_id").alias("doc_id"),
+                           "lat", "lon")
+    pairs = geodetic_pairs(spark, pts, eps_m, res=res)
+    meta = events_ll.select("event_id", "user_id", "te")
+    am = meta.select(F.col("event_id").alias("a_id"),
+                     F.col("user_id").alias("a_user"),
+                     F.col("te").alias("a_te"))
+    bm = meta.select(F.col("event_id").alias("b_id"),
+                     F.col("user_id").alias("b_user"),
+                     F.col("te").alias("b_te"))
+    return (pairs.join(am, "a_id").join(bm, "b_id")
+            .filter((F.abs(F.col("a_te") - F.col("b_te"))
+                     <= F.lit(int(tau)))
+                    & (F.col("a_user") != F.col("b_user")))
+            .select(F.col("a_user"), F.col("b_user"),
+                    F.col("a_id").alias("a_event"),
+                    F.col("b_id").alias("b_event"),
+                    "a_te", "b_te", "dist_m",
+                    F.abs(F.col("a_te") - F.col("b_te")).alias("dt")))

@@ -215,3 +215,43 @@ def test_map_match_switch_semantics(spark):
     big = {int(r.step): int(r.route_id)
            for r in map_match(eg, lines, 1e6).collect() if r.matched}
     assert len(set(big.values())) == 1  # never switches
+
+
+def test_colocation_geodetic_matches_quadratic_haversine(spark):
+    """Spherical co-location == quadratic NumPy haversine replay (2dp
+    rounded, the geodetic discipline), exactly once per pair."""
+    import numpy as np
+    from mbrngq_spark.operators.geodetic import np_haversine
+    from mbrngq_spark.operators.trajectory import (
+        colocation_pairs_geodetic, with_event_geometry)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .filter(F.col("event_id") < 2000)
+    ell = with_event_geometry(ev).select(
+        "user_id", "event_id", "te",
+        (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    eps_m, tau = 2_000_000.0, 14400
+    rows = colocation_pairs_geodetic(spark, ell, eps_m, tau).collect()
+    got = {(int(r.a_event), int(r.b_event)): (int(r.a_user),
+                                              int(r.b_user),
+                                              float(r.dist_m), int(r.dt))
+           for r in rows}
+    assert len(got) == len(rows)
+
+    pdf = ell.toPandas().sort_values("event_id").reset_index(drop=True)
+    lat = pdf.lat.to_numpy(); lon = pdf.lon.to_numpy()
+    te = pdf.te.to_numpy().astype(np.int64)
+    uid = pdf.user_id.to_numpy().astype(np.int64)
+    eid = pdf.event_id.to_numpy().astype(np.int64)
+    exp = {}
+    for i in range(len(pdf)):
+        d = np.round(np_haversine(lat[i], lon[i], lat, lon), 2)
+        for j in range(i + 1, len(pdf)):
+            if (uid[i] != uid[j] and abs(int(te[i] - te[j])) <= tau
+                    and d[j] <= eps_m):
+                exp[(int(eid[i]), int(eid[j]))] = (
+                    int(uid[i]), int(uid[j]), float(d[j]),
+                    abs(int(te[i] - te[j])))
+    assert got == exp
+    assert len(got) > 3
