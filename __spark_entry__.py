@@ -275,6 +275,26 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("diameter").alias("part"), F.col("a_id").alias("poly_id"),
         F.col("b_id").alias("tile_id"), F.col("d2q").alias("ix"),
         F.lit(-1).cast("long").alias("iy"))
+    # part 'contour' (r6): marching-squares isoline extraction
+    # (tiles.contour_segments) at level CONTOUR_T over the int64 KDE
+    # raster — raster→vector: two endpoint rows per segment, poly_id
+    # packs ((sx·n+sy)·4+seg)·2+end, tile_id=case, ix/iy the
+    # micro-quantized crossing point (one int→double division per
+    # endpoint, bit-exact; fixed saddle resolution).
+    from mbrngq_spark.operators.tiles import contour_segments
+    ctn = 1 << H.KDE_RES
+    ct = contour_segments(dg, H.KDE_H, H.KDE_RES, H.CONTOUR_T)
+    ct_key = (F.col("ix") * ctn + F.col("iy")) * 4 + F.col("seg")
+
+    def _ct_rows(end, xc, yc):
+        return ct.select(
+            F.lit("contour").alias("part"),
+            (ct_key * 2 + F.lit(end)).alias("poly_id"),
+            F.col("case_id").alias("tile_id"),
+            F.round(F.col(xc) * 1e6).cast("long").alias("ix"),
+            F.round(F.col(yc) * 1e6).cast("long").alias("iy"))
+
+    contour = _ct_rows(0, "x1", "y1").unionByName(_ct_rows(1, "x2", "y2"))
     # part 'refpts' (r6): linear referencing (lines.points_along) —
     # mileposts every REF_STEP along the fixture routes; segment lengths
     # int64-quantized before the per-line cumulative sum, the k-range
@@ -290,7 +310,8 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (planar.unionByName(compacted).unionByName(geo)
             .unionByName(area).unionByName(zonal)
             .unionByName(crossing).unionByName(meas)
-            .unionByName(hull).unionByName(diam).unionByName(refpts))
+            .unionByName(hull).unionByName(diam).unionByName(contour)
+            .unionByName(refpts))
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3640,6 +3661,124 @@ def oracle_sql() -> dict[str, str]:
         f" AS iy"
         f" FROM ({H.docs_geo_sql()}) g")
 
+    # 'contour' part: marching squares replayed — the kde raster
+    # (ix, iy, wq), a ≤4-square splat + corner pivot, the integer case,
+    # the literal case→edges table, and per-edge interpolation with the
+    # engine's exact op order
+    _ct = int(H.CONTOUR_T)
+    _ctn = 1 << H.KDE_RES
+
+    def _ccx(k: int) -> str:
+        return (f"({H.CFG.min_x!r} + (sx + {1 if k in (1, 2) else 0}"
+                f" + 0.5) * {_kwx!r})")
+
+    def _ccy(k: int) -> str:
+        return (f"({H.CFG.min_y!r} + (sy + {1 if k in (2, 3) else 0}"
+                f" + 0.5) * {_kwy!r})")
+
+    _cca = {0: 0, 1: 1, 2: 3, 3: 0}
+    _ccb = {0: 1, 1: 2, 2: 2, 3: 3}
+
+    def _cpt(e: int) -> tuple[str, str]:
+        a, bb = _cca[e], _ccb[e]
+        t = (f"(CAST({_ct} - v{a} AS DOUBLE)"
+             f" / CAST(v{bb} - v{a} AS DOUBLE))")
+        px = f"({_ccx(a)} + {t} * ({_ccx(bb)} - {_ccx(a)}))"
+        py = f"({_ccy(a)} + {t} * ({_ccy(bb)} - {_ccy(a)}))"
+        return px, py
+
+    def _cchain(col: str, which: int) -> str:
+        return ("CASE " + " ".join(
+            f"WHEN {col} = {e} THEN {_cpt(e)[which]}"
+            for e in range(4)) + " END")
+
+    from mbrngq_spark.operators.tiles import MS_CASES as _MS
+    _ctab = ", ".join(f"({c}, {s}, {ea}, {eb})"
+                      for c, segs in _MS.items()
+                      for s, (ea, eb) in enumerate(segs))
+    _contour_sql = f"""
+        WITH kraster AS (
+          SELECT ix, iy,
+                 CAST(sum(CAST(round(((1.0 - d2 / {_kh2!r})
+                                      * (1.0 - d2 / {_kh2!r}))
+                                     * {_kq!r}) AS BIGINT)) AS BIGINT)
+                 AS wq
+          FROM (
+            SELECT ix, iy,
+                   (x - cx) * (x - cx) + (y - cy) * (y - cy) AS d2
+            FROM (
+              SELECT x, y, ix, iy,
+                     {H.CFG.min_x!r} + (ix + 0.5) * {_kwx!r} AS cx,
+                     {H.CFG.min_y!r} + (iy + 0.5) * {_kwy!r} AS cy
+              FROM (
+                SELECT x, y, ix,
+                       unnest(generate_series(
+                         {H.quantize_sql(f'(y - {_kh!r})', H.CFG.min_y,
+                                         H.CFG.height, H.KDE_RES)},
+                         {H.quantize_sql(f'(y + {_kh!r})', H.CFG.min_y,
+                                         H.CFG.height, H.KDE_RES)})) AS iy
+                FROM (
+                  SELECT x, y,
+                         unnest(generate_series(
+                           {H.quantize_sql(f'(x - {_kh!r})', H.CFG.min_x,
+                                           H.CFG.width, H.KDE_RES)},
+                           {H.quantize_sql(f'(x + {_kh!r})', H.CFG.min_x,
+                                           H.CFG.width, H.KDE_RES)})) AS ix
+                  FROM ({geo}) g) kx) kxy) kc) kd
+          WHERE d2 <= {_kh2!r}
+          GROUP BY ix, iy),
+        ksq AS (
+          SELECT sx, sy,
+                 CAST(COALESCE(max(CASE WHEN cnr = 0 THEN wq END), 0)
+                      AS BIGINT) AS v0,
+                 CAST(COALESCE(max(CASE WHEN cnr = 1 THEN wq END), 0)
+                      AS BIGINT) AS v1,
+                 CAST(COALESCE(max(CASE WHEN cnr = 2 THEN wq END), 0)
+                      AS BIGINT) AS v2,
+                 CAST(COALESCE(max(CASE WHEN cnr = 3 THEN wq END), 0)
+                      AS BIGINT) AS v3
+          FROM (
+            SELECT wq, sx, sy,
+                   CASE WHEN ix - sx = 0 AND iy - sy = 0 THEN 0
+                        WHEN ix - sx = 1 AND iy - sy = 0 THEN 1
+                        WHEN ix - sx = 1 AND iy - sy = 1 THEN 2
+                        ELSE 3 END AS cnr
+            FROM (
+              SELECT wq, ix, iy, sx,
+                     unnest(generate_series(iy - 1, iy)) AS sy
+              FROM (SELECT wq, ix, iy,
+                           unnest(generate_series(ix - 1, ix)) AS sx
+                    FROM kraster) k1) k2
+            WHERE sx BETWEEN 0 AND {_ctn - 2}
+              AND sy BETWEEN 0 AND {_ctn - 2}) k3
+          GROUP BY sx, sy),
+        kcase AS (
+          SELECT sx, sy, v0, v1, v2, v3,
+                 CAST(v0 > {_ct} AS INT) + 2 * CAST(v1 > {_ct} AS INT)
+                 + 4 * CAST(v2 > {_ct} AS INT)
+                 + 8 * CAST(v3 > {_ct} AS INT) AS case_id
+          FROM ksq),
+        kctab(case_id, seg, e_a, e_b) AS (VALUES {_ctab}),
+        kjoin AS (
+          SELECT k.*, t.seg, t.e_a, t.e_b
+          FROM kcase k JOIN kctab t USING (case_id)
+          WHERE k.case_id > 0 AND k.case_id < 15)
+        SELECT 'contour' AS part,
+               CAST(((sx * {_ctn} + sy) * 4 + seg) * 2 + e_end AS BIGINT)
+               AS poly_id,
+               CAST(case_id AS BIGINT) AS tile_id,
+               CAST(round(px * 1000000.0) AS BIGINT) AS ix,
+               CAST(round(py * 1000000.0) AS BIGINT) AS iy
+        FROM (
+          SELECT sx, sy, seg, case_id, 0 AS e_end,
+                 {_cchain('e_a', 0)} AS px, {_cchain('e_a', 1)} AS py
+          FROM kjoin
+          UNION ALL
+          SELECT sx, sy, seg, case_id, 1,
+                 {_cchain('e_b', 0)}, {_cchain('e_b', 1)}
+          FROM kjoin) ke
+    """
+
     # 'refpts' part: linear referencing replayed — segment literals from
     # the POLYLINES fixture, lenq = round(len·10⁹) in-SQL (same sqrt dag),
     # cumq = exact BIGINT window sum (quantize-before-sum makes the
@@ -3786,6 +3925,8 @@ def oracle_sql() -> dict[str, str]:
                      + (b.qy - a.qy) * (b.qy - a.qy) AS d2
               FROM hpts a JOIN hpts b ON a.id < b.id
               ORDER BY d2 DESC, a_id, b_id LIMIT 1) dd
+        UNION ALL
+        SELECT part, poly_id, tile_id, ix, iy FROM ({_contour_sql}) cq
         UNION ALL
         {_refpts_sel}
     """

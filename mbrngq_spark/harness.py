@@ -78,6 +78,7 @@ SSSP_SOURCES = (0, 1, 2)       # multi-source seeds (doc ids)
 STAY_DUR = 600                 # stay-point min duration, seconds
 KDE_H = 10.0                   # heatmap kernel bandwidth
 KDE_RES = 4                    # heatmap grid (16×16 Morton cells)
+CONTOUR_T = 5_000_000_000      # marching-squares isoline level (wq units)
 
 KNN_K = 10
 KNN_CAP = 6.0                  # radius-capped Nearest: excludes some answers

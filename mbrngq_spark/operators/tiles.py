@@ -479,6 +479,123 @@ def idw_interpolate(docs_geo: DataFrame, value_col: str, radius: float,
                      / F.col("denq").cast("double")).alias("value")))
 
 
+# marching-squares case table: case (b0=v00, b1=v10, b2=v11, b3=v01,
+# CCW from bottom-left) → list of (edge_a, edge_b) segments; edges
+# 0=bottom(v00→v10) 1=right(v10→v11) 2=top(v01→v11) 3=left(v00→v01).
+# Saddles (5, 10) use the FIXED disconnected resolution — deterministic,
+# no center-sample decision, identical in every engine.
+MS_CASES: dict[int, list[tuple[int, int]]] = {
+    1: [(3, 0)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)],
+    5: [(3, 2), (0, 1)], 6: [(0, 2)], 7: [(3, 2)], 8: [(2, 3)],
+    9: [(0, 2)], 10: [(0, 3), (1, 2)], 11: [(1, 2)], 12: [(1, 3)],
+    13: [(0, 1)], 14: [(3, 0)],
+}
+
+
+def contour_segments(docs_geo: DataFrame, h: float, res: int,
+                     threshold: int, cfg: EngineConfig = DEFAULT,
+                     quant: float = 1e9) -> DataFrame:
+    """Marching-squares isoline extraction (raster→vector: "the density
+    contour at level T") over the int64-quantized biweight KDE raster —
+    one segment set per grid square whose corners straddle ``threshold``
+    (an int64 in the same quantized units as tile_heatmap's wq).
+
+    Exactness: corner values are the exactly-associative heatmap sums
+    (missing cells = 0); the corner predicate is an integer comparison;
+    the crossing parameter t = (T − va)/(vb − va) is ONE double division
+    of exact ints and the endpoint is +,* over it — bit-identical across
+    engines (incl. the saddle cases, which use a fixed resolution).
+
+    Shape at scale: the raster splats its ≤4 incident squares (bounded
+    explode), ONE keyed aggregation pivots the 4 corners, the case→edge
+    table (≤ 2 rows/case) broadcast-joins, and the interpolation is pure
+    Column math. Returns (ix, iy, seg, case_id, x1, y1, x2, y2) with
+    (ix, iy) the square's lower-left cell."""
+    n = 1 << res
+    wx, wy = cfg.width / n, cfg.height / n
+    heat = tile_heatmap(docs_geo, h, res, cfg, quant) \
+        .select("ix", "iy", "wq")
+    # splat each cell value to the ≤4 squares it corners;
+    # corner index within square (dx, dy): 0=(0,0) 1=(1,0) 2=(1,1) 3=(0,1)
+    sq = (heat
+          .withColumn("sx", F.explode(F.sequence(F.col("ix") - 1,
+                                                 F.col("ix"))))
+          .withColumn("sy", F.explode(F.sequence(F.col("iy") - 1,
+                                                 F.col("iy"))))
+          .filter((F.col("sx") >= 0) & (F.col("sx") <= n - 2)
+                  & (F.col("sy") >= 0) & (F.col("sy") <= n - 2)))
+    dx = F.col("ix") - F.col("sx")
+    dy = F.col("iy") - F.col("sy")
+    # CCW corner index: (0,0)→0 (1,0)→1 (1,1)→2 (0,1)→3
+    corner = (F.when((dx == 0) & (dy == 0), 0)
+              .when((dx == 1) & (dy == 0), 1)
+              .when((dx == 1) & (dy == 1), 2)
+              .otherwise(3))
+    grid_sq = (sq.withColumn("c", corner)
+               .groupBy("sx", "sy")
+               .agg(*[F.coalesce(F.max(F.when(F.col("c") == k,
+                                              F.col("wq"))),
+                                 F.lit(0)).alias(f"v{k}")
+                      for k in range(4)]))
+    t_ = F.lit(int(threshold))
+    case = ((F.col("v0") > t_).cast("int")
+            + (F.col("v1") > t_).cast("int") * 2
+            + (F.col("v2") > t_).cast("int") * 4
+            + (F.col("v3") > t_).cast("int") * 8)
+    cases_rows = [(c, s, ea, eb)
+                  for c, segs in MS_CASES.items()
+                  for s, (ea, eb) in enumerate(segs)]
+    spark = docs_geo.sparkSession
+    ctab = spark.createDataFrame(
+        cases_rows, "case_id int, seg int, e_a int, e_b int")
+    with_case = (grid_sq.withColumn("case_id", case)
+                 .filter((F.col("case_id") > 0) & (F.col("case_id") < 15))
+                 .join(F.broadcast(ctab), "case_id"))
+
+    # edge endpoints in corner-value space and center coordinates:
+    # edge e runs corner CA(e) → CB(e): 0: 0→1, 1: 1→2, 2: 3→2, 3: 0→3
+    ca = {0: 0, 1: 1, 2: 3, 3: 0}
+    cb = {0: 1, 1: 2, 2: 2, 3: 3}
+    # corner center coords (square sx, sy; corner k): x = min_x +
+    # (sx + (k in {1,2}) + 0.5)·wx, y = min_y + (sy + (k in {2,3}) + 0.5)·wy
+    def _cx(k):
+        return F.lit(cfg.min_x) + (F.col("sx")
+                                   + F.lit(1 if k in (1, 2) else 0)
+                                   + F.lit(0.5)) * F.lit(wx)
+
+    def _cy(k):
+        return F.lit(cfg.min_y) + (F.col("sy")
+                                   + F.lit(1 if k in (2, 3) else 0)
+                                   + F.lit(0.5)) * F.lit(wy)
+
+    def _v(k):
+        return F.col(f"v{k}")
+
+    # one (x, y) per edge id via a when-chain; t = (T−va)/(vb−va) is a
+    # double division of exact ints (nonzero: a referenced edge always
+    # straddles T)
+    def _pt_chain(edge_col):
+        xs, ys = None, None
+        for e in (0, 1, 2, 3):
+            a, b = ca[e], cb[e]
+            tt = (t_ - _v(a)).cast("double") \
+                / (_v(b) - _v(a)).cast("double")
+            ex = _cx(a) + tt * (_cx(b) - _cx(a))
+            ey = _cy(a) + tt * (_cy(b) - _cy(a))
+            cond = edge_col == F.lit(e)
+            xs = F.when(cond, ex) if xs is None else xs.when(cond, ex)
+            ys = F.when(cond, ey) if ys is None else ys.when(cond, ey)
+        return xs, ys
+
+    x1, y1 = _pt_chain(F.col("e_a"))
+    x2, y2 = _pt_chain(F.col("e_b"))
+    return with_case.select(
+        F.col("sx").alias("ix"), F.col("sy").alias("iy"),
+        F.col("seg").cast("long").alias("seg"),
+        F.col("case_id").cast("long").alias("case_id"),
+        x1.alias("x1"), y1.alias("y1"), x2.alias("x2"), y2.alias("y2"))
+
+
 def compact_cover(cells: DataFrame, res: int, min_res: int = 0,
                   key_cols: list[str] | None = None) -> DataFrame:
     """S2/H3-style cell-cover COMPACTION: wherever all 4 children of a

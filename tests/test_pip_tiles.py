@@ -520,3 +520,109 @@ def test_balanced_cell_partitions_invariants_and_replay(spark, docs_geo):
         sizes[int(r.part_id)] = sizes.get(int(r.part_id), 0) + int(r.n_docs)
     bound = math.ceil(total / P) + max(c for _, c in ks)
     assert all(s <= bound for s in sizes.values())
+
+
+def test_contour_segments_match_numpy_marching_squares(spark, docs_geo):
+    """Marching-squares isolines equal a NumPy replay bit-exactly —
+    at sf0.001 the raster has EMPTY cells, so the missing-corner=0 path
+    and low/high cases are exercised; every segment endpoint lies on a
+    square edge and strictly between its corners."""
+    from mbrngq_spark.config import DEFAULT as CFG
+    from mbrngq_spark.operators.tiles import (MS_CASES, contour_segments,
+                                              tile_heatmap)
+
+    h, res = 10.0, 4
+    n = 1 << res
+    hm = tile_heatmap(docs_geo, h, res).toPandas()
+    T = int(hm.wq.median())
+    rows = contour_segments(docs_geo, h, res, T).collect()
+    got = {(int(r.ix), int(r.iy), int(r.seg)):
+           (int(r.case_id), float(r.x1), float(r.y1),
+            float(r.x2), float(r.y2)) for r in rows}
+
+    grid_v = np.zeros((n, n), dtype=np.int64)
+    for r in hm.itertuples():
+        grid_v[int(r.ix), int(r.iy)] = int(r.wq)
+    wx, wy = CFG.width / n, CFG.height / n
+    ca = {0: 0, 1: 1, 2: 3, 3: 0}
+    cb = {0: 1, 1: 2, 2: 2, 3: 3}
+
+    def ck(sx, sy, k):
+        ix = sx + (1 if k in (1, 2) else 0)
+        iy = sy + (1 if k in (2, 3) else 0)
+        return (grid_v[ix, iy], CFG.min_x + (ix + 0.5) * wx,
+                CFG.min_y + (iy + 0.5) * wy)
+
+    exp = {}
+    for sx in range(n - 1):
+        for sy in range(n - 1):
+            v = [ck(sx, sy, k)[0] for k in range(4)]
+            case = ((v[0] > T) + 2 * (v[1] > T) + 4 * (v[2] > T)
+                    + 8 * (v[3] > T))
+            if case in (0, 15):
+                continue
+            for s, (ea, eb) in enumerate(MS_CASES[case]):
+                pts = []
+                for e in (ea, eb):
+                    a, b = ca[e], cb[e]
+                    va, xa, ya = ck(sx, sy, a)
+                    vb, xb, yb = ck(sx, sy, b)
+                    t = float(T - va) / float(vb - va)
+                    assert 0.0 <= t < 1.0
+                    pts.append((xa + t * (xb - xa), ya + t * (yb - ya)))
+                exp[(sx, sy, s)] = (case, pts[0][0], pts[0][1],
+                                    pts[1][0], pts[1][1])
+    assert got == exp
+    assert len(got) > 10
+
+
+def test_contour_sparse_raster_zero_corners(spark, docs_geo):
+    """A narrow kernel over few docs leaves EMPTY cells — the
+    missing-corner=0 path must agree with the NumPy replay too."""
+    from mbrngq_spark.config import DEFAULT as CFG
+    from mbrngq_spark.operators.tiles import (MS_CASES, contour_segments,
+                                              tile_heatmap)
+
+    sparse = docs_geo.filter(F.col("doc_id") < 60)
+    h, res = 3.0, 4
+    n = 1 << res
+    hm = tile_heatmap(sparse, h, res).toPandas()
+    T = int(hm.wq.max() // 2)  # guaranteed crossings on a sparse raster
+    grid_v = np.zeros((n, n), dtype=np.int64)
+    for r in hm.itertuples():
+        grid_v[int(r.ix), int(r.iy)] = int(r.wq)
+    assert (grid_v == 0).any()  # genuinely sparse
+    rows = contour_segments(sparse, h, res, T).collect()
+    got = {(int(r.ix), int(r.iy), int(r.seg)):
+           (int(r.case_id), float(r.x1), float(r.y1),
+            float(r.x2), float(r.y2)) for r in rows}
+    wx, wy = CFG.width / n, CFG.height / n
+    ca = {0: 0, 1: 1, 2: 3, 3: 0}
+    cb = {0: 1, 1: 2, 2: 2, 3: 3}
+
+    def ck(sx, sy, k):
+        ix = sx + (1 if k in (1, 2) else 0)
+        iy = sy + (1 if k in (2, 3) else 0)
+        return (grid_v[ix, iy], CFG.min_x + (ix + 0.5) * wx,
+                CFG.min_y + (iy + 0.5) * wy)
+
+    exp = {}
+    for sx in range(n - 1):
+        for sy in range(n - 1):
+            v = [ck(sx, sy, k)[0] for k in range(4)]
+            case = ((v[0] > T) + 2 * (v[1] > T) + 4 * (v[2] > T)
+                    + 8 * (v[3] > T))
+            if case in (0, 15):
+                continue
+            for s, (ea, eb) in enumerate(MS_CASES[case]):
+                pts = []
+                for e in (ea, eb):
+                    a, b = ca[e], cb[e]
+                    va, xa, ya = ck(sx, sy, a)
+                    vb, xb, yb = ck(sx, sy, b)
+                    t = float(T - va) / float(vb - va)
+                    pts.append((xa + t * (xb - xa), ya + t * (yb - ya)))
+                exp[(sx, sy, s)] = (case, pts[0][0], pts[0][1],
+                                    pts[1][0], pts[1][1])
+    assert got == exp
+    assert len(got) > 4

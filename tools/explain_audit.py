@@ -407,6 +407,18 @@ def main() -> int:
                   for ln in p.splitlines()
                   if "Exchange hashpartitioning" in ln))
 
+    # --- marching squares: splat + pivot + broadcast case table ------------
+    from mbrngq_spark.operators.tiles import contour_segments
+    cs = contour_segments(docs_geo, 10.0, 4, 5_000_000_000)
+    p = plan_of(cs, execute=True)
+    sections.append(("contour extraction", p))
+    check("contour: raster→vector is pure Column (no Python); the only "
+          "join is the broadcast case table",
+          "EvalPython" not in p and "BroadcastHashJoin" in p
+          and "SortMergeJoin" not in p)
+    check("contour: corner pivot + kde sums are map-side partial",
+          "partial_sum" in p or "partial_max" in p)
+
     # --- rollup store: dirty-partition-pruned incremental merge -------------
     import tempfile
     from mbrngq_spark.plans.rollup_store import RollupStore
