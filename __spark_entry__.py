@@ -295,6 +295,16 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col(yc) * 1e6).cast("long").alias("iy"))
 
     contour = _ct_rows(0, "x1", "y1").unionByName(_ct_rows(1, "x2", "y2"))
+    # part 'skyline' (r6): Pareto-dominance query (hull.skyline) — the
+    # min-min staircase via the hull's two-stage reduction (local
+    # skylines, then the skyline of their union — valid by dominance
+    # transitivity); exact int64 comparisons. poly_id=id, ix/iy=the
+    # quantized point.
+    from mbrngq_spark.operators.hull import skyline
+    sky = skyline(dg).select(
+        F.lit("skyline").alias("part"), F.col("id").alias("poly_id"),
+        F.lit(-1).cast("long").alias("tile_id"),
+        F.col("qx").alias("ix"), F.col("qy").alias("iy"))
     # part 'refpts' (r6): linear referencing (lines.points_along) —
     # mileposts every REF_STEP along the fixture routes; segment lengths
     # int64-quantized before the per-line cumulative sum, the k-range
@@ -310,8 +320,8 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (planar.unionByName(compacted).unionByName(geo)
             .unionByName(area).unionByName(zonal)
             .unionByName(crossing).unionByName(meas)
-            .unionByName(hull).unionByName(diam).unionByName(contour)
-            .unionByName(refpts))
+            .unionByName(hull).unionByName(diam).unionByName(sky)
+            .unionByName(contour).unionByName(refpts))
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3925,6 +3935,14 @@ def oracle_sql() -> dict[str, str]:
                      + (b.qy - a.qy) * (b.qy - a.qy) AS d2
               FROM hpts a JOIN hpts b ON a.id < b.id
               ORDER BY d2 DESC, a_id, b_id LIMIT 1) dd
+        UNION ALL
+        SELECT 'skyline' AS part, id AS poly_id,
+               CAST(-1 AS BIGINT) AS tile_id, qx AS ix, qy AS iy
+        FROM hpts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM hpts q
+          WHERE q.id <> p.id AND q.qx <= p.qx AND q.qy <= p.qy
+            AND (q.qx < p.qx OR q.qy < p.qy))
         UNION ALL
         SELECT part, poly_id, tile_id, ix, iy FROM ({_contour_sql}) cq
         UNION ALL

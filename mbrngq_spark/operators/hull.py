@@ -115,6 +115,52 @@ def convex_hull(points: DataFrame, id_col: str = "doc_id",
         final_hull, "pos long, id long, qx long, qy long, next_id long")
 
 
+def np_skyline(ids: np.ndarray, qx: np.ndarray,
+               qy: np.ndarray) -> np.ndarray:
+    """Indices of the min-min skyline (Pareto frontier): points no other
+    point dominates (qx ≤, qy ≤, one strict). Classic staircase sweep
+    over the (qx, qy)-sorted order; assumes distinct points."""
+    order = np.lexsort((qy, qx))
+    keep = []
+    best_y = None
+    for i in order:
+        if best_y is None or qy[i] < best_y:
+            keep.append(int(i))
+            best_y = qy[i]
+    return np.asarray(keep, dtype=np.int64)
+
+
+def skyline(points: DataFrame, id_col: str = "doc_id",
+            quant: float = 1e6) -> DataFrame:
+    """(id, qx, qy): the min-min skyline of the quantized point set —
+    the classic spatial-DB dominance query ("cheapest AND closest").
+
+    Same two-stage reduction as the hull, and valid for the same
+    transitivity reason: a globally dominated point is dominated by
+    some chain that terminates at a partition-local skyline point, so
+    skyline(∪ local skylines) == skyline(all). Exact int64 comparisons
+    throughout; duplicate quantized points collapse to the min id."""
+    pts = (points
+           .select(F.col(id_col).alias("id"),
+                   F.round(F.col("x") * F.lit(quant)).cast("long")
+                   .alias("qx"),
+                   F.round(F.col("y") * F.lit(quant)).cast("long")
+                   .alias("qy"))
+           .groupBy("qx", "qy").agg(F.min("id").alias("id")))
+
+    def local_sky(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        idx = np_skyline(df["id"].to_numpy(), df["qx"].to_numpy(),
+                         df["qy"].to_numpy())
+        yield df.iloc[idx][["id", "qx", "qy"]]
+
+    cand = pts.select("id", "qx", "qy").mapInPandas(local_sky, _SCHEMA)
+    return cand.repartition(1).mapInPandas(local_sky, _SCHEMA)
+
+
 def hull_diameter(points: DataFrame, id_col: str = "doc_id",
                   quant: float = 1e6) -> DataFrame:
     """Farthest pair (the point-set diameter): ONE row

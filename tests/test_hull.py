@@ -121,3 +121,41 @@ def test_hull_diameter_tiebreak(spark):
     r = hull_diameter(sq).collect()[0]
     # diagonals: (4,3) and (2,9) -> sorted pairs (3,4) and (2,9); min = (2,9)
     assert (int(r.a_id), int(r.b_id)) == (2, 9)
+
+
+def test_skyline_matches_quadratic_dominance(spark, docs_geo):
+    """Two-stage skyline == O(n²) dominance check on the quantized
+    points, under natural AND adversarial partitioning."""
+    import pandas as pd
+    from mbrngq_spark.operators.hull import skyline
+
+    pdf = docs_geo.toPandas()
+    qx = np.round(pdf.x.to_numpy() * 1e6).astype(np.int64)
+    qy = np.round(pdf.y.to_numpy() * 1e6).astype(np.int64)
+    ids = pdf.doc_id.to_numpy().astype(np.int64)
+    d = (pd.DataFrame({"id": ids, "qx": qx, "qy": qy})
+         .groupby(["qx", "qy"], as_index=False)["id"].min())
+    x = d["qx"].to_numpy(); y = d["qy"].to_numpy()
+    dom = ((x[:, None] <= x[None, :]) & (y[:, None] <= y[None, :])
+           & ((x[:, None] < x[None, :]) | (y[:, None] < y[None, :])))
+    np.fill_diagonal(dom, False)
+    exp = {(int(d["id"].iloc[i]), int(x[i]), int(y[i]))
+           for i in range(len(d)) if not dom[:, i].any()}
+    for df in (docs_geo, docs_geo.repartition(11)):
+        got = {(int(r.id), int(r.qx), int(r.qy))
+               for r in skyline(df).collect()}
+        assert got == exp
+    assert 0 < len(exp) < len(d)
+
+
+def test_skyline_staircase_semantics(spark):
+    """Hand-built fixture: the staircase keeps exactly the undominated
+    points, including an x-tie resolved to the smaller y."""
+    from mbrngq_spark.operators.hull import skyline
+
+    pts = [(1, 1.0, 5.0), (2, 1.0, 7.0),   # x-tie: only (1,5) survives
+           (3, 2.0, 3.0), (4, 3.0, 4.0),   # (3,4) dominated by (2,3)
+           (5, 4.0, 1.0), (6, 5.0, 2.0)]   # (5,2) dominated by (4,1)
+    df = spark.createDataFrame(pts, "doc_id long, x double, y double")
+    got = sorted(int(r.id) for r in skyline(df).collect())
+    assert got == [1, 3, 5]
