@@ -262,7 +262,8 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-points-left edge test WITH the collinear-on-edge case (the
     # lattice fixture makes collinear hull-edge points common).
     from mbrngq_spark.operators.hull import convex_hull
-    hull = convex_hull(dg).select(
+    dg_h = dg.filter(F.col("doc_id") < H.HULL_N)
+    hull = convex_hull(dg_h).select(
         F.lit("hull").alias("part"), F.col("id").alias("poly_id"),
         F.col("next_id").alias("tile_id"),
         F.col("qx").alias("ix"), F.col("qy").alias("iy"))
@@ -271,7 +272,7 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic scan runs over O(h) hull vertices; exact int64 squared
     # distance, (a_id, b_id) tiebreak. Oracle scans ALL quantized pairs.
     from mbrngq_spark.operators.hull import hull_diameter
-    diam = hull_diameter(dg).select(
+    diam = hull_diameter(dg_h).select(
         F.lit("diameter").alias("part"), F.col("a_id").alias("poly_id"),
         F.col("b_id").alias("tile_id"), F.col("d2q").alias("ix"),
         F.lit(-1).cast("long").alias("iy"))
@@ -301,10 +302,30 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transitivity); exact int64 comparisons. poly_id=id, ix/iy=the
     # quantized point.
     from mbrngq_spark.operators.hull import skyline
-    sky = skyline(dg).select(
+    sky = skyline(dg_h).select(
         F.lit("skyline").alias("part"), F.col("id").alias("poly_id"),
         F.lit(-1).cast("long").alias("tile_id"),
         F.col("qx").alias("ix"), F.col("qy").alias("iy"))
+    # part 'simplify' (r6): Douglas-Peucker polyline simplification
+    # (lines.simplify_polylines) over per-doc derived 8-vertex tracks —
+    # bounded BFS rounds (full DP at this V), int64-quantized exact
+    # distances, (−dq, idx) tiebreaks; kept vertices micro-quantized.
+    from mbrngq_spark.operators.lines import simplify_polylines
+    _sv = F.sequence(F.lit(0), F.lit(H.SIMPLIFY_V - 1))
+    _svx = F.transform(_sv, lambda i: _derive.x_col(
+        F.col("line_id") * 31 + i * 7 + 1))
+    _svy = F.transform(_sv, lambda i: _derive.y_col(
+        F.col("line_id") * 31 + i * 7 + 1))
+    plines = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .filter(F.col("doc_id") < H.SIMPLIFY_N)
+              .select(F.col("doc_id").alias("line_id"))
+              .select("line_id", _svx.alias("vx"), _svy.alias("vy")))
+    simp = simplify_polylines(plines, H.SIMPLIFY_EPS,
+                              H.SIMPLIFY_ROUNDS).select(
+        F.lit("simplify").alias("part"),
+        F.col("line_id").alias("poly_id"), F.col("idx").alias("tile_id"),
+        F.round(F.col("vx") * 1e6).cast("long").alias("ix"),
+        F.round(F.col("vy") * 1e6).cast("long").alias("iy"))
     # part 'refpts' (r6): linear referencing (lines.points_along) —
     # mileposts every REF_STEP along the fixture routes; segment lengths
     # int64-quantized before the per-line cumulative sum, the k-range
@@ -321,7 +342,8 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(area).unionByName(zonal)
             .unionByName(crossing).unionByName(meas)
             .unionByName(hull).unionByName(diam).unionByName(sky)
-            .unionByName(contour).unionByName(refpts))
+            .unionByName(contour).unionByName(simp)
+            .unionByName(refpts))
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3789,6 +3811,76 @@ def oracle_sql() -> dict[str, str]:
           FROM kjoin) ke
     """
 
+    # 'simplify' part: Douglas-Peucker replayed as unrolled BFS rounds
+    # over the derived vertex table — per round: anchor-interior
+    # candidates, the exact quantized point-segment distance with the
+    # engine's op order, windowed argmax with the (−dq, idx) tiebreak,
+    # split iff dq > epsq
+    _spq = int(round(H.SIMPLIFY_EPS * 1e9))
+    _sp_ctes = [f"""
+        sverts AS MATERIALIZED (
+          SELECT doc_id AS line_id, idx,
+                 {derive.x_sql('(doc_id * 31 + idx * 7 + 1)')} AS vx,
+                 {derive.y_sql('(doc_id * 31 + idx * 7 + 1)')} AS vy
+          FROM (SELECT doc_id,
+                       unnest(generate_series(0, {H.SIMPLIFY_V - 1}))
+                       AS idx
+                FROM documents WHERE doc_id < {H.SIMPLIFY_N}) sv),
+        sa0 AS MATERIALIZED (SELECT DISTINCT line_id, CAST(0 AS BIGINT) AS i,
+                       CAST({H.SIMPLIFY_V - 1} AS BIGINT) AS j
+                FROM sverts)"""]
+    for _r in range(H.SIMPLIFY_ROUNDS):
+        _sp_ctes.append(f"""
+        sm{_r} AS MATERIALIZED (
+          SELECT line_id, i, j, idx AS m FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY line_id, i, j
+              ORDER BY dq DESC, idx) AS rn
+            FROM (
+              SELECT line_id, i, j, idx,
+                     CAST(round(sqrt((vx - qx) * (vx - qx)
+                                     + (vy - qy) * (vy - qy))
+                                * 1000000000.0) AS BIGINT) AS dq
+              FROM (
+                SELECT line_id, i, j, idx, vx, vy,
+                       xi + t * dx AS qx, yi + t * dy AS qy
+                FROM (
+                  SELECT *, LEAST(GREATEST(((vx - xi) * dx
+                             + (vy - yi) * dy)
+                             / (dx * dx + dy * dy), 0.0), 1.0) AS t
+                  FROM (
+                    SELECT *, xj - xi AS dx, yj - yi AS dy
+                    FROM (
+                      SELECT a.line_id, a.i, a.j, v.idx, v.vx, v.vy,
+                             pi.vx AS xi, pi.vy AS yi,
+                             pj.vx AS xj, pj.vy AS yj
+                      FROM sa{_r} a
+                      JOIN sverts pi ON pi.line_id = a.line_id
+                       AND pi.idx = a.i
+                      JOIN sverts pj ON pj.line_id = a.line_id
+                       AND pj.idx = a.j
+                      JOIN sverts v ON v.line_id = a.line_id
+                       AND v.idx > a.i AND v.idx < a.j) c0) c1) c2) c3)
+              cd) cm
+          WHERE rn = 1 AND dq > {_spq}),
+        sa{_r + 1} AS MATERIALIZED (
+          SELECT line_id, i, m AS j FROM sm{_r}
+          UNION ALL SELECT line_id, m, j FROM sm{_r})""")
+    _sp_kept = " UNION ".join(
+        f"SELECT line_id, i AS idx FROM sa{r}"
+        f" UNION SELECT line_id, j FROM sa{r}"
+        for r in range(H.SIMPLIFY_ROUNDS + 1))
+    _sp_ctes.append(f"""
+        ssimp AS MATERIALIZED (
+          SELECT 'simplify' AS part, k.line_id AS poly_id,
+                 k.idx AS tile_id,
+                 CAST(round(v.vx * 1000000.0) AS BIGINT) AS ix,
+                 CAST(round(v.vy * 1000000.0) AS BIGINT) AS iy
+          FROM ({_sp_kept}) k
+          JOIN sverts v ON v.line_id = k.line_id AND v.idx = k.idx)""")
+    _sp_cte_block = ','.join(_sp_ctes)
+    _simplify_sel = "SELECT part, poly_id, tile_id, ix, iy FROM ssimp"
+
     # 'refpts' part: linear referencing replayed — segment literals from
     # the POLYLINES fixture, lenq = round(len·10⁹) in-SQL (same sqrt dag),
     # cumq = exact BIGINT window sum (quantize-before-sum makes the
@@ -3833,11 +3925,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     poly_cover = f"""
-        WITH hpts AS (
+        WITH {_sp_cte_block},
+        hpts AS MATERIALIZED (
           SELECT min(doc_id) AS id, qx, qy FROM (
             SELECT doc_id, CAST(round(x * 1000000.0) AS BIGINT) AS qx,
                    CAST(round(y * 1000000.0) AS BIGINT) AS qy
-            FROM ({geo}) hg) hq
+            FROM ({geo}) hg WHERE doc_id < {H.HULL_N}) hq
           GROUP BY qx, qy),
         b AS (
           SELECT poly_id, x1, y1, x2, y2, x3, y3,
@@ -3943,6 +4036,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT 1 FROM hpts q
           WHERE q.id <> p.id AND q.qx <= p.qx AND q.qy <= p.qy
             AND (q.qx < p.qx OR q.qy < p.qy))
+        UNION ALL
+        {_simplify_sel}
         UNION ALL
         SELECT part, poly_id, tile_id, ix, iy FROM ({_contour_sql}) cq
         UNION ALL

@@ -56,6 +56,10 @@ POLYLINES = [
 ]
 LINE_RADIUS = 4.0              # corridor half-width for the polyline join
 REF_STEP = 7.0                 # linear-referencing milepost spacing
+SIMPLIFY_EPS = 6.0             # Douglas-Peucker tolerance
+SIMPLIFY_V = 8                 # derived-polyline vertex count
+SIMPLIFY_ROUNDS = 6            # split depth (V−2 ⇒ full DP at V=8)
+SIMPLIFY_N = 300               # doc_id cap for the simplify gate
 SNAP_RADIUS = 8.0              # nearest-polyline snap cutoff
 OVERLAY_S = 1.5                # per-doc square half-width (overlay join)
 STAY_EPS = 40.0                # stay-point leg threshold (trajectory)
@@ -72,6 +76,10 @@ OD_RES = 3                     # origin-destination flow grid (8×8)
 MATCH_SWITCH = 8.0             # map-matching route-switch penalty
 MATCH_N = 3000                 # event_id cap for the map-matching gate
 BAL_P = 8                      # equi-depth partitioner target parts
+HULL_N = 300                   # doc_id cap for hull/diameter/skyline gates
+#   (bounds the oracle's O(n^3) hull-edge test at 27M triples — large
+#   WITH blocks push DuckDB past its join-reorder threshold, and the
+#   unplanned triple self-join goes 5x slower at n=500)
 GEO_COLOC_EPS_M = 2_000_000.0  # spherical contact distance (2000 km)
 SSSP_K = 6                     # bounded-hop shortest-path rounds
 SSSP_SOURCES = (0, 1, 2)       # multi-source seeds (doc ids)

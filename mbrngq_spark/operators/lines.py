@@ -270,3 +270,74 @@ def polyline_length(lines: DataFrame) -> DataFrame:
                       * (element_at(vy, i + 1) - element_at(vy, i))))
     """)
     return lines.select("line_id", seg_len.alias("length"))
+
+
+def simplify_polylines(lines: DataFrame, eps: float, max_rounds: int = 5,
+                       quant: float = 1e9) -> DataFrame:
+    """Douglas-Peucker polyline simplification to split depth
+    ``max_rounds`` — the classic geometry-reduction operator, expressed
+    as bounded BFS rounds instead of recursion (the sssp_khop
+    discipline, so a SQL oracle can replay it round for round):
+
+    round 0 anchors every line with (first, last); each round, every
+    active anchor (i, j) finds its max-distance interior vertex by the
+    EXACT int64-quantized point-segment distance (round(d·quant) —
+    HALF_UP both engines) with the (−dq, idx) tiebreak, and splits iff
+    dq > eps·quant. Kept vertices = every anchor endpoint ever created.
+    Depth-``max_rounds`` DP equals full DP whenever the split tree is
+    no deeper (V−2 bounds it); either way the semantics are exact and
+    engine-independent.
+
+    Shape at scale: vertices explode once (JVM posexplode); each round
+    is one line-keyed join + one windowed argmax over the shrinking
+    anchor set, localCheckpoint per round. Returns
+    (line_id, idx, vx, vy) — the kept vertices in index order."""
+    from pyspark.sql import Window
+
+    epsq = int(round(eps * quant))
+    # posexplode gives (pos, value) for vx; vy fetched by position
+    verts = (lines
+             .select("line_id", F.size("vx").alias("__n"),
+                     F.posexplode(F.col("vx")).alias("idx", "vx"),
+                     F.col("vy").alias("__vys"))
+             .withColumn("vy", F.element_at(F.col("__vys"),
+                                            F.col("idx") + F.lit(1)))
+             .select("line_id", "idx", "vx", "vy", "__n")
+             .localCheckpoint(eager=True))
+    v = verts.select("line_id", "idx", "vx", "vy")
+    anchors = (verts.filter(F.col("idx") == 0)
+               .select("line_id", F.lit(0).cast("long").alias("i"),
+                       (F.col("__n") - 1).cast("long").alias("j"))
+               .filter(F.col("j") > 0))
+    kept = (anchors.select("line_id", F.col("i").alias("idx"))
+            .unionByName(anchors.select("line_id",
+                                        F.col("j").alias("idx"))))
+    d = segment_distance(F.col("vx"), F.col("vy"), F.col("xi"),
+                         F.col("yi"), F.col("xj"), F.col("yj"))
+    for _ in range(int(max_rounds)):
+        pi = v.select("line_id", F.col("idx").alias("i"),
+                      F.col("vx").alias("xi"), F.col("vy").alias("yi"))
+        pj = v.select("line_id", F.col("idx").alias("j"),
+                      F.col("vx").alias("xj"), F.col("vy").alias("yj"))
+        cand = (anchors.join(pi, ["line_id", "i"])
+                .join(pj, ["line_id", "j"])
+                .join(v, "line_id")
+                .filter((F.col("idx") > F.col("i"))
+                        & (F.col("idx") < F.col("j")))
+                .withColumn("dq", F.round(d * F.lit(quant)).cast("long")))
+        w = Window.partitionBy("line_id", "i", "j") \
+            .orderBy(F.col("dq").desc(), F.col("idx").asc())
+        split = (cand.withColumn("__rn", F.row_number().over(w))
+                 .filter((F.col("__rn") == 1) & (F.col("dq") > epsq))
+                 .select("line_id", "i", "j", F.col("idx").alias("m")))
+        anchors = (split.select("line_id", "i", F.col("m").alias("j"))
+                   .unionByName(split.select("line_id",
+                                             F.col("m").alias("i"), "j"))
+                   .localCheckpoint(eager=True))
+        kept = kept.unionByName(
+            split.select("line_id", F.col("m").alias("idx")))
+        if anchors.isEmpty():
+            break
+    return (kept.distinct()
+            .join(v, ["line_id", "idx"])
+            .select("line_id", "idx", "vx", "vy"))

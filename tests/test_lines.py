@@ -199,3 +199,64 @@ def test_points_along_spacing_invariant(spark, lines_df):
             arc = sum(np.hypot(bx - ax, by - ay)
                       for (ax, ay), (bx, by) in zip(path, path[1:]))
             assert abs(arc - H.REF_STEP) < 1e-6, (lid, k0)
+
+
+def test_simplify_polylines_matches_python_dp(spark):
+    """Bounded-round Douglas-Peucker == a pure-Python recursive DP with
+    the same int64 quantization and tiebreaks, on derived 8-vertex
+    tracks (full DP at this depth); endpoints always kept."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    from mbrngq_spark.functions import derive
+    from mbrngq_spark.operators.lines import simplify_polylines
+
+    V, eps, rounds, quant = 8, 6.0, 6, 1e9
+    epsq = int(round(eps * quant))
+    sv = F.sequence(F.lit(0), F.lit(V - 1))
+    plines = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+              .filter(F.col("doc_id") < 120)
+              .select(F.col("doc_id").alias("line_id"))
+              .select("line_id",
+                      F.transform(sv, lambda i: derive.x_col(
+                          F.col("line_id") * 31 + i * 7 + 1)).alias("vx"),
+                      F.transform(sv, lambda i: derive.y_col(
+                          F.col("line_id") * 31 + i * 7 + 1)).alias("vy")))
+    got = {}
+    for r in simplify_polylines(plines, eps, rounds).collect():
+        got.setdefault(int(r.line_id), set()).add(
+            (int(r.idx), float(r.vx), float(r.vy)))
+
+    def q9(v):
+        return int(Decimal(repr(v * quant)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+
+    def segd(px, py, ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = min(max(((px - ax) * dx + (py - ay) * dy) / len2, 0.0), 1.0)
+        qx, qy = ax + t * dx, ay + t * dy
+        return np.sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy))
+
+    exp = {}
+    for row in plines.collect():
+        vx, vy = list(row.vx), list(row.vy)
+        kept = {0, V - 1}
+
+        def rec(i, j, depth):
+            if depth >= rounds or j - i < 2:
+                return
+            best = max(range(i + 1, j),
+                       key=lambda m: (q9(segd(vx[m], vy[m], vx[i], vy[i],
+                                              vx[j], vy[j])), -m))
+            dq = q9(segd(vx[best], vy[best], vx[i], vy[i], vx[j], vy[j]))
+            if dq > epsq:
+                kept.add(best)
+                rec(i, best, depth + 1)
+                rec(best, j, depth + 1)
+
+        rec(0, V - 1, 0)
+        exp[int(row.line_id)] = {(k, vx[k], vy[k]) for k in kept}
+    assert got == exp
+    ns = [len(v) for v in got.values()]
+    assert min(ns) >= 2 and max(ns) > 2  # some lines actually simplify
