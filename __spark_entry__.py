@@ -540,9 +540,26 @@ def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(H.MASK_RES).cast("int").alias("res"), "cell",
                    F.col("part_id").alias("a"),
                    F.col("n_docs").alias("b")))
+    # part 'geo_hotspot' (r6): Gi* on the sphere's lat/lon raster
+    # (geodetic.geodetic_hotspot_gi) — the 3×3 window WRAPS in longitude
+    # (antimeridian) and clamps at the poles; same exact-int inputs /
+    # fixed double dag; a = floor(gi·10⁶), b = W_i.
+    from mbrngq_spark.operators.geodetic import geodetic_hotspot_gi
+    docs_ll5 = docs_geo.select(
+        "doc_id",
+        (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    ghot = (geodetic_hotspot_gi(docs_ll5, 5)
+            .select(F.lit("geo_hotspot").alias("part"),
+                    F.lit(5).cast("int").alias("res"),
+                    (F.col("iy") * 32 + F.col("ix")).cast("long")
+                    .alias("cell"),
+                    F.floor(F.col("gi") * F.lit(1e6)).cast("long")
+                    .alias("a"),
+                    F.col("w_i").alias("b")))
     return (stats.unionByName(hll).unionByName(kde)
             .unionByName(focal).unionByName(hot).unionByName(idw)
-            .unionByName(mor).unionByName(bal))
+            .unionByName(mor).unionByName(bal).unionByName(ghot))
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2359,6 +2376,47 @@ def oracle_sql() -> dict[str, str]:
                                      H.MASK_RES)} AS cell,
                        count(*) AS n_docs
                 FROM g GROUP BY 1) mb) bb""")
+
+    # 'geo_hotspot' part: the spherical Gi* replayed — lon-wrapped
+    # splat ((tx + n) % n), lat-clamped W_i = 3·wy, same scalar dag
+    _gn = 32
+    _gnn = float(_gn * _gn)
+    _giy = (f"LEAST(CAST(FLOOR((g.y * 1.8 - 90.0 + 90.0)"
+            f" / {180.0 / _gn!r}) AS BIGINT), {_gn - 1})")
+    _gix = (f"LEAST(CAST(FLOOR((g.x * 3.6 - 180.0 + 180.0)"
+            f" / {360.0 / _gn!r}) AS BIGINT), {_gn - 1})")
+    _grb = (f"SELECT {_gix} AS ix, {_giy} AS iy, count(*) AS n_docs"
+            f" FROM g GROUP BY 1, 2")
+    _gw = ("CAST(3 * (3 - CASE WHEN ty = 0 THEN 1 ELSE 0 END"
+           f" - CASE WHEN ty = {_gn - 1} THEN 1 ELSE 0 END) AS BIGINT)")
+    _gxbar = f"(CAST(total AS DOUBLE) / {_gnn!r})"
+    _gsdev = (f"sqrt(CAST(sumsq AS DOUBLE) / {_gnn!r}"
+              f" - {_gxbar} * {_gxbar})")
+    _gwd = "CAST(w_i AS DOUBLE)"
+    _ggi = (f"(CAST(s_i AS DOUBLE) - {_gxbar} * {_gwd})"
+            f" / ({_gsdev} * sqrt(({_gnn!r} * {_gwd} - {_gwd} * {_gwd})"
+            f" / {_gnn - 1.0!r}))")
+    pyr_levels.append(f"""
+        SELECT 'geo_hotspot' AS part, CAST(5 AS INT) AS res,
+               CAST(ty * {_gn} + tx AS BIGINT) AS cell,
+               CAST(FLOOR({_ggi} * 1000000.0) AS BIGINT) AS a,
+               w_i AS b
+        FROM (SELECT tx, ty, {_gw} AS w_i,
+                     CAST(sum(n_docs) AS BIGINT) AS s_i
+              FROM (
+                SELECT n_docs, (txr + {_gn}) % {_gn} AS tx, ty FROM (
+                  SELECT n_docs, txr,
+                         unnest(generate_series(iy - 1, iy + 1)) AS ty
+                  FROM (SELECT n_docs, iy,
+                               unnest(generate_series(ix - 1, ix + 1))
+                               AS txr
+                        FROM ({_grb}) grb) g1) g2
+                WHERE ty BETWEEN 0 AND {_gn - 1}) g3
+              GROUP BY 1, 2) gf
+        CROSS JOIN (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                 CAST(sum(n_docs * n_docs) AS BIGINT) AS sumsq
+          FROM ({_grb}) grb2) gg""")
 
     cell_pyramid = f"""
         WITH g AS ({geo})

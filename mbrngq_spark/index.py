@@ -138,3 +138,20 @@ def balanced_cell_partitions(docs_geo: DataFrame, res: int, n_parts: int,
                        F.expr(f"(cum_before * {int(n_parts)}) div total")
                        .cast("long")))
     return out.select("cell", "n_docs", "cum_before", "part_id")
+
+
+def write_balanced(docs_geo: DataFrame, path: str, res: int, n_parts: int,
+                   cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """End-to-end balanced layout: compute the equi-depth plan, BROADCAST
+    it onto the corpus (cell-keyed map-side join — the corpus never
+    shuffles for the plan), and write partitioned by part_id — each
+    partition a contiguous Morton range with near-equal doc counts, so
+    a reader scanning part k gets both locality and balance. Returns the
+    plan table (the manifest of the layout)."""
+    plan = balanced_cell_partitions(docs_geo, res, n_parts, cfg)
+    keyed = docs_geo.withColumn(
+        "cell", grid.cell_encode(F.col("x"), F.col("y"), res, cfg))
+    (keyed.join(F.broadcast(plan.select("cell", "part_id")), "cell")
+     .repartition(n_parts, "part_id")
+     .write.mode("overwrite").partitionBy("part_id").parquet(path))
+    return plan

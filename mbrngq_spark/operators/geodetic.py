@@ -1293,3 +1293,49 @@ def geodetic_polyline_dist_sql(px: str, py: str, pz: str,
                                       vlat[i + 1], vlon[i + 1])
             for i in range(len(vlat) - 1)]
     return segs[0] if len(segs) == 1 else f"LEAST({', '.join(segs)})"
+
+
+def geodetic_hotspot_gi(docs_ll: DataFrame, res: int) -> DataFrame:
+    """Getis-Ord Gi* on the SPHERE's lat/lon raster — the planar
+    hotspot (tiles.hotspot_gi) with the neighborhood topology the globe
+    actually has: the 3×3 window WRAPS in longitude (the antimeridian
+    column's neighbors are on the other side of the date line) and
+    clamps at the poles, so W_i = 3·(3 − lat-edge clamps); everything
+    else is the same exact-int64 / fixed-double-dag discipline.
+
+    Returns (ix, iy, w_i, s_i, gi) over the 2^res × 2^res lat/lon grid
+    (geo_cell_col's binning)."""
+    n = 1 << res
+    nn = float(n * n)
+    iy = F.least(F.floor((F.col("lat") + 90.0)
+                         / (180.0 / n)).cast("long"), F.lit(n - 1))
+    ix = F.least(F.floor((F.col("lon") + 180.0)
+                         / (360.0 / n)).cast("long"), F.lit(n - 1))
+    base = (docs_ll.select(ix.alias("ix"), iy.alias("iy"))
+            .groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("n_docs")))
+    glob = base.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.sum(F.col("n_docs") * F.col("n_docs")).cast("long")
+        .alias("sumsq"))
+    focal = (base
+             .withColumn("txr", F.explode(F.sequence(F.col("ix") - 1,
+                                                     F.col("ix") + 1)))
+             .withColumn("ty", F.explode(F.sequence(F.col("iy") - 1,
+                                                    F.col("iy") + 1)))
+             .withColumn("tx", (F.col("txr") + F.lit(n)) % F.lit(n))
+             .filter((F.col("ty") >= 0) & (F.col("ty") <= n - 1))
+             .groupBy("tx", "ty")
+             .agg(F.sum("n_docs").cast("long").alias("s_i")))
+    wy = (F.lit(3) - (F.col("ty") == 0).cast("int")
+          - (F.col("ty") == n - 1).cast("int"))
+    out = (focal.crossJoin(F.broadcast(glob))
+           .withColumn("w_i", (F.lit(3) * wy).cast("long")))
+    xbar = F.col("total").cast("double") / F.lit(nn)
+    s_dev = F.sqrt(F.col("sumsq").cast("double") / F.lit(nn)
+                   - xbar * xbar)
+    w_d = F.col("w_i").cast("double")
+    denom = s_dev * F.sqrt((F.lit(nn) * w_d - w_d * w_d)
+                           / F.lit(nn - 1.0))
+    gi = (F.col("s_i").cast("double") - xbar * w_d) / denom
+    return out.select(F.col("tx").alias("ix"), F.col("ty").alias("iy"),
+                      "w_i", "s_i", gi.alias("gi"))

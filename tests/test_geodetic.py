@@ -577,3 +577,76 @@ def test_geodetic_segment_degenerate_and_endpoint_branch(spark):
     # doc 0 is west of line 1's start -> endpoint branch to (30, 0)
     assert got[(1, 0)] == round(
         float(np_haversine(0.0, 10.0, 0.0, 30.0)), 2)
+
+
+def test_geodetic_hotspot_gi_wrap_bit_exact(spark):
+    """Spherical Gi*: NumPy recompute with the lon-WRAPPED, lat-clamped
+    neighborhood asserted with == (bit-exact); an antimeridian pair
+    (ix=0 and ix=n−1) must see each other's counts."""
+    import math
+
+    from mbrngq_spark.functions import derive
+    from mbrngq_spark.operators.geodetic import geodetic_hotspot_gi
+    from tests.conftest import SF_DIR
+
+    res = 5
+    n = 1 << res
+    nn = float(n * n)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dg = derive.with_geometry(docs).select(
+        "doc_id",
+        (F.col("y") * 1.8 - 90.0).alias("lat"),
+        (F.col("x") * 3.6 - 180.0).alias("lon"))
+    got = {(int(r.ix), int(r.iy)): (int(r.w_i), int(r.s_i), float(r.gi))
+           for r in geodetic_hotspot_gi(dg, res).collect()}
+
+    pdf = dg.toPandas()
+    ix = np.minimum(np.floor((pdf.lon.to_numpy() + 180.0)
+                             / (360.0 / n)).astype(int), n - 1)
+    iy = np.minimum(np.floor((pdf.lat.to_numpy() + 90.0)
+                             / (180.0 / n)).astype(int), n - 1)
+    from collections import Counter
+    cnt = Counter(zip(ix.tolist(), iy.tolist()))
+    total = sum(cnt.values())
+    sumsq = sum(c * c for c in cnt.values())
+    xbar = float(total) / nn
+    s_dev = math.sqrt(float(sumsq) / nn - xbar * xbar)
+    focal = {}
+    for (cx, cy), c in cnt.items():
+        for dx in (-1, 0, 1):
+            tx = (cx + dx + n) % n          # lon wraps
+            for dy in (-1, 0, 1):
+                ty = cy + dy
+                if 0 <= ty <= n - 1:        # lat clamps
+                    focal[(tx, ty)] = focal.get((tx, ty), 0) + c
+    exp = {}
+    for (tx, ty), s_i in focal.items():
+        w = 3 * (3 - (ty == 0) - (ty == n - 1))
+        wd = float(w)
+        gi = (float(s_i) - xbar * wd) \
+            / (s_dev * math.sqrt((nn * wd - wd * wd) / (nn - 1.0)))
+        exp[(tx, ty)] = (w, s_i, gi)
+    assert got == exp
+    # the wrap is live: some antimeridian column target exists whose
+    # focal sum includes a source from the opposite column
+    west = {(tx, ty) for (tx, ty) in got if tx == 0}
+    assert west and any((n - 1, ty) in got for (_, ty) in west)
+
+
+def test_write_balanced_layout(spark, tmp_path):
+    """write_balanced produces one contiguous-Morton partition per
+    part_id whose on-disk doc counts equal the plan's sums."""
+    from mbrngq_spark import harness as H
+    from mbrngq_spark.index import write_balanced
+    from tests.conftest import SF_DIR
+
+    dg = H.load_docs_geo(spark, SF_DIR)
+    path = str(tmp_path / "bal")
+    plan = write_balanced(dg, path, res=4, n_parts=8).toPandas()
+    back = spark.read.parquet(path)
+    got = {int(r.part_id): int(r.n) for r in
+           back.groupBy("part_id").count()
+           .withColumnRenamed("count", "n").collect()}
+    exp = plan.groupby("part_id")["n_docs"].sum().astype(int).to_dict()
+    assert got == {int(k): int(v) for k, v in exp.items()}
+    assert len(got) == 8
