@@ -296,6 +296,16 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col(yc) * 1e6).cast("long").alias("iy"))
 
     contour = _ct_rows(0, "x1", "y1").unionByName(_ct_rows(1, "x2", "y2"))
+    # part 'contour_cc' (r6): isoline assembly (tiles.contour_components)
+    # — segments labeled by connected curve (shared lattice-edge keys +
+    # alternating-star CC, min-node label); poly_id=node,
+    # tile_id=contour label.
+    from mbrngq_spark.operators.tiles import contour_components
+    ccc = contour_components(dg, H.KDE_H, H.KDE_RES, H.CONTOUR_T).select(
+        F.lit("contour_cc").alias("part"), F.col("node").alias("poly_id"),
+        F.col("contour").alias("tile_id"),
+        F.lit(-1).cast("long").alias("ix"),
+        F.lit(-1).cast("long").alias("iy"))
     # part 'skyline' (r6): Pareto-dominance query (hull.skyline) — the
     # min-min staircase via the hull's two-stage reduction (local
     # skylines, then the skyline of their union — valid by dominance
@@ -342,7 +352,7 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(area).unionByName(zonal)
             .unionByName(crossing).unionByName(meas)
             .unionByName(hull).unionByName(diam).unionByName(sky)
-            .unionByName(contour).unionByName(simp)
+            .unionByName(contour).unionByName(ccc).unionByName(simp)
             .unionByName(refpts))
 
 
@@ -3786,8 +3796,8 @@ def oracle_sql() -> dict[str, str]:
     _ctab = ", ".join(f"({c}, {s}, {ea}, {eb})"
                       for c, segs in _MS.items()
                       for s, (ea, eb) in enumerate(segs))
-    _contour_sql = f"""
-        WITH kraster AS (
+    _contour_ctes = f"""
+        kraster AS (
           SELECT ix, iy,
                  CAST(sum(CAST(round(((1.0 - d2 / {_kh2!r})
                                       * (1.0 - d2 / {_kh2!r}))
@@ -3853,6 +3863,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT k.*, t.seg, t.e_a, t.e_b
           FROM kcase k JOIN kctab t USING (case_id)
           WHERE k.case_id > 0 AND k.case_id < 15)
+    """
+    _contour_sql = f"""
+        WITH {_contour_ctes}
         SELECT 'contour' AS part,
                CAST(((sx * {_ctn} + sy) * 4 + seg) * 2 + e_end AS BIGINT)
                AS poly_id,
@@ -3938,6 +3951,41 @@ def oracle_sql() -> dict[str, str]:
           JOIN sverts v ON v.line_id = k.line_id AND v.idx = k.idx)""")
     _sp_cte_block = ','.join(_sp_ctes)
     _simplify_sel = "SELECT part, poly_id, tile_id, ix, iy FROM ssimp"
+
+    # 'contour_cc' part: isoline assembly replayed — lattice-edge keys
+    # from (sx, sy, edge), the ≤degree-2 shared-key pair graph, and a
+    # recursive-CTE closure with min-node labels (the dedup_cc
+    # discipline); isolated single-segment curves self-label
+    _ckey = ("(CASE WHEN e = 2 THEN sy + 1 ELSE sy END * {n}"
+             " + CASE WHEN e = 1 THEN sx + 1 ELSE sx END) * 2"
+             " + CASE WHEN e = 1 OR e = 3 THEN 1 ELSE 0 END") \
+        .format(n=_ctn)
+    _contour_cc_sql = f"""
+        WITH RECURSIVE {_contour_ctes},
+        cnodes AS MATERIALIZED (
+          SELECT (sx * {_ctn} + sy) * 4 + seg AS node, sx, sy, e_a, e_b
+          FROM kjoin),
+        cends AS MATERIALIZED (
+          SELECT node, {_ckey} AS key
+          FROM (SELECT node, sx, sy, e_a AS e FROM cnodes
+                UNION ALL
+                SELECT node, sx, sy, e_b FROM cnodes) ee),
+        cpairs AS MATERIALIZED (
+          SELECT a.node AS u, b.node AS v
+          FROM cends a JOIN cends b
+            ON a.key = b.key AND a.node <> b.node),
+        creach(id, r) AS (
+          SELECT u, u FROM cpairs
+          UNION
+          SELECT e.v, creach.r FROM creach JOIN cpairs e
+            ON creach.id = e.u),
+        ccomp AS (SELECT id, min(r) AS comp FROM creach GROUP BY id)
+        SELECT 'contour_cc' AS part,
+               CAST(nn.node AS BIGINT) AS poly_id,
+               CAST(COALESCE(cc.comp, nn.node) AS BIGINT) AS tile_id,
+               CAST(-1 AS BIGINT) AS ix, CAST(-1 AS BIGINT) AS iy
+        FROM cnodes nn LEFT JOIN ccomp cc ON cc.id = nn.node
+    """
 
     # 'refpts' part: linear referencing replayed — segment literals from
     # the POLYLINES fixture, lenq = round(len·10⁹) in-SQL (same sqrt dag),
@@ -4098,6 +4146,8 @@ def oracle_sql() -> dict[str, str]:
         {_simplify_sel}
         UNION ALL
         SELECT part, poly_id, tile_id, ix, iy FROM ({_contour_sql}) cq
+        UNION ALL
+        SELECT part, poly_id, tile_id, ix, iy FROM ({_contour_cc_sql}) ccq
         UNION ALL
         {_refpts_sel}
     """

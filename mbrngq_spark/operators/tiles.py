@@ -593,7 +593,60 @@ def contour_segments(docs_geo: DataFrame, h: float, res: int,
         F.col("sx").alias("ix"), F.col("sy").alias("iy"),
         F.col("seg").cast("long").alias("seg"),
         F.col("case_id").cast("long").alias("case_id"),
+        F.col("e_a").cast("long").alias("e_a"),
+        F.col("e_b").cast("long").alias("e_b"),
         x1.alias("x1"), y1.alias("y1"), x2.alias("x2"), y2.alias("y2"))
+
+
+def _lattice_edge_key(sx: Column, sy: Column, e: Column, n: int) -> Column:
+    """Canonical key of the corner-lattice edge a square edge lies on:
+    horizontal edges (square edges 0=bottom / 2=top) key to
+    ((row·n + col)·2); vertical edges (1=right / 3=left) to (…·2 + 1) —
+    the two squares sharing a lattice edge derive the SAME key, which is
+    what links their contour segments."""
+    col = F.when(e == 1, sx + 1).otherwise(sx)
+    row = F.when(e == 2, sy + 1).otherwise(sy)
+    vert = ((e == 1) | (e == 3)).cast("long")
+    return (row * n + col) * 2 + vert
+
+
+def contour_components(docs_geo: DataFrame, h: float, res: int,
+                       threshold: int, cfg: EngineConfig = DEFAULT,
+                       quant: float = 1e9) -> DataFrame:
+    """Isoline ASSEMBLY: label every contour segment with its connected
+    contour (curve) id — marching squares emits unordered segments; two
+    segments belong to the same curve iff they cross the same
+    corner-lattice edge (each crossed lattice edge hosts exactly the two
+    segments of its adjacent squares, or one at the raster boundary), so
+    the contour graph has max degree 2 and its components ARE the
+    curves. Labels come from the alternating-star CC (graph.py, the
+    dedup-closure algorithm), label = min segment node id.
+
+    Returns (node, ix, iy, seg, contour) with node = (ix·n + iy)·4 + seg."""
+    from mbrngq_spark.operators.graph import connected_components
+
+    n = 1 << res
+    segs = contour_segments(docs_geo, h, res, threshold, cfg, quant)
+    node = (F.col("ix") * n + F.col("iy")) * 4 + F.col("seg")
+    keyed = (segs
+             .withColumn("node", node)
+             .withColumn("key_a", _lattice_edge_key(
+                 F.col("ix"), F.col("iy"), F.col("e_a"), n))
+             .withColumn("key_b", _lattice_edge_key(
+                 F.col("ix"), F.col("iy"), F.col("e_b"), n)))
+    ends = (keyed.select("node", F.col("key_a").alias("key"))
+            .unionByName(keyed.select("node", F.col("key_b").alias("key"))))
+    a = ends.select(F.col("key"), F.col("node").alias("id_a"))
+    b = ends.select(F.col("key"), F.col("node").alias("id_b"))
+    pairs = (a.join(b, "key")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    comp = connected_components(pairs)
+    return (keyed.select("node", "ix", "iy", "seg")
+            .join(comp.withColumnRenamed("id", "node"), "node", "left")
+            .select("node", "ix", "iy", "seg",
+                    F.coalesce(F.col("component"), F.col("node"))
+                    .alias("contour")))
 
 
 def compact_cover(cells: DataFrame, res: int, min_res: int = 0,

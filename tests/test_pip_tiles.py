@@ -626,3 +626,55 @@ def test_contour_sparse_raster_zero_corners(spark, docs_geo):
                                     pts[1][0], pts[1][1])
     assert got == exp
     assert len(got) > 4
+
+
+def test_contour_components_union_find_replay(spark, docs_geo):
+    """Isoline assembly: component labels equal a union-find over the
+    shared-lattice-edge graph; every lattice edge hosts ≤2 segment
+    endpoints (the marching-squares degree bound)."""
+    from collections import Counter
+
+    from mbrngq_spark.operators.tiles import contour_components, \
+        contour_segments
+
+    h, res = 10.0, 4
+    n = 1 << res
+    hm_t = 5_000_000_000
+    segs = contour_segments(docs_geo, h, res, hm_t).collect()
+
+    def key(sx, sy, e):
+        col = sx + 1 if e == 1 else sx
+        row = sy + 1 if e == 2 else sy
+        return (row * n + col) * 2 + (1 if e in (1, 3) else 0)
+
+    nodes = {}
+    keys = []
+    for r in segs:
+        node = (int(r.ix) * n + int(r.iy)) * 4 + int(r.seg)
+        ka = key(int(r.ix), int(r.iy), int(r.e_a))
+        kb = key(int(r.ix), int(r.iy), int(r.e_b))
+        nodes[node] = (ka, kb)
+        keys += [ka, kb]
+    assert max(Counter(keys).values()) <= 2  # degree bound
+
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_key = {}
+    for v, (ka, kb) in nodes.items():
+        for k in (ka, kb):
+            by_key.setdefault(k, []).append(v)
+    for vs in by_key.values():
+        for v in vs[1:]:
+            parent[find(v)] = find(vs[0])
+    exp = {v: min(u for u in nodes if find(u) == find(v)) for v in nodes}
+
+    got = {int(r.node): int(r.contour)
+           for r in contour_components(docs_geo, h, res, hm_t).collect()}
+    assert got == exp
+    assert len(set(got.values())) > 1  # several distinct curves
