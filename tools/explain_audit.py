@@ -419,6 +419,40 @@ def main() -> int:
     check("contour: corner pivot + kde sums are map-side partial",
           "partial_sum" in p or "partial_max" in p)
 
+    # --- skyline + partitioner + DP simplification ---------------------------
+    from mbrngq_spark.operators.hull import skyline
+    sk = skyline(docs_geo)
+    p = plan_of(sk, execute=True)
+    sections.append(("skyline", p))
+    check("skyline: both staircase stages are Arrow map-only (no join)",
+          "MapInPandas" in p and "Join" not in p)
+    from mbrngq_spark.index import balanced_cell_partitions
+    bp = balanced_cell_partitions(docs_geo, 4, 8)
+    p = plan_of(bp, execute=True)
+    sections.append(("equi-depth partitioner", p))
+    check("partitioner: corpus collapses map-side (partial agg); the "
+          "global window runs over the cell table, the plan join is "
+          "broadcast",
+          "partial_count" in p and "BroadcastNestedLoopJoin" in p)
+    from mbrngq_spark.operators.lines import simplify_polylines
+    import pandas as pd_sp
+    from mbrngq_spark.functions import derive as _dv
+    sv = F.sequence(F.lit(0), F.lit(7))
+    spl = (spark.read.parquet(f"{SF}/documents.parquet")
+           .filter(F.col("doc_id") < 200)
+           .select(F.col("doc_id").alias("line_id"))
+           .select("line_id",
+                   F.transform(sv, lambda i: _dv.x_col(
+                       F.col("line_id") * 31 + i * 7 + 1)).alias("vx"),
+                   F.transform(sv, lambda i: _dv.y_col(
+                       F.col("line_id") * 31 + i * 7 + 1)).alias("vy")))
+    dp = simplify_polylines(spl, 6.0, 6)
+    p = plan_of(dp, execute=True)
+    sections.append(("DP simplification (final kept-join)", p))
+    check("simplify: pure Column end to end (rounds are checkpointed "
+          "JVM frames; no Python anywhere in the final plan)",
+          "EvalPython" not in p)
+
     # --- rollup store: dirty-partition-pruned incremental merge -------------
     import tempfile
     from mbrngq_spark.plans.rollup_store import RollupStore
