@@ -70,6 +70,27 @@ _STAT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                T.BooleanType)
 
 
+def _pred_includes(op: str, value, mn, mx) -> bool:
+    """True iff ``col <op> value`` provably matches EVERY row of a file
+    with column bounds [mn, mx] (assuming no nulls in bounded columns —
+    a None bound disqualifies the file from metadata-only inclusion)."""
+    if mn is None or mx is None:
+        return False
+    if op == "<":
+        return mx < value
+    if op == "<=":
+        return mx <= value
+    if op == ">":
+        return mn > value
+    if op == ">=":
+        return mn >= value
+    if op in ("=", "=="):
+        return mn == value and mx == value
+    if op == "in":
+        return mn == mx and mn in value
+    raise ValueError(f"unsupported predicate op: {op}")
+
+
 def _pred_excludes(op: str, value, mn, mx) -> bool:
     """True iff ``col <op> value`` provably matches NO row of a file with
     column bounds [mn, mx] (None/None = all-null column, which no
@@ -333,6 +354,48 @@ class SnapshotTable:
             return self.append(df)
         finally:
             self._pending_extra = {}
+
+    def metadata_count(self, snapshot_id: int | None = None,
+                       where: list[tuple] | tuple | None = None) -> int:
+        """COUNT(*) with manifest-stat short-circuiting (Iceberg\'s
+        metadata-only aggregate): files whose bounds provably EXCLUDE
+        the predicate contribute 0, files whose bounds provably SATISFY
+        it on every row contribute their manifest n_rows without being
+        opened, and only BOUNDARY files are scanned (with the exact row
+        filter). ``self.last_count`` records
+        {files, metadata_only, scanned} so tests can assert the scan
+        really was avoided. With no predicate the count is pure
+        metadata."""
+        snap_id = snapshot_id or self.current_snapshot_id()
+        if snap_id is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        man = self._manifest(snap_id)
+        preds = [where] if isinstance(where, tuple) else list(where or [])
+        total = 0
+        boundary = []
+        meta_only = 0
+        for f in man["files"]:
+            stats = f.get("stats", {})
+            if any(col in stats and
+                   _pred_excludes(op, _json_val(val), *stats[col])
+                   for col, op, val in preds):
+                continue
+            if all(col in stats and
+                   _pred_includes(op, _json_val(val), *stats[col])
+                   for col, op, val in preds):
+                total += f["n_rows"]
+                meta_only += 1
+            else:
+                boundary.append(f["path"])
+        self.last_count = {"files": len(man["files"]),
+                           "metadata_only": meta_only,
+                           "scanned": len(boundary)}
+        if boundary:
+            df = self.spark.read.parquet(*boundary)
+            for col, op, val in preds:
+                df = df.filter(_OPS[op](F.col(col), val))
+            total += df.count()
+        return int(total)
 
     def read(self, snapshot_id: int | None = None,
              where: list[tuple] | tuple | None = None) -> DataFrame:

@@ -365,3 +365,38 @@ def test_checkpoint_rows_can_carry_snapshot_ids(spark, table, tmp_path):
     assert lineage_checksum(table.read(snapshot_id=snap)) == ck
     table.delete_where(F.col("doc_id") < 50)           # table moves on
     assert lineage_checksum(table.read(snapshot_id=snap)) == ck
+
+
+def test_metadata_count_exact_and_scan_avoiding(spark, tmp_path):
+    """metadata_count == full-scan count for no-predicate, fully-included,
+    fully-excluded, and boundary predicates — and the no-predicate /
+    interior cases open ZERO data files (clustered writes make bounds
+    tight, so most files decide from the manifest)."""
+    from mbrngq_spark.plans.snapshots import SnapshotTable
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100).cast("double").alias("v"))
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # cluster by doc_id so per-file doc_id bounds are disjoint ranges
+    t.create(docs.orderBy("doc_id").repartitionByRange(6, "doc_id"))
+
+    # no predicate: pure metadata
+    assert t.metadata_count() == 3000
+    assert t.last_count["scanned"] == 0
+
+    # fully-excluded predicate
+    assert t.metadata_count(where=("doc_id", ">", 999999)) == 0
+    assert t.last_count["scanned"] == 0
+
+    # interior range: most files metadata-only, boundary files scanned
+    exp = t.read(where=("doc_id", "<", 1777)).count()
+    got = t.metadata_count(where=("doc_id", "<", 1777))
+    assert got == exp == 1777
+    assert t.last_count["metadata_only"] >= 1
+    assert t.last_count["scanned"] <= 2  # only the straddling file(s)
+
+    # predicate on an unbounded-stats column type still exact (boundary
+    # scan fallback)
+    got_v = t.metadata_count(where=[("v", "<=", 49.0)])
+    assert got_v == t.read(where=[("v", "<=", 49.0)]).count() == 1500
