@@ -397,6 +397,25 @@ class SnapshotTable:
             total += df.count()
         return int(total)
 
+    def metadata_min_max(self, col: str,
+                         snapshot_id: int | None = None):
+        """(min, max) of a stats-tracked column from the manifest alone —
+        exact because file bounds are exact row aggregates (None if no
+        file carries bounds for the column, e.g. all-null)."""
+        snap_id = snapshot_id or self.current_snapshot_id()
+        if snap_id is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        mns = []
+        mxs = []
+        for f in self._manifest(snap_id)["files"]:
+            b = f.get("stats", {}).get(col)
+            if b and b[0] is not None:
+                mns.append(b[0])
+                mxs.append(b[1])
+        if not mns:
+            return None, None
+        return min(mns), max(mxs)
+
     def read(self, snapshot_id: int | None = None,
              where: list[tuple] | tuple | None = None) -> DataFrame:
         """Read the table AS OF a snapshot (default: current). Readers see

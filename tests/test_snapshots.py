@@ -400,3 +400,18 @@ def test_metadata_count_exact_and_scan_avoiding(spark, tmp_path):
     # scan fallback)
     got_v = t.metadata_count(where=[("v", "<=", 49.0)])
     assert got_v == t.read(where=[("v", "<=", 49.0)]).count() == 1500
+
+
+def test_metadata_min_max(spark, tmp_path):
+    from mbrngq_spark.plans.snapshots import SnapshotTable
+
+    docs = spark.range(5, 2505).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 3 % 97).cast("double").alias("v"))
+    t = SnapshotTable(spark, str(tmp_path / "mm"))
+    t.create(docs.repartition(5))
+    assert t.metadata_min_max("doc_id") == (5, 2504)
+    lo, hi = t.metadata_min_max("v")
+    row = docs.agg(F.min("v"), F.max("v")).collect()[0]
+    assert (lo, hi) == (row[0], row[1])
+    assert t.metadata_min_max("nope") == (None, None)
