@@ -336,6 +336,22 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("line_id").alias("poly_id"), F.col("idx").alias("tile_id"),
         F.round(F.col("vx") * 1e6).cast("long").alias("ix"),
         F.round(F.col("vy") * 1e6).cast("long").alias("iy"))
+    # part 'geo_simplify' (r6): Douglas-Peucker on the sphere
+    # (geodetic.geodetic_simplify) over the same derived tracks mapped
+    # to lat/lon — great-circle point-to-arc deviation, centimeter
+    # quantized (round(d_m·100) — the 2-dp meter discipline); the
+    # oracle replays the 3-D kernel stage-by-stage per unrolled round.
+    from mbrngq_spark.operators.geodetic import geodetic_simplify
+    glines = plines.select(
+        "line_id",
+        F.transform(F.col("vy"), lambda t: t * 1.8 - 90.0).alias("vlat"),
+        F.transform(F.col("vx"), lambda t: t * 3.6 - 180.0).alias("vlon"))
+    gsimp = geodetic_simplify(glines, H.GEO_SIMPLIFY_EPS_M,
+                              H.SIMPLIFY_ROUNDS).select(
+        F.lit("geo_simplify").alias("part"),
+        F.col("line_id").alias("poly_id"), F.col("idx").alias("tile_id"),
+        F.round(F.col("vlat") * 1e6).cast("long").alias("ix"),
+        F.round(F.col("vlon") * 1e6).cast("long").alias("iy"))
     # part 'refpts' (r6): linear referencing (lines.points_along) —
     # mileposts every REF_STEP along the fixture routes; segment lengths
     # int64-quantized before the per-line cumulative sum, the k-range
@@ -353,7 +369,7 @@ def _q_poly_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(crossing).unionByName(meas)
             .unionByName(hull).unionByName(diam).unionByName(sky)
             .unionByName(contour).unionByName(ccc).unionByName(simp)
-            .unionByName(refpts))
+            .unionByName(gsimp).unionByName(refpts))
 
 
 def _q_spatial_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3987,6 +4003,118 @@ def oracle_sql() -> dict[str, str]:
         FROM cnodes nn LEFT JOIN ccomp cc ON cc.id = nn.node
     """
 
+    # 'geo_simplify' part: the spherical DP replayed — derived lat/lon
+    # vertex table, the 3-D point-to-arc kernel staged exactly as
+    # geodetic_segment_dist_m evaluates it (try_divide null-guards
+    # become explicit CASE WHEN ... = 0 THEN NULL), centimeter argmax
+    _gsq = int(round(H.GEO_SIMPLIFY_EPS_M * 100.0))
+
+    def _ghav_rt(la1, lo1, la2, lo2):
+        return (f"2 * 6371000.0 * asin(least(1.0, sqrt("
+                f"pow(sin(radians({la2} - {la1}) / 2), 2)"
+                f" + cos(radians({la1})) * cos(radians({la2}))"
+                f" * pow(sin(radians(fmod({lo2} - {lo1} + 540.0, 360.0)"
+                f" - 180.0) / 2), 2))))")
+
+    _gs_ctes = [f"""
+        gverts AS MATERIALIZED (
+          SELECT doc_id AS line_id, idx,
+                 ({derive.y_sql('(doc_id * 31 + idx * 7 + 1)')})
+                 * 1.8 - 90.0 AS vlat,
+                 ({derive.x_sql('(doc_id * 31 + idx * 7 + 1)')})
+                 * 3.6 - 180.0 AS vlon
+          FROM (SELECT doc_id,
+                       unnest(generate_series(0, {H.SIMPLIFY_V - 1}))
+                       AS idx
+                FROM documents WHERE doc_id < {H.SIMPLIFY_N}) gv),
+        ga0 AS MATERIALIZED (
+          SELECT DISTINCT line_id, CAST(0 AS BIGINT) AS i,
+                 CAST({H.SIMPLIFY_V - 1} AS BIGINT) AS j
+          FROM gverts)"""]
+    for _r in range(H.SIMPLIFY_ROUNDS):
+        _gs_ctes.append(f"""
+        gm{_r} AS MATERIALIZED (
+          SELECT line_id, i, j, idx AS m FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY line_id, i, j
+              ORDER BY dq DESC, idx) AS rn
+            FROM (
+              SELECT line_id, i, j, idx,
+                     CAST(round((CASE WHEN cosxt <> 0.0
+                                       AND pa / cosxt >= ab
+                                       AND pb / cosxt >= ab
+                                 THEN 6371000.0
+                                      * asin(least(abs(sinxt), 1.0))
+                                 ELSE least(hpa, hpb) END) * 100.0)
+                          AS BIGINT) AS dq
+              FROM (
+                SELECT *, sqrt(greatest(1.0 - sinxt * sinxt, 0.0))
+                          AS cosxt
+                FROM (
+                  SELECT *, CASE WHEN nn = 0.0 THEN NULL
+                                 ELSE (px * nx + py * ny + pz * nz) / nn
+                            END AS sinxt
+                  FROM (
+                    SELECT *, sqrt(nx * nx + ny * ny + nz * nz) AS nn,
+                           ax * bx + ay * by + az * bz AS ab,
+                           px * ax + py * ay + pz * az AS pa,
+                           px * bx + py * by + pz * bz AS pb
+                    FROM (
+                      SELECT *, ay * bz - az * by AS nx,
+                             az * bx - ax * bz AS ny,
+                             ax * by - ay * bx AS nz
+                      FROM (
+                        SELECT line_id, i, j, idx,
+                               cos(radians(vlat)) * cos(radians(vlon))
+                               AS px,
+                               cos(radians(vlat)) * sin(radians(vlon))
+                               AS py,
+                               sin(radians(vlat)) AS pz,
+                               cos(radians(alat)) * cos(radians(alon))
+                               AS ax,
+                               cos(radians(alat)) * sin(radians(alon))
+                               AS ay,
+                               sin(radians(alat)) AS az,
+                               cos(radians(blat)) * cos(radians(blon))
+                               AS bx,
+                               cos(radians(blat)) * sin(radians(blon))
+                               AS by,
+                               sin(radians(blat)) AS bz,
+                               {_ghav_rt('vlat', 'vlon', 'alat', 'alon')}
+                               AS hpa,
+                               {_ghav_rt('vlat', 'vlon', 'blat', 'blon')}
+                               AS hpb
+                        FROM (
+                          SELECT a.line_id, a.i, a.j, v.idx,
+                                 v.vlat, v.vlon,
+                                 pi.vlat AS alat, pi.vlon AS alon,
+                                 pj.vlat AS blat, pj.vlon AS blon
+                          FROM ga{_r} a
+                          JOIN gverts pi ON pi.line_id = a.line_id
+                           AND pi.idx = a.i
+                          JOIN gverts pj ON pj.line_id = a.line_id
+                           AND pj.idx = a.j
+                          JOIN gverts v ON v.line_id = a.line_id
+                           AND v.idx > a.i AND v.idx < a.j) g0) g1) g2)
+                  g3) g4) g5) g6) g7
+          WHERE rn = 1 AND dq > {_gsq}),
+        ga{_r + 1} AS MATERIALIZED (
+          SELECT line_id, i, m AS j FROM gm{_r}
+          UNION ALL SELECT line_id, m, j FROM gm{_r})""")
+    _gs_kept = " UNION ".join(
+        f"SELECT line_id, i AS idx FROM ga{r}"
+        f" UNION SELECT line_id, j FROM ga{r}"
+        for r in range(H.SIMPLIFY_ROUNDS + 1))
+    _gs_cte_block = ','.join(_gs_ctes)
+    _geo_simplify_sel = f"""
+        SELECT 'geo_simplify' AS part, k.line_id AS poly_id,
+               k.idx AS tile_id,
+               CAST(round(v.vlat * 1000000.0) AS BIGINT) AS ix,
+               CAST(round(v.vlon * 1000000.0) AS BIGINT) AS iy
+        FROM ({_gs_kept}) k
+        JOIN gverts v ON v.line_id = k.line_id AND v.idx = k.idx
+    """
+
     # 'refpts' part: linear referencing replayed — segment literals from
     # the POLYLINES fixture, lenq = round(len·10⁹) in-SQL (same sqrt dag),
     # cumq = exact BIGINT window sum (quantize-before-sum makes the
@@ -4032,6 +4160,7 @@ def oracle_sql() -> dict[str, str]:
 
     poly_cover = f"""
         WITH {_sp_cte_block},
+        {_gs_cte_block},
         hpts AS MATERIALIZED (
           SELECT min(doc_id) AS id, qx, qy FROM (
             SELECT doc_id, CAST(round(x * 1000000.0) AS BIGINT) AS qx,
@@ -4144,6 +4273,8 @@ def oracle_sql() -> dict[str, str]:
             AND (q.qx < p.qx OR q.qy < p.qy))
         UNION ALL
         {_simplify_sel}
+        UNION ALL
+        {_geo_simplify_sel}
         UNION ALL
         SELECT part, poly_id, tile_id, ix, iy FROM ({_contour_sql}) cq
         UNION ALL

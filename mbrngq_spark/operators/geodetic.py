@@ -1339,3 +1339,64 @@ def geodetic_hotspot_gi(docs_ll: DataFrame, res: int) -> DataFrame:
     gi = (F.col("s_i").cast("double") - xbar * w_d) / denom
     return out.select(F.col("tx").alias("ix"), F.col("ty").alias("iy"),
                       "w_i", "s_i", gi.alias("gi"))
+
+
+def geodetic_simplify(lines_ll: DataFrame, eps_m: float,
+                      max_rounds: int = 6) -> DataFrame:
+    """Douglas-Peucker on the SPHERE — the planar
+    lines.simplify_polylines with the great-circle point-to-arc
+    distance (geodetic_segment_dist_m): per BFS round, every active
+    anchor (i, j) finds its max-deviation interior vertex by the
+    CENTIMETER-quantized arc distance (round(d_m·100), HALF_UP both
+    engines — the geodetic 2-dp discipline; argmax ties on the smaller
+    idx) and splits iff dq > eps_m·100. ``lines_ll`` carries
+    (line_id, vlat, vlon). Returns (line_id, idx, vlat, vlon)."""
+    epsq = int(round(eps_m * 100.0))
+    verts = (lines_ll
+             .select("line_id", F.size("vlat").alias("__n"),
+                     F.posexplode(F.col("vlat")).alias("idx", "vlat"),
+                     F.col("vlon").alias("__vlons"))
+             .withColumn("vlon", F.element_at(F.col("__vlons"),
+                                              F.col("idx") + F.lit(1)))
+             .select("line_id", "idx", "vlat", "vlon", "__n")
+             .localCheckpoint(eager=True))
+    v = verts.select("line_id", "idx", "vlat", "vlon")
+    anchors = (verts.filter(F.col("idx") == 0)
+               .select("line_id", F.lit(0).cast("long").alias("i"),
+                       (F.col("__n") - 1).cast("long").alias("j"))
+               .filter(F.col("j") > 0))
+    kept = (anchors.select("line_id", F.col("i").alias("idx"))
+            .unionByName(anchors.select("line_id",
+                                        F.col("j").alias("idx"))))
+    d = geodetic_segment_dist_m(
+        F.col("vlat"), F.col("vlon"), F.col("alat"), F.col("alon"),
+        F.col("blat"), F.col("blon"))
+    for _ in range(int(max_rounds)):
+        pi = v.select("line_id", F.col("idx").alias("i"),
+                      F.col("vlat").alias("alat"),
+                      F.col("vlon").alias("alon"))
+        pj = v.select("line_id", F.col("idx").alias("j"),
+                      F.col("vlat").alias("blat"),
+                      F.col("vlon").alias("blon"))
+        cand = (anchors.join(pi, ["line_id", "i"])
+                .join(pj, ["line_id", "j"])
+                .join(v, "line_id")
+                .filter((F.col("idx") > F.col("i"))
+                        & (F.col("idx") < F.col("j")))
+                .withColumn("dq", F.round(d * F.lit(100.0)).cast("long")))
+        w = Window.partitionBy("line_id", "i", "j") \
+            .orderBy(F.col("dq").desc(), F.col("idx").asc())
+        split = (cand.withColumn("__rn", F.row_number().over(w))
+                 .filter((F.col("__rn") == 1) & (F.col("dq") > epsq))
+                 .select("line_id", "i", "j", F.col("idx").alias("m")))
+        anchors = (split.select("line_id", "i", F.col("m").alias("j"))
+                   .unionByName(split.select("line_id",
+                                             F.col("m").alias("i"), "j"))
+                   .localCheckpoint(eager=True))
+        kept = kept.unionByName(
+            split.select("line_id", F.col("m").alias("idx")))
+        if anchors.isEmpty():
+            break
+    return (kept.distinct()
+            .join(v, ["line_id", "idx"])
+            .select("line_id", "idx", "vlat", "vlon"))

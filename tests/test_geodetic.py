@@ -650,3 +650,93 @@ def test_write_balanced_layout(spark, tmp_path):
     exp = plan.groupby("part_id")["n_docs"].sum().astype(int).to_dict()
     assert got == {int(k): int(v) for k, v in exp.items()}
     assert len(got) == 8
+
+
+def test_geodetic_simplify_matches_python_dp(spark):
+    """Spherical Douglas-Peucker == a pure-Python recursive DP using the
+    same 3-D point-to-arc kernel and centimeter quantization."""
+    import math
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mbrngq_spark.functions import derive
+    from mbrngq_spark.operators.geodetic import geodetic_simplify
+    from tests.conftest import SF_DIR
+
+    V, eps_m, rounds = 8, 2_000_000.0, 6
+    epsq = int(round(eps_m * 100.0))
+    sv = F.sequence(F.lit(0), F.lit(V - 1))
+    plines = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+              .filter(F.col("doc_id") < 100)
+              .select(F.col("doc_id").alias("line_id"))
+              .select("line_id",
+                      F.transform(sv, lambda i: derive.y_col(
+                          F.col("line_id") * 31 + i * 7 + 1) * 1.8 - 90.0)
+                      .alias("vlat"),
+                      F.transform(sv, lambda i: derive.x_col(
+                          F.col("line_id") * 31 + i * 7 + 1) * 3.6 - 180.0)
+                      .alias("vlon")))
+    got = {}
+    for r in geodetic_simplify(plines, eps_m, rounds).collect():
+        got.setdefault(int(r.line_id), set()).add(int(r.idx))
+
+    R = 6_371_000.0
+
+    def hav(la1, lo1, la2, lo2):
+        dphi = math.radians(la2 - la1)
+        dl = math.radians((lo2 - lo1 + 540.0) % 360.0 - 180.0)
+        a = (math.sin(dphi / 2) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(dl / 2) ** 2)
+        return 2 * R * math.asin(min(1.0, math.sqrt(a)))
+
+    def uv(la, lo):
+        la, lo = math.radians(la), math.radians(lo)
+        return (math.cos(la) * math.cos(lo),
+                math.cos(la) * math.sin(lo), math.sin(la))
+
+    def arcdist(p, a, b):
+        P, A, B = uv(*p), uv(*a), uv(*b)
+        nx = A[1] * B[2] - A[2] * B[1]
+        ny = A[2] * B[0] - A[0] * B[2]
+        nz = A[0] * B[1] - A[1] * B[0]
+        nn = math.sqrt(nx * nx + ny * ny + nz * nz)
+        d_end = min(hav(*p, *a), hav(*p, *b))
+        if nn == 0.0:
+            return d_end
+        sinxt = (P[0] * nx + P[1] * ny + P[2] * nz) / nn
+        cosxt = math.sqrt(max(1.0 - sinxt * sinxt, 0.0))
+        ab = A[0] * B[0] + A[1] * B[1] + A[2] * B[2]
+        pa = P[0] * A[0] + P[1] * A[1] + P[2] * A[2]
+        pb = P[0] * B[0] + P[1] * B[1] + P[2] * B[2]
+        if cosxt != 0.0 and pa / cosxt >= ab and pb / cosxt >= ab:
+            return R * math.asin(min(abs(sinxt), 1.0))
+        return d_end
+
+    def qc(v):
+        return int(Decimal(repr(v * 100.0)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+
+    exp = {}
+    for row in plines.collect():
+        vl, vo = list(row.vlat), list(row.vlon)
+        kept = {0, V - 1}
+
+        def rec(i, j, depth):
+            if depth >= rounds or j - i < 2:
+                return
+            scored = [(qc(arcdist((vl[m], vo[m]), (vl[i], vo[i]),
+                                  (vl[j], vo[j]))), -m)
+                      for m in range(i + 1, j)]
+            best_dq, negm = max(scored)
+            m = -negm
+            if best_dq > epsq:
+                kept.add(m)
+                rec(i, m, depth + 1)
+                rec(m, j, depth + 1)
+
+        rec(0, V - 1, 0)
+        exp[int(row.line_id)] = kept
+    assert got == exp
+    ns = [len(v) for v in got.values()]
+    assert min(ns) >= 2 and max(ns) > 2
