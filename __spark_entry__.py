@@ -1975,8 +1975,29 @@ def _q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sssp").alias("part"), F.col("id").alias("a_id"),
         F.lit(-1).cast("long").alias("b_id"),
         F.col("distq").cast("double").alias("dist"))
+    # part 'frechet' (r6): discrete Fréchet trajectory-similarity join
+    # (trajectory.frechet_join) over per-doc derived 8-vertex tracks —
+    # pairwise distances micro-quantized JVM-side, the DP pure int64
+    # min/max in an Arrow kernel; the oracle unrolls the DP row by row
+    # with staged same-row columns. a_id<b_id pairs; dist = exact dfq.
+    from mbrngq_spark.operators.trajectory import frechet_join
+    from mbrngq_spark.functions import derive as _dx
+    _fsv = F.sequence(F.lit(0), F.lit(H.SIMPLIFY_V - 1))
+    ftracks = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+               .filter(F.col("doc_id") < H.FRECHET_N)
+               .select(F.col("doc_id").alias("line_id"))
+               .select("line_id",
+                       F.transform(_fsv, lambda i: _dx.x_col(
+                           F.col("line_id") * 31 + i * 7 + 1)).alias("vx"),
+                       F.transform(_fsv, lambda i: _dx.y_col(
+                           F.col("line_id") * 31 + i * 7 + 1)).alias("vy")))
+    fr = (frechet_join(ftracks, ftracks)
+          .filter(F.col("a_id") < F.col("b_id"))
+          .select(F.lit("frechet").alias("part"), "a_id", "b_id",
+                  F.col("dfq").cast("double").alias("dist")))
     return (rect.unionByName(eps).unionByName(db).unionByName(ln)
-            .unionByName(snap).unionByName(mm).unionByName(sp))
+            .unionByName(snap).unionByName(mm).unionByName(sp)
+            .unionByName(fr))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4555,6 +4576,68 @@ def oracle_sql() -> dict[str, str]:
         FROM sd{H.SSSP_K}
     """
 
+    # 'frechet' part: the discrete-Fréchet DP replayed row by row —
+    # fverts (derived track vertices), fmat (quantized distance matrix
+    # for a<b pairs), then V unrolled row rounds; within a round the
+    # same-row dependency c_{j-1} is resolved by staged sub-selects
+    _fV = H.SIMPLIFY_V
+
+    def _fpivot(i: int) -> str:
+        cols = ", ".join(
+            f"max(CASE WHEN j = {k} THEN dq END) AS d{k}"
+            for k in range(_fV))
+        return (f"SELECT a_id, b_id, {cols} FROM fmat WHERE i = {i} "
+                f"GROUP BY a_id, b_id")
+
+    def _fstage0() -> str:
+        inner = f"({_fpivot(0)}) pv0"
+        for k in range(_fV):
+            expr = "d0" if k == 0 else f"greatest(d{k}, c{k - 1})"
+            inner = f"(SELECT *, {expr} AS c{k} FROM {inner}) s0{k}"
+        cs = ", ".join(f"c{k}" for k in range(_fV))
+        return f"SELECT a_id, b_id, {cs} FROM {inner}"
+
+    def _fstage(i: int) -> str:
+        base = (f"(SELECT m.a_id, m.b_id, "
+                + ", ".join(f"m.d{k}" for k in range(_fV)) + ", "
+                + ", ".join(f"p.c{k} AS p{k}" for k in range(_fV))
+                + f" FROM ({_fpivot(i)}) m JOIN ff{i - 1} p"
+                f" USING (a_id, b_id)) b{i}")
+        inner = base
+        for k in range(_fV):
+            if k == 0:
+                expr = "greatest(d0, p0)"
+            else:
+                expr = (f"greatest(d{k}, least(p{k}, c{k - 1},"
+                        f" p{k - 1}))")
+            inner = f"(SELECT *, {expr} AS c{k} FROM {inner}) s{i}{k}"
+        cs = ", ".join(f"c{k}" for k in range(_fV))
+        return f"SELECT a_id, b_id, {cs} FROM {inner}"
+
+    _f_ctes = [f"""
+        fverts AS MATERIALIZED (
+          SELECT doc_id AS line_id, idx,
+                 {derive.x_sql('(doc_id * 31 + idx * 7 + 1)')} AS vx,
+                 {derive.y_sql('(doc_id * 31 + idx * 7 + 1)')} AS vy
+          FROM (SELECT doc_id,
+                       unnest(generate_series(0, {_fV - 1})) AS idx
+                FROM documents WHERE doc_id < {H.FRECHET_N}) fv),
+        fmat AS MATERIALIZED (
+          SELECT va.line_id AS a_id, vb.line_id AS b_id,
+                 va.idx AS i, vb.idx AS j,
+                 CAST(round({d('va.vx', 'va.vy', 'vb.vx', 'vb.vy')}
+                            * 1000000.0) AS BIGINT) AS dq
+          FROM fverts va JOIN fverts vb ON va.line_id < vb.line_id),
+        ff0 AS MATERIALIZED ({_fstage0()})"""]
+    for _i in range(1, _fV):
+        _f_ctes.append(f"ff{_i} AS MATERIALIZED ({_fstage(_i)})")
+    _frechet_sql = f"""
+        WITH {','.join(_f_ctes)}
+        SELECT 'frechet' AS part, a_id, b_id,
+               CAST(c{_fV - 1} AS DOUBLE) AS dist
+        FROM ff{_fV - 1}
+    """
+
     spatial_joins = f"""
         SELECT 'rect' AS part, CAST(rect_id AS BIGINT) AS a_id,
                CAST(doc_id AS BIGINT) AS b_id,
@@ -4592,6 +4675,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT part, a_id, b_id, dist FROM ({_match_sql}) mm
         UNION ALL
         SELECT part, a_id, b_id, dist FROM ({_sssp_sql}) sq
+        UNION ALL
+        SELECT part, a_id, b_id, dist FROM ({_frechet_sql}) fq
     """
 
     return {

@@ -335,3 +335,72 @@ def colocation_pairs_geodetic(spark, events_ll: DataFrame, eps_m: float,
                     F.col("b_id").alias("b_event"),
                     "a_te", "b_te", "dist_m",
                     F.abs(F.col("a_te") - F.col("b_te")).alias("dt")))
+
+
+def frechet_join(lines_a: DataFrame, lines_b: DataFrame,
+                 quant: float = 1e6) -> DataFrame:
+    """Discrete Fréchet distance between every (a, b) polyline pair —
+    THE trajectory-similarity measure (minimal leash for two walkers
+    who may pause but not back up):
+
+        dp[i][j] = max(d(aᵢ, bⱼ), min(dp[i−1][j], dp[i][j−1],
+                                      dp[i−1][j−1]))
+
+    Exactness discipline (the map_match shape): the pairwise point
+    distances are computed AND micro-quantized JVM-SIDE
+    (round(d·quant) — HALF_UP) by a bounded sequence/explode over the
+    vertex index product, so the DP itself is pure int64 min/max in an
+    Arrow per-pair kernel — Spark, Python, and the row-unrolled SQL
+    oracle agree bit for bit.
+
+    ``lines_a``/``lines_b``: (line_id, vx, vy). Returns
+    (a_id, b_id, dfq, frechet) with dfq the exact int64 quantized
+    distance. Shape at scale: the cross join is the caller's candidate
+    policy (broadcast the smaller side, or cell-prefilter first); the
+    matrix explode is |Va|·|Vb| per pair, one groupBy(a,b) into the
+    kernel."""
+    import numpy as np
+    import pandas as pd
+
+    a = lines_a.select(F.col("line_id").alias("a_id"),
+                       F.col("vx").alias("avx"), F.col("vy").alias("avy"))
+    b = lines_b.select(F.col("line_id").alias("b_id"),
+                       F.col("vx").alias("bvx"), F.col("vy").alias("bvy"))
+    pairs = a.crossJoin(F.broadcast(b))
+    ax = F.element_at("avx", F.col("i") + F.lit(1))
+    ay = F.element_at("avy", F.col("i") + F.lit(1))
+    bx = F.element_at("bvx", F.col("j") + F.lit(1))
+    by = F.element_at("bvy", F.col("j") + F.lit(1))
+    d = F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+    mat = (pairs
+           .withColumn("i", F.explode(F.sequence(
+               F.lit(0), F.size("avx") - 1)))
+           .withColumn("j", F.explode(F.sequence(
+               F.lit(0), F.size("bvx") - 1)))
+           .select("a_id", "b_id", "i", "j",
+                   F.round(d * F.lit(quant)).cast("long").alias("dq")))
+
+    def dp_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (aid, bid), g in pdf.groupby(["a_id", "b_id"]):
+            n = int(g["i"].max()) + 1
+            m = int(g["j"].max()) + 1
+            dmat = np.zeros((n, m), dtype=np.int64)
+            dmat[g["i"].to_numpy(), g["j"].to_numpy()] = g["dq"].to_numpy()
+            dp = np.zeros((n, m), dtype=np.int64)
+            dp[0, 0] = dmat[0, 0]
+            for j in range(1, m):
+                dp[0, j] = max(dmat[0, j], dp[0, j - 1])
+            for i in range(1, n):
+                dp[i, 0] = max(dmat[i, 0], dp[i - 1, 0])
+                for j in range(1, m):
+                    dp[i, j] = max(dmat[i, j],
+                                   min(dp[i - 1, j], dp[i, j - 1],
+                                       dp[i - 1, j - 1]))
+            out.append((int(aid), int(bid), int(dp[n - 1, m - 1])))
+        return pd.DataFrame(out, columns=["a_id", "b_id", "dfq"])
+
+    res = mat.groupBy("a_id", "b_id").applyInPandas(
+        dp_kernel, "a_id long, b_id long, dfq long")
+    return res.withColumn("frechet",
+                          F.col("dfq").cast("double") / F.lit(quant))

@@ -255,3 +255,66 @@ def test_colocation_geodetic_matches_quadratic_haversine(spark):
                     abs(int(te[i] - te[j])))
     assert got == exp
     assert len(got) > 3
+
+
+def test_frechet_join_matches_python_dp(spark):
+    """Discrete Fréchet == pure-Python DP over the engine's own
+    quantized distance matrix; metric sanity (self-distance 0,
+    endpoint lower bound)."""
+    from mbrngq_spark.functions import derive
+    from mbrngq_spark.operators.trajectory import frechet_join
+
+    V = 8
+    sv = F.sequence(F.lit(0), F.lit(V - 1))
+    tracks = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+              .filter(F.col("doc_id") < 25)
+              .select(F.col("doc_id").alias("line_id"))
+              .select("line_id",
+                      F.transform(sv, lambda i: derive.x_col(
+                          F.col("line_id") * 31 + i * 7 + 1)).alias("vx"),
+                      F.transform(sv, lambda i: derive.y_col(
+                          F.col("line_id") * 31 + i * 7 + 1)).alias("vy")))
+    rows = frechet_join(tracks, tracks).collect()
+    got = {(int(r.a_id), int(r.b_id)): int(r.dfq) for r in rows}
+    for r in rows:
+        assert float(r.frechet) == float(r.dfq) / 1e6
+
+    pdf = tracks.toPandas()
+    vs = {int(r.line_id): (list(r.vx), list(r.vy))
+          for r in pdf.itertuples()}
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q6(v):
+        return int(Decimal(repr(v * 1e6)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+
+    import math
+    exp = {}
+    for a in vs:
+        for b in vs:
+            ax, ay = vs[a]
+            bx, by = vs[b]
+            d = [[q6(math.sqrt((ax[i] - bx[j]) * (ax[i] - bx[j])
+                               + (ay[i] - by[j]) * (ay[i] - by[j])))
+                  for j in range(V)] for i in range(V)]
+            dp = [[0] * V for _ in range(V)]
+            dp[0][0] = d[0][0]
+            for j in range(1, V):
+                dp[0][j] = max(d[0][j], dp[0][j - 1])
+            for i in range(1, V):
+                dp[i][0] = max(d[i][0], dp[i - 1][0])
+                for j in range(1, V):
+                    dp[i][j] = max(d[i][j], min(dp[i - 1][j],
+                                                dp[i][j - 1],
+                                                dp[i - 1][j - 1]))
+            exp[(a, b)] = dp[V - 1][V - 1]
+    assert got == exp
+    for a in vs:
+        assert got[(a, a)] == 0                   # self-distance
+        for b in vs:
+            assert got[(a, b)] == got[(b, a)]     # symmetry
+            ax, ay = vs[a]
+            bx, by = vs[b]
+            lb = max(q6(math.hypot(ax[0] - bx[0], ay[0] - by[0])),
+                     q6(math.hypot(ax[-1] - bx[-1], ay[-1] - by[-1])))
+            assert got[(a, b)] >= lb              # endpoint lower bound
