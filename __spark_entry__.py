@@ -1995,9 +1995,22 @@ def _q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("a_id") < F.col("b_id"))
           .select(F.lit("frechet").alias("part"), "a_id", "b_id",
                   F.col("dfq").cast("double").alias("dist")))
+    # parts 'dtw' + 'hausdorff' (r6): the other two trajectory
+    # similarity measures over the same quantized matrix — DTW is the
+    # sum/min DP (int64 Arrow kernel), Hausdorff is pure Column
+    # (min-per-row maxes + greatest, no kernel at all).
+    from mbrngq_spark.operators.trajectory import dtw_join, hausdorff_join
+    dt = (dtw_join(ftracks, ftracks)
+          .filter(F.col("a_id") < F.col("b_id"))
+          .select(F.lit("dtw").alias("part"), "a_id", "b_id",
+                  F.col("dtwq").cast("double").alias("dist")))
+    hz = (hausdorff_join(ftracks, ftracks)
+          .filter(F.col("a_id") < F.col("b_id"))
+          .select(F.lit("hausdorff").alias("part"), "a_id", "b_id",
+                  F.col("dhq").cast("double").alias("dist")))
     return (rect.unionByName(eps).unionByName(db).unionByName(ln)
             .unionByName(snap).unionByName(mm).unionByName(sp)
-            .unionByName(fr))
+            .unionByName(fr).unionByName(dt).unionByName(hz))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4589,30 +4602,37 @@ def oracle_sql() -> dict[str, str]:
         return (f"SELECT a_id, b_id, {cols} FROM fmat WHERE i = {i} "
                 f"GROUP BY a_id, b_id")
 
-    def _fstage0() -> str:
+    def _fstage0(combine) -> str:
+        # combine(dk, *preds) builds the DP cell expression
         inner = f"({_fpivot(0)}) pv0"
         for k in range(_fV):
-            expr = "d0" if k == 0 else f"greatest(d{k}, c{k - 1})"
+            expr = "d0" if k == 0 else combine(f"d{k}", f"c{k - 1}")
             inner = f"(SELECT *, {expr} AS c{k} FROM {inner}) s0{k}"
         cs = ", ".join(f"c{k}" for k in range(_fV))
         return f"SELECT a_id, b_id, {cs} FROM {inner}"
 
-    def _fstage(i: int) -> str:
+    def _fstage(i: int, prev: str, combine) -> str:
         base = (f"(SELECT m.a_id, m.b_id, "
                 + ", ".join(f"m.d{k}" for k in range(_fV)) + ", "
                 + ", ".join(f"p.c{k} AS p{k}" for k in range(_fV))
-                + f" FROM ({_fpivot(i)}) m JOIN ff{i - 1} p"
-                f" USING (a_id, b_id)) b{i}")
+                + f" FROM ({_fpivot(i)}) m JOIN {prev} p"
+                f" USING (a_id, b_id)) b{prev}{i}")
         inner = base
         for k in range(_fV):
             if k == 0:
-                expr = "greatest(d0, p0)"
+                expr = combine("d0", "p0")
             else:
-                expr = (f"greatest(d{k}, least(p{k}, c{k - 1},"
-                        f" p{k - 1}))")
-            inner = f"(SELECT *, {expr} AS c{k} FROM {inner}) s{i}{k}"
+                expr = combine(f"d{k}",
+                               f"least(p{k}, c{k - 1}, p{k - 1})")
+            inner = f"(SELECT *, {expr} AS c{k} FROM {inner}) s{prev}{i}{k}"
         cs = ", ".join(f"c{k}" for k in range(_fV))
         return f"SELECT a_id, b_id, {cs} FROM {inner}"
+
+    def _cmb_frechet(dk, rest):
+        return f"greatest({dk}, {rest})"
+
+    def _cmb_dtw(dk, rest):
+        return f"{dk} + {rest}"
 
     _f_ctes = [f"""
         fverts AS MATERIALIZED (
@@ -4628,14 +4648,33 @@ def oracle_sql() -> dict[str, str]:
                  CAST(round({d('va.vx', 'va.vy', 'vb.vx', 'vb.vy')}
                             * 1000000.0) AS BIGINT) AS dq
           FROM fverts va JOIN fverts vb ON va.line_id < vb.line_id),
-        ff0 AS MATERIALIZED ({_fstage0()})"""]
+        ff0 AS MATERIALIZED ({_fstage0(_cmb_frechet)}),
+        gg0 AS MATERIALIZED ({_fstage0(_cmb_dtw)})"""]
     for _i in range(1, _fV):
-        _f_ctes.append(f"ff{_i} AS MATERIALIZED ({_fstage(_i)})")
+        _f_ctes.append(
+            f"ff{_i} AS MATERIALIZED "
+            f"({_fstage(_i, f'ff{_i - 1}', _cmb_frechet)})")
+        _f_ctes.append(
+            f"gg{_i} AS MATERIALIZED "
+            f"({_fstage(_i, f'gg{_i - 1}', _cmb_dtw)})")
     _frechet_sql = f"""
         WITH {','.join(_f_ctes)}
         SELECT 'frechet' AS part, a_id, b_id,
                CAST(c{_fV - 1} AS DOUBLE) AS dist
         FROM ff{_fV - 1}
+        UNION ALL
+        SELECT 'dtw', a_id, b_id, CAST(c{_fV - 1} AS DOUBLE)
+        FROM gg{_fV - 1}
+        UNION ALL
+        SELECT 'hausdorff', a_id, b_id,
+               CAST(greatest(h_ab, h_ba) AS DOUBLE)
+        FROM (SELECT a_id, b_id, max(mn) AS h_ab
+              FROM (SELECT a_id, b_id, i, min(dq) AS mn FROM fmat
+                    GROUP BY 1, 2, 3) q1 GROUP BY 1, 2) ha
+        JOIN (SELECT a_id, b_id, max(mn) AS h_ba
+              FROM (SELECT a_id, b_id, j, min(dq) AS mn FROM fmat
+                    GROUP BY 1, 2, 3) q2 GROUP BY 1, 2) hb
+        USING (a_id, b_id)
     """
 
     spatial_joins = f"""

@@ -404,3 +404,84 @@ def frechet_join(lines_a: DataFrame, lines_b: DataFrame,
         dp_kernel, "a_id long, b_id long, dfq long")
     return res.withColumn("frechet",
                           F.col("dfq").cast("double") / F.lit(quant))
+
+
+def _pair_dist_matrix(lines_a: DataFrame, lines_b: DataFrame,
+                      quant: float) -> DataFrame:
+    """(a_id, b_id, i, j, dq): the JVM-quantized pairwise vertex
+    distance matrix shared by the similarity measures."""
+    a = lines_a.select(F.col("line_id").alias("a_id"),
+                       F.col("vx").alias("avx"), F.col("vy").alias("avy"))
+    b = lines_b.select(F.col("line_id").alias("b_id"),
+                       F.col("vx").alias("bvx"), F.col("vy").alias("bvy"))
+    ax = F.element_at("avx", F.col("i") + F.lit(1))
+    ay = F.element_at("avy", F.col("i") + F.lit(1))
+    bx = F.element_at("bvx", F.col("j") + F.lit(1))
+    by = F.element_at("bvy", F.col("j") + F.lit(1))
+    d = F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+    return (a.crossJoin(F.broadcast(b))
+            .withColumn("i", F.explode(F.sequence(
+                F.lit(0), F.size("avx") - 1)))
+            .withColumn("j", F.explode(F.sequence(
+                F.lit(0), F.size("bvx") - 1)))
+            .select("a_id", "b_id", "i", "j",
+                    F.round(d * F.lit(quant)).cast("long").alias("dq")))
+
+
+def hausdorff_join(lines_a: DataFrame, lines_b: DataFrame,
+                   quant: float = 1e6) -> DataFrame:
+    """Symmetric (discrete) Hausdorff distance per polyline pair —
+    max over each side's vertices of the min distance to the other
+    side: greatest(maxᵢ minⱼ, maxⱼ minᵢ) over the shared quantized
+    matrix. NO kernel at all: two keyed min aggregations + two maxes +
+    one greatest — pure Column, exact int64 end to end."""
+    mat = _pair_dist_matrix(lines_a, lines_b, quant)
+    ab = (mat.groupBy("a_id", "b_id", "i")
+          .agg(F.min("dq").alias("mn"))
+          .groupBy("a_id", "b_id").agg(F.max("mn").alias("h_ab")))
+    ba = (mat.groupBy("a_id", "b_id", "j")
+          .agg(F.min("dq").alias("mn"))
+          .groupBy("a_id", "b_id").agg(F.max("mn").alias("h_ba")))
+    return (ab.join(ba, ["a_id", "b_id"])
+            .select("a_id", "b_id",
+                    F.greatest("h_ab", "h_ba").alias("dhq"),
+                    (F.greatest("h_ab", "h_ba").cast("double")
+                     / F.lit(quant)).alias("hausdorff")))
+
+
+def dtw_join(lines_a: DataFrame, lines_b: DataFrame,
+             quant: float = 1e6) -> DataFrame:
+    """Dynamic-time-warping distance per polyline pair —
+    dp[i][j] = d(i,j) + min(dp[i−1][j], dp[i][j−1], dp[i−1][j−1]);
+    the SUM variant of the Fréchet DP, same JVM-quantized matrix, same
+    int64 Arrow kernel (sums of int64 stay exact — ≤ V²·max_dq per
+    pair, far under 2^63)."""
+    import numpy as np
+    import pandas as pd
+
+    mat = _pair_dist_matrix(lines_a, lines_b, quant)
+
+    def dp_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (aid, bid), g in pdf.groupby(["a_id", "b_id"]):
+            n = int(g["i"].max()) + 1
+            m = int(g["j"].max()) + 1
+            dmat = np.zeros((n, m), dtype=np.int64)
+            dmat[g["i"].to_numpy(), g["j"].to_numpy()] = g["dq"].to_numpy()
+            dp = np.zeros((n, m), dtype=np.int64)
+            dp[0, 0] = dmat[0, 0]
+            for j in range(1, m):
+                dp[0, j] = dmat[0, j] + dp[0, j - 1]
+            for i in range(1, n):
+                dp[i, 0] = dmat[i, 0] + dp[i - 1, 0]
+                for j in range(1, m):
+                    dp[i, j] = dmat[i, j] + min(dp[i - 1, j],
+                                                dp[i, j - 1],
+                                                dp[i - 1, j - 1])
+            out.append((int(aid), int(bid), int(dp[n - 1, m - 1])))
+        return pd.DataFrame(out, columns=["a_id", "b_id", "dtwq"])
+
+    res = mat.groupBy("a_id", "b_id").applyInPandas(
+        dp_kernel, "a_id long, b_id long, dtwq long")
+    return res.withColumn("dtw",
+                          F.col("dtwq").cast("double") / F.lit(quant))

@@ -318,3 +318,60 @@ def test_frechet_join_matches_python_dp(spark):
             lb = max(q6(math.hypot(ax[0] - bx[0], ay[0] - by[0])),
                      q6(math.hypot(ax[-1] - bx[-1], ay[-1] - by[-1])))
             assert got[(a, b)] >= lb              # endpoint lower bound
+
+
+def test_hausdorff_and_dtw_match_python(spark):
+    """Hausdorff (pure Column) and DTW (sum/min kernel) == Python
+    replays over the same quantized matrix, with the metric chain
+    dtw ≥ frechet ≥ hausdorff per pair."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mbrngq_spark.functions import derive
+    from mbrngq_spark.operators.trajectory import (dtw_join, frechet_join,
+                                                   hausdorff_join)
+
+    V = 8
+    sv = F.sequence(F.lit(0), F.lit(V - 1))
+    tracks = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+              .filter(F.col("doc_id") < 20)
+              .select(F.col("doc_id").alias("line_id"))
+              .select("line_id",
+                      F.transform(sv, lambda i: derive.x_col(
+                          F.col("line_id") * 31 + i * 7 + 1)).alias("vx"),
+                      F.transform(sv, lambda i: derive.y_col(
+                          F.col("line_id") * 31 + i * 7 + 1)).alias("vy")))
+    hz = {(int(r.a_id), int(r.b_id)): int(r.dhq)
+          for r in hausdorff_join(tracks, tracks).collect()}
+    dt = {(int(r.a_id), int(r.b_id)): int(r.dtwq)
+          for r in dtw_join(tracks, tracks).collect()}
+    fr = {(int(r.a_id), int(r.b_id)): int(r.dfq)
+          for r in frechet_join(tracks, tracks).collect()}
+
+    def q6(v):
+        return int(Decimal(repr(v * 1e6)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+
+    vs = {int(r.line_id): (list(r.vx), list(r.vy))
+          for r in tracks.toPandas().itertuples()}
+    for a in vs:
+        for b in vs:
+            ax, ay = vs[a]
+            bx, by = vs[b]
+            d = [[q6(math.hypot(ax[i] - bx[j], ay[i] - by[j]))
+                  for j in range(V)] for i in range(V)]
+            h = max(max(min(row) for row in d),
+                    max(min(d[i][j] for i in range(V))
+                        for j in range(V)))
+            assert hz[(a, b)] == h
+            dp = [[0] * V for _ in range(V)]
+            dp[0][0] = d[0][0]
+            for j in range(1, V):
+                dp[0][j] = d[0][j] + dp[0][j - 1]
+            for i in range(1, V):
+                dp[i][0] = d[i][0] + dp[i - 1][0]
+                for j in range(1, V):
+                    dp[i][j] = d[i][j] + min(dp[i - 1][j], dp[i][j - 1],
+                                             dp[i - 1][j - 1])
+            assert dt[(a, b)] == dp[V - 1][V - 1]
+            assert dt[(a, b)] >= fr[(a, b)] >= hz[(a, b)]
