@@ -1150,8 +1150,39 @@ def _q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("contact").alias("part"),
         F.col("a_event").alias("a_id"), F.col("b_event").alias("b_id"),
         F.round("dist_m", 2).alias("dist_m"))
+    # parts 'frechet'/'dtw'/'hausdorff' (r6): the trajectory-similarity
+    # family ON THE SPHERE — same derived tracks mapped to lat/lon,
+    # haversine centimeter matrix quantized JVM-side, int64 DP kernels
+    # (geodetic=True variants of the planar family).
+    from mbrngq_spark.functions import derive as _dv2
+    from mbrngq_spark.operators.trajectory import (dtw_join, frechet_join,
+                                                   hausdorff_join)
+    _gsv = F.sequence(F.lit(0), F.lit(H.SIMPLIFY_V - 1))
+    gtr = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .filter(F.col("doc_id") < H.GEO_FRECHET_N)
+           .select(F.col("doc_id").alias("line_id"))
+           .select("line_id",
+                   F.transform(_gsv, lambda i: _dv2.y_col(
+                       F.col("line_id") * 31 + i * 7 + 1)
+                       * 1.8 - 90.0).alias("vlat"),
+                   F.transform(_gsv, lambda i: _dv2.x_col(
+                       F.col("line_id") * 31 + i * 7 + 1)
+                       * 3.6 - 180.0).alias("vlon")))
+    gfr = (frechet_join(gtr, gtr, quant=100.0, geodetic=True)
+           .filter(F.col("a_id") < F.col("b_id"))
+           .select(F.lit("frechet").alias("part"), "a_id", "b_id",
+                   F.col("dfq").cast("double").alias("dist_m")))
+    gdt = (dtw_join(gtr, gtr, quant=100.0, geodetic=True)
+           .filter(F.col("a_id") < F.col("b_id"))
+           .select(F.lit("dtw").alias("part"), "a_id", "b_id",
+                   F.col("dtwq").cast("double").alias("dist_m")))
+    ghz = (hausdorff_join(gtr, gtr, quant=100.0, geodetic=True)
+           .filter(F.col("a_id") < F.col("b_id"))
+           .select(F.lit("hausdorff").alias("part"), "a_id", "b_id",
+                   F.col("dhq").cast("double").alias("dist_m")))
     return (pairs.unionByName(corr).unionByName(clus)
-            .unionByName(geoc))
+            .unionByName(geoc).unionByName(gfr).unionByName(gdt)
+            .unionByName(ghz))
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -4595,27 +4626,28 @@ def oracle_sql() -> dict[str, str]:
     # same-row dependency c_{j-1} is resolved by staged sub-selects
     _fV = H.SIMPLIFY_V
 
-    def _fpivot(i: int) -> str:
+    def _fpivot(i: int, mname: str = "fmat") -> str:
         cols = ", ".join(
             f"max(CASE WHEN j = {k} THEN dq END) AS d{k}"
             for k in range(_fV))
-        return (f"SELECT a_id, b_id, {cols} FROM fmat WHERE i = {i} "
+        return (f"SELECT a_id, b_id, {cols} FROM {mname} WHERE i = {i} "
                 f"GROUP BY a_id, b_id")
 
-    def _fstage0(combine) -> str:
+    def _fstage0(combine, mname: str = "fmat") -> str:
         # combine(dk, *preds) builds the DP cell expression
-        inner = f"({_fpivot(0)}) pv0"
+        inner = f"({_fpivot(0, mname)}) pv0"
         for k in range(_fV):
             expr = "d0" if k == 0 else combine(f"d{k}", f"c{k - 1}")
             inner = f"(SELECT *, {expr} AS c{k} FROM {inner}) s0{k}"
         cs = ", ".join(f"c{k}" for k in range(_fV))
         return f"SELECT a_id, b_id, {cs} FROM {inner}"
 
-    def _fstage(i: int, prev: str, combine) -> str:
+    def _fstage(i: int, prev: str, combine,
+                mname: str = "fmat") -> str:
         base = (f"(SELECT m.a_id, m.b_id, "
                 + ", ".join(f"m.d{k}" for k in range(_fV)) + ", "
                 + ", ".join(f"p.c{k} AS p{k}" for k in range(_fV))
-                + f" FROM ({_fpivot(i)}) m JOIN {prev} p"
+                + f" FROM ({_fpivot(i, mname)}) m JOIN {prev} p"
                 f" USING (a_id, b_id)) b{prev}{i}")
         inner = base
         for k in range(_fV):
@@ -4675,6 +4707,62 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT a_id, b_id, j, min(dq) AS mn FROM fmat
                     GROUP BY 1, 2, 3) q2 GROUP BY 1, 2) hb
         USING (a_id, b_id)
+    """
+
+    # geodetic similarity family: the same staged-round builders over a
+    # haversine centimeter matrix (lat/lon tracks from the same derive)
+    _ghav_pair = ("2 * 6371000.0 * asin(least(1.0, sqrt("
+                  "pow(sin(radians(vb.vlat - va.vlat) / 2), 2)"
+                  " + cos(radians(va.vlat)) * cos(radians(vb.vlat))"
+                  " * pow(sin(radians(fmod(vb.vlon - va.vlon + 540.0,"
+                  " 360.0) - 180.0) / 2), 2))))")
+    _g_ctes = [f"""
+        gfverts AS MATERIALIZED (
+          SELECT doc_id AS line_id, idx,
+                 ({derive.y_sql('(doc_id * 31 + idx * 7 + 1)')})
+                 * 1.8 - 90.0 AS vlat,
+                 ({derive.x_sql('(doc_id * 31 + idx * 7 + 1)')})
+                 * 3.6 - 180.0 AS vlon
+          FROM (SELECT doc_id,
+                       unnest(generate_series(0, {_fV - 1})) AS idx
+                FROM documents WHERE doc_id < {H.GEO_FRECHET_N}) gfv),
+        gfmat AS MATERIALIZED (
+          SELECT va.line_id AS a_id, vb.line_id AS b_id,
+                 va.idx AS i, vb.idx AS j,
+                 CAST(round(({_ghav_pair}) * 100.0) AS BIGINT) AS dq
+          FROM gfverts va JOIN gfverts vb
+            ON va.line_id < vb.line_id),
+        gff0 AS MATERIALIZED ({_fstage0(_cmb_frechet, "gfmat")}),
+        ggg0 AS MATERIALIZED ({_fstage0(_cmb_dtw, "gfmat")})"""]
+    for _i in range(1, _fV):
+        _g_ctes.append(
+            f"gff{_i} AS MATERIALIZED "
+            f"({_fstage(_i, f'gff{_i - 1}', _cmb_frechet, 'gfmat')})")
+        _g_ctes.append(
+            f"ggg{_i} AS MATERIALIZED "
+            f"({_fstage(_i, f'ggg{_i - 1}', _cmb_dtw, 'gfmat')})")
+    _geo_sim_sql = f"""
+        WITH {','.join(_g_ctes)}
+        SELECT 'frechet' AS part, a_id, b_id,
+               CAST(c{_fV - 1} AS DOUBLE) AS dist_m
+        FROM gff{_fV - 1}
+        UNION ALL
+        SELECT 'dtw', a_id, b_id, CAST(c{_fV - 1} AS DOUBLE)
+        FROM ggg{_fV - 1}
+        UNION ALL
+        SELECT 'hausdorff', a_id, b_id,
+               CAST(greatest(h_ab, h_ba) AS DOUBLE)
+        FROM (SELECT a_id, b_id, max(mn) AS h_ab
+              FROM (SELECT a_id, b_id, i, min(dq) AS mn FROM gfmat
+                    GROUP BY 1, 2, 3) q1 GROUP BY 1, 2) ha
+        JOIN (SELECT a_id, b_id, max(mn) AS h_ba
+              FROM (SELECT a_id, b_id, j, min(dq) AS mn FROM gfmat
+                    GROUP BY 1, 2, 3) q2 GROUP BY 1, 2) hb
+        USING (a_id, b_id)
+    """
+    geo_pairs = f"""{geo_pairs}
+        UNION ALL
+        SELECT part, a_id, b_id, dist_m FROM ({_geo_sim_sql}) gsq
     """
 
     spatial_joins = f"""

@@ -62,6 +62,7 @@ SIMPLIFY_ROUNDS = 6            # split depth (V−2 ⇒ full DP at V=8)
 SIMPLIFY_N = 300               # doc_id cap for the simplify gate
 GEO_SIMPLIFY_EPS_M = 2_000_000.0   # spherical DP tolerance (2000 km)
 FRECHET_N = 60                 # doc_id cap for the Fréchet pair gate
+GEO_FRECHET_N = 40             # doc_id cap for the geodetic similarity gate
 SNAP_RADIUS = 8.0              # nearest-polyline snap cutoff
 OVERLAY_S = 1.5                # per-doc square half-width (overlay join)
 STAY_EPS = 40.0                # stay-point leg threshold (trajectory)

@@ -338,7 +338,7 @@ def colocation_pairs_geodetic(spark, events_ll: DataFrame, eps_m: float,
 
 
 def frechet_join(lines_a: DataFrame, lines_b: DataFrame,
-                 quant: float = 1e6) -> DataFrame:
+                 quant: float = 1e6, geodetic: bool = False) -> DataFrame:
     """Discrete Fréchet distance between every (a, b) polyline pair —
     THE trajectory-similarity measure (minimal leash for two walkers
     who may pause but not back up):
@@ -362,23 +362,7 @@ def frechet_join(lines_a: DataFrame, lines_b: DataFrame,
     import numpy as np
     import pandas as pd
 
-    a = lines_a.select(F.col("line_id").alias("a_id"),
-                       F.col("vx").alias("avx"), F.col("vy").alias("avy"))
-    b = lines_b.select(F.col("line_id").alias("b_id"),
-                       F.col("vx").alias("bvx"), F.col("vy").alias("bvy"))
-    pairs = a.crossJoin(F.broadcast(b))
-    ax = F.element_at("avx", F.col("i") + F.lit(1))
-    ay = F.element_at("avy", F.col("i") + F.lit(1))
-    bx = F.element_at("bvx", F.col("j") + F.lit(1))
-    by = F.element_at("bvy", F.col("j") + F.lit(1))
-    d = F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
-    mat = (pairs
-           .withColumn("i", F.explode(F.sequence(
-               F.lit(0), F.size("avx") - 1)))
-           .withColumn("j", F.explode(F.sequence(
-               F.lit(0), F.size("bvx") - 1)))
-           .select("a_id", "b_id", "i", "j",
-                   F.round(d * F.lit(quant)).cast("long").alias("dq")))
+    mat = _pair_dist_matrix(lines_a, lines_b, quant, geodetic)
 
     def dp_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -407,35 +391,44 @@ def frechet_join(lines_a: DataFrame, lines_b: DataFrame,
 
 
 def _pair_dist_matrix(lines_a: DataFrame, lines_b: DataFrame,
-                      quant: float) -> DataFrame:
+                      quant: float, geodetic: bool = False) -> DataFrame:
     """(a_id, b_id, i, j, dq): the JVM-quantized pairwise vertex
-    distance matrix shared by the similarity measures."""
+    distance matrix shared by the similarity measures. ``geodetic``
+    switches to (line_id, vlat, vlon) inputs and great-circle meters
+    (quant then means sub-meter units, e.g. 100 → centimeters — the
+    geodetic 2-dp discipline)."""
+    from mbrngq_spark.operators.geodetic import haversine_col
+
+    ca, cb = ("vlat", "vlon") if geodetic else ("vx", "vy")
     a = lines_a.select(F.col("line_id").alias("a_id"),
-                       F.col("vx").alias("avx"), F.col("vy").alias("avy"))
+                       F.col(ca).alias("ava"), F.col(cb).alias("avb"))
     b = lines_b.select(F.col("line_id").alias("b_id"),
-                       F.col("vx").alias("bvx"), F.col("vy").alias("bvy"))
-    ax = F.element_at("avx", F.col("i") + F.lit(1))
-    ay = F.element_at("avy", F.col("i") + F.lit(1))
-    bx = F.element_at("bvx", F.col("j") + F.lit(1))
-    by = F.element_at("bvy", F.col("j") + F.lit(1))
-    d = F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+                       F.col(ca).alias("bva"), F.col(cb).alias("bvb"))
+    a1 = F.element_at("ava", F.col("i") + F.lit(1))
+    a2 = F.element_at("avb", F.col("i") + F.lit(1))
+    b1 = F.element_at("bva", F.col("j") + F.lit(1))
+    b2 = F.element_at("bvb", F.col("j") + F.lit(1))
+    if geodetic:
+        d = haversine_col(a1, a2, b1, b2)
+    else:
+        d = F.sqrt((a1 - b1) * (a1 - b1) + (a2 - b2) * (a2 - b2))
     return (a.crossJoin(F.broadcast(b))
             .withColumn("i", F.explode(F.sequence(
-                F.lit(0), F.size("avx") - 1)))
+                F.lit(0), F.size("ava") - 1)))
             .withColumn("j", F.explode(F.sequence(
-                F.lit(0), F.size("bvx") - 1)))
+                F.lit(0), F.size("bva") - 1)))
             .select("a_id", "b_id", "i", "j",
                     F.round(d * F.lit(quant)).cast("long").alias("dq")))
 
 
 def hausdorff_join(lines_a: DataFrame, lines_b: DataFrame,
-                   quant: float = 1e6) -> DataFrame:
+                   quant: float = 1e6, geodetic: bool = False) -> DataFrame:
     """Symmetric (discrete) Hausdorff distance per polyline pair —
     max over each side's vertices of the min distance to the other
     side: greatest(maxᵢ minⱼ, maxⱼ minᵢ) over the shared quantized
     matrix. NO kernel at all: two keyed min aggregations + two maxes +
     one greatest — pure Column, exact int64 end to end."""
-    mat = _pair_dist_matrix(lines_a, lines_b, quant)
+    mat = _pair_dist_matrix(lines_a, lines_b, quant, geodetic)
     ab = (mat.groupBy("a_id", "b_id", "i")
           .agg(F.min("dq").alias("mn"))
           .groupBy("a_id", "b_id").agg(F.max("mn").alias("h_ab")))
@@ -450,7 +443,7 @@ def hausdorff_join(lines_a: DataFrame, lines_b: DataFrame,
 
 
 def dtw_join(lines_a: DataFrame, lines_b: DataFrame,
-             quant: float = 1e6) -> DataFrame:
+             quant: float = 1e6, geodetic: bool = False) -> DataFrame:
     """Dynamic-time-warping distance per polyline pair —
     dp[i][j] = d(i,j) + min(dp[i−1][j], dp[i][j−1], dp[i−1][j−1]);
     the SUM variant of the Fréchet DP, same JVM-quantized matrix, same
@@ -459,7 +452,7 @@ def dtw_join(lines_a: DataFrame, lines_b: DataFrame,
     import numpy as np
     import pandas as pd
 
-    mat = _pair_dist_matrix(lines_a, lines_b, quant)
+    mat = _pair_dist_matrix(lines_a, lines_b, quant, geodetic)
 
     def dp_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []

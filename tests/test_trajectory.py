@@ -375,3 +375,73 @@ def test_hausdorff_and_dtw_match_python(spark):
                                              dp[i - 1][j - 1])
             assert dt[(a, b)] == dp[V - 1][V - 1]
             assert dt[(a, b)] >= fr[(a, b)] >= hz[(a, b)]
+
+
+def test_similarity_geodetic_matches_numpy(spark):
+    """Geodetic variants: quantized haversine matrix replayed in NumPy,
+    same DP/aggregation — exact; metric chain holds on the sphere."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    from mbrngq_spark.functions import derive
+    from mbrngq_spark.operators.geodetic import np_haversine
+    from mbrngq_spark.operators.trajectory import (dtw_join, frechet_join,
+                                                   hausdorff_join)
+
+    V = 8
+    sv = F.sequence(F.lit(0), F.lit(V - 1))
+    gtr = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+           .filter(F.col("doc_id") < 12)
+           .select(F.col("doc_id").alias("line_id"))
+           .select("line_id",
+                   F.transform(sv, lambda i: derive.y_col(
+                       F.col("line_id") * 31 + i * 7 + 1)
+                       * 1.8 - 90.0).alias("vlat"),
+                   F.transform(sv, lambda i: derive.x_col(
+                       F.col("line_id") * 31 + i * 7 + 1)
+                       * 3.6 - 180.0).alias("vlon")))
+    fr = {(int(r.a_id), int(r.b_id)): int(r.dfq)
+          for r in frechet_join(gtr, gtr, quant=100.0,
+                                geodetic=True).collect()}
+    dt = {(int(r.a_id), int(r.b_id)): int(r.dtwq)
+          for r in dtw_join(gtr, gtr, quant=100.0,
+                            geodetic=True).collect()}
+    hz = {(int(r.a_id), int(r.b_id)): int(r.dhq)
+          for r in hausdorff_join(gtr, gtr, quant=100.0,
+                                  geodetic=True).collect()}
+
+    def qc(v):
+        return int(Decimal(repr(v * 100.0)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+
+    vs = {int(r.line_id): (list(r.vlat), list(r.vlon))
+          for r in gtr.toPandas().itertuples()}
+    for a in vs:
+        for b in vs:
+            la, lo = vs[a]
+            lb, lo2 = vs[b]
+            d = [[qc(float(np_haversine(la[i], lo[i], lb[j], lo2[j])))
+                  for j in range(V)] for i in range(V)]
+            h = max(max(min(r_) for r_ in d),
+                    max(min(d[i][j] for i in range(V)) for j in range(V)))
+            assert hz[(a, b)] == h
+            dpf = [[0] * V for _ in range(V)]
+            dps = [[0] * V for _ in range(V)]
+            dpf[0][0] = dps[0][0] = d[0][0]
+            for j in range(1, V):
+                dpf[0][j] = max(d[0][j], dpf[0][j - 1])
+                dps[0][j] = d[0][j] + dps[0][j - 1]
+            for i in range(1, V):
+                dpf[i][0] = max(d[i][0], dpf[i - 1][0])
+                dps[i][0] = d[i][0] + dps[i - 1][0]
+                for j in range(1, V):
+                    dpf[i][j] = max(d[i][j], min(dpf[i - 1][j],
+                                                 dpf[i][j - 1],
+                                                 dpf[i - 1][j - 1]))
+                    dps[i][j] = d[i][j] + min(dps[i - 1][j],
+                                              dps[i][j - 1],
+                                              dps[i - 1][j - 1])
+            assert fr[(a, b)] == dpf[V - 1][V - 1]
+            assert dt[(a, b)] == dps[V - 1][V - 1]
+            assert dt[(a, b)] >= fr[(a, b)] >= hz[(a, b)]
