@@ -492,6 +492,28 @@ def main() -> int:
           and all("user_id" in ln for ln in p.splitlines()
                   if "Exchange hashpartitioning" in ln))
 
+    # --- trajectory similarity: quantized matrix + one kernel group --------
+    from mbrngq_spark.operators.trajectory import frechet_join, \
+        hausdorff_join
+    fr_tracks = spark.createDataFrame(
+        pd_mm.DataFrame({"line_id": [l[0] for l in H.POLYLINES],
+                         "vx": [l[1] for l in H.POLYLINES],
+                         "vy": [l[2] for l in H.POLYLINES]}),
+        "line_id long, vx array<double>, vy array<double>")
+    p = plan_of(frechet_join(fr_tracks, fr_tracks), execute=True)
+    sections.append(("frechet join", p))
+    check("frechet: matrix quantization is JVM Column (broadcast pair "
+          "join, bounded explode); the DP is ONE (a,b)-keyed Arrow group",
+          "FlatMapGroupsInPandas" in p and "SortMergeJoin" not in p
+          and all(("a_id" in ln and "b_id" in ln)
+                  for ln in p.splitlines()
+                  if "Exchange hashpartitioning" in ln))
+    p = plan_of(hausdorff_join(fr_tracks, fr_tracks), execute=True)
+    sections.append(("hausdorff join", p))
+    check("hausdorff: NO Python anywhere — pure Column aggregation "
+          "chain over the quantized matrix",
+          "EvalPython" not in p and "FlatMapGroupsInPandas" not in p)
+
     # --- interval-overlap join: bucket-keyed, dedup by arithmetic ----------
     from mbrngq_spark.operators.intervals import interval_overlap_join
     iv_a = spark.range(200).select(
