@@ -124,3 +124,67 @@ def test_merge_pair_fold_matches_python(spark, toks, pair):
     got = list(df.select(_merge_pair_col(F.col("toks"), a, b)
                          .alias("m")).first()["m"])
     assert got == out
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_monotone_chain_hull_properties(data):
+    """Hull invariants on random int point sets: containment (no point
+    strictly right of any CCW edge), idempotence (hull of hull == hull),
+    and vertex minimality (every hull vertex is a strict corner)."""
+    from mbrngq_spark.operators.hull import np_monotone_chain
+
+    n = data.draw(st.integers(3, 60))
+    pts = data.draw(st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+        min_size=n, max_size=n, unique=True))
+    ids = np.arange(len(pts), dtype=np.int64)
+    qx = np.array([p[0] for p in pts], dtype=np.int64)
+    qy = np.array([p[1] for p in pts], dtype=np.int64)
+    idx = np_monotone_chain(ids, qx, qy)
+    hx, hy = qx[idx], qy[idx]
+    m = len(idx)
+    if m >= 3:
+        for i in range(m):
+            ax, ay = hx[i], hy[i]
+            bx, by = hx[(i + 1) % m], hy[(i + 1) % m]
+            cross = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+            assert (cross >= 0).all()          # containment
+            cx, cy = hx[(i + 2) % m], hy[(i + 2) % m]
+            assert (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) > 0
+        idx2 = np_monotone_chain(ids[idx], hx, hy)
+        assert sorted(ids[idx][idx2].tolist()) == sorted(ids[idx].tolist())
+    else:
+        # all points collinear (or <3 points): hull degenerates
+        assert m >= 1
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_skyline_properties(data):
+    """Skyline invariants on random int point sets: no member dominated,
+    every non-member dominated by some member, idempotence."""
+    from mbrngq_spark.operators.hull import np_skyline
+
+    n = data.draw(st.integers(1, 60))
+    pts = data.draw(st.lists(
+        st.tuples(st.integers(-500, 500), st.integers(-500, 500)),
+        min_size=n, max_size=n, unique=True))
+    ids = np.arange(len(pts), dtype=np.int64)
+    qx = np.array([p[0] for p in pts], dtype=np.int64)
+    qy = np.array([p[1] for p in pts], dtype=np.int64)
+    idx = np_skyline(ids, qx, qy)
+    sky = set(idx.tolist())
+
+    def dominated(i, j):
+        return (qx[j] <= qx[i] and qy[j] <= qy[i]
+                and (qx[j] < qx[i] or qy[j] < qy[i]))
+
+    for i in range(len(pts)):
+        if i in sky:
+            assert not any(dominated(i, j) for j in range(len(pts))
+                           if j != i)
+        else:
+            assert any(dominated(i, j) for j in sky)
+    idx2 = np_skyline(ids[idx], qx[idx], qy[idx])
+    assert sorted(ids[idx][idx2].tolist()) == sorted(sky)
