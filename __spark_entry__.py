@@ -1168,16 +1168,16 @@ def _q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.transform(_gsv, lambda i: _dv2.x_col(
                        F.col("line_id") * 31 + i * 7 + 1)
                        * 3.6 - 180.0).alias("vlon")))
-    gfr = (frechet_join(gtr, gtr, quant=100.0, geodetic=True)
-           .filter(F.col("a_id") < F.col("b_id"))
+    gfr = (frechet_join(gtr, gtr, quant=100.0, geodetic=True,
+                        self_join=True)
            .select(F.lit("frechet").alias("part"), "a_id", "b_id",
                    F.col("dfq").cast("double").alias("dist_m")))
-    gdt = (dtw_join(gtr, gtr, quant=100.0, geodetic=True)
-           .filter(F.col("a_id") < F.col("b_id"))
+    gdt = (dtw_join(gtr, gtr, quant=100.0, geodetic=True,
+                    self_join=True)
            .select(F.lit("dtw").alias("part"), "a_id", "b_id",
                    F.col("dtwq").cast("double").alias("dist_m")))
-    ghz = (hausdorff_join(gtr, gtr, quant=100.0, geodetic=True)
-           .filter(F.col("a_id") < F.col("b_id"))
+    ghz = (hausdorff_join(gtr, gtr, quant=100.0, geodetic=True,
+                          self_join=True)
            .select(F.lit("hausdorff").alias("part"), "a_id", "b_id",
                    F.col("dhq").cast("double").alias("dist_m")))
     return (pairs.unionByName(corr).unionByName(clus)
@@ -2022,8 +2022,7 @@ def _q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("line_id") * 31 + i * 7 + 1)).alias("vx"),
                        F.transform(_fsv, lambda i: _dx.y_col(
                            F.col("line_id") * 31 + i * 7 + 1)).alias("vy")))
-    fr = (frechet_join(ftracks, ftracks)
-          .filter(F.col("a_id") < F.col("b_id"))
+    fr = (frechet_join(ftracks, ftracks, self_join=True)
           .select(F.lit("frechet").alias("part"), "a_id", "b_id",
                   F.col("dfq").cast("double").alias("dist")))
     # parts 'dtw' + 'hausdorff' (r6): the other two trajectory
@@ -2031,12 +2030,10 @@ def _q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum/min DP (int64 Arrow kernel), Hausdorff is pure Column
     # (min-per-row maxes + greatest, no kernel at all).
     from mbrngq_spark.operators.trajectory import dtw_join, hausdorff_join
-    dt = (dtw_join(ftracks, ftracks)
-          .filter(F.col("a_id") < F.col("b_id"))
+    dt = (dtw_join(ftracks, ftracks, self_join=True)
           .select(F.lit("dtw").alias("part"), "a_id", "b_id",
                   F.col("dtwq").cast("double").alias("dist")))
-    hz = (hausdorff_join(ftracks, ftracks)
-          .filter(F.col("a_id") < F.col("b_id"))
+    hz = (hausdorff_join(ftracks, ftracks, self_join=True)
           .select(F.lit("hausdorff").alias("part"), "a_id", "b_id",
                   F.col("dhq").cast("double").alias("dist")))
     return (rect.unionByName(eps).unionByName(db).unionByName(ln)

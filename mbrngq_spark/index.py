@@ -148,7 +148,10 @@ def write_balanced(docs_geo: DataFrame, path: str, res: int, n_parts: int,
     partition a contiguous Morton range with near-equal doc counts, so
     a reader scanning part k gets both locality and balance. Returns the
     plan table (the manifest of the layout)."""
-    plan = balanced_cell_partitions(docs_geo, res, n_parts, cfg)
+    # the plan is cell-table-sized — checkpoint it so the broadcast
+    # join and every downstream action reuse ONE corpus aggregation
+    plan = balanced_cell_partitions(docs_geo, res, n_parts, cfg) \
+        .localCheckpoint(eager=True)
     keyed = docs_geo.withColumn(
         "cell", grid.cell_encode(F.col("x"), F.col("y"), res, cfg))
     (keyed.join(F.broadcast(plan.select("cell", "part_id")), "cell")

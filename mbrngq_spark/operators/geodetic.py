@@ -1304,7 +1304,10 @@ def geodetic_hotspot_gi(docs_ll: DataFrame, res: int) -> DataFrame:
     else is the same exact-int64 / fixed-double-dag discipline.
 
     Returns (ix, iy, w_i, s_i, gi) over the 2^res × 2^res lat/lon grid
-    (geo_cell_col's binning)."""
+    (geo_cell_col's binning). Requires res ≥ 2: at n ≤ 2 the lon
+    wrap would alias a cell into its own neighborhood and
+    double-count."""
+    assert res >= 2, "geodetic_hotspot_gi needs res >= 2 (wrap aliasing)"
     n = 1 << res
     nn = float(n * n)
     iy = F.least(F.floor((F.col("lat") + 90.0)
@@ -1365,9 +1368,11 @@ def geodetic_simplify(lines_ll: DataFrame, eps_m: float,
                .select("line_id", F.lit(0).cast("long").alias("i"),
                        (F.col("__n") - 1).cast("long").alias("j"))
                .filter(F.col("j") > 0))
-    kept = (anchors.select("line_id", F.col("i").alias("idx"))
-            .unionByName(anchors.select("line_id",
-                                        F.col("j").alias("idx"))))
+    # endpoints are ALWAYS kept — including single-vertex lines, which
+    # have no anchor (idx 0 == n−1) but must survive simplification
+    kept = (verts.filter((F.col("idx") == 0)
+                         | (F.col("idx") == F.col("__n") - 1))
+            .select("line_id", F.col("idx").cast("long").alias("idx")))
     d = geodetic_segment_dist_m(
         F.col("vlat"), F.col("vlon"), F.col("alat"), F.col("alon"),
         F.col("blat"), F.col("blon"))

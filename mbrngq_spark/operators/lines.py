@@ -309,9 +309,11 @@ def simplify_polylines(lines: DataFrame, eps: float, max_rounds: int = 5,
                .select("line_id", F.lit(0).cast("long").alias("i"),
                        (F.col("__n") - 1).cast("long").alias("j"))
                .filter(F.col("j") > 0))
-    kept = (anchors.select("line_id", F.col("i").alias("idx"))
-            .unionByName(anchors.select("line_id",
-                                        F.col("j").alias("idx"))))
+    # endpoints are ALWAYS kept — including single-vertex lines, which
+    # have no anchor (idx 0 == n−1) but must survive simplification
+    kept = (verts.filter((F.col("idx") == 0)
+                         | (F.col("idx") == F.col("__n") - 1))
+            .select("line_id", F.col("idx").cast("long").alias("idx")))
     d = segment_distance(F.col("vx"), F.col("vy"), F.col("xi"),
                          F.col("yi"), F.col("xj"), F.col("yj"))
     for _ in range(int(max_rounds)):

@@ -338,7 +338,8 @@ def colocation_pairs_geodetic(spark, events_ll: DataFrame, eps_m: float,
 
 
 def frechet_join(lines_a: DataFrame, lines_b: DataFrame,
-                 quant: float = 1e6, geodetic: bool = False) -> DataFrame:
+                 quant: float = 1e6, geodetic: bool = False,
+                 self_join: bool = False) -> DataFrame:
     """Discrete Fréchet distance between every (a, b) polyline pair —
     THE trajectory-similarity measure (minimal leash for two walkers
     who may pause but not back up):
@@ -362,7 +363,8 @@ def frechet_join(lines_a: DataFrame, lines_b: DataFrame,
     import numpy as np
     import pandas as pd
 
-    mat = _pair_dist_matrix(lines_a, lines_b, quant, geodetic)
+    mat = _pair_dist_matrix(lines_a, lines_b, quant, geodetic,
+                            self_join)
 
     def dp_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -391,7 +393,8 @@ def frechet_join(lines_a: DataFrame, lines_b: DataFrame,
 
 
 def _pair_dist_matrix(lines_a: DataFrame, lines_b: DataFrame,
-                      quant: float, geodetic: bool = False) -> DataFrame:
+                      quant: float, geodetic: bool = False,
+                      self_join: bool = False) -> DataFrame:
     """(a_id, b_id, i, j, dq): the JVM-quantized pairwise vertex
     distance matrix shared by the similarity measures. ``geodetic``
     switches to (line_id, vlat, vlon) inputs and great-circle meters
@@ -412,7 +415,13 @@ def _pair_dist_matrix(lines_a: DataFrame, lines_b: DataFrame,
         d = haversine_col(a1, a2, b1, b2)
     else:
         d = F.sqrt((a1 - b1) * (a1 - b1) + (a2 - b2) * (a2 - b2))
-    return (a.crossJoin(F.broadcast(b))
+    pairs = a.crossJoin(F.broadcast(b))
+    if self_join:
+        # unordered self-similarity: prune BEFORE the vertex-product
+        # explode (a post-kernel a_id < b_id filter cannot push through
+        # applyInPandas — it would halve nothing)
+        pairs = pairs.filter(F.col("a_id") < F.col("b_id"))
+    return (pairs
             .withColumn("i", F.explode(F.sequence(
                 F.lit(0), F.size("ava") - 1)))
             .withColumn("j", F.explode(F.sequence(
@@ -422,13 +431,15 @@ def _pair_dist_matrix(lines_a: DataFrame, lines_b: DataFrame,
 
 
 def hausdorff_join(lines_a: DataFrame, lines_b: DataFrame,
-                   quant: float = 1e6, geodetic: bool = False) -> DataFrame:
+                   quant: float = 1e6, geodetic: bool = False,
+                   self_join: bool = False) -> DataFrame:
     """Symmetric (discrete) Hausdorff distance per polyline pair —
     max over each side's vertices of the min distance to the other
     side: greatest(maxᵢ minⱼ, maxⱼ minᵢ) over the shared quantized
     matrix. NO kernel at all: two keyed min aggregations + two maxes +
     one greatest — pure Column, exact int64 end to end."""
-    mat = _pair_dist_matrix(lines_a, lines_b, quant, geodetic)
+    mat = _pair_dist_matrix(lines_a, lines_b, quant, geodetic,
+                            self_join)
     ab = (mat.groupBy("a_id", "b_id", "i")
           .agg(F.min("dq").alias("mn"))
           .groupBy("a_id", "b_id").agg(F.max("mn").alias("h_ab")))
@@ -443,7 +454,8 @@ def hausdorff_join(lines_a: DataFrame, lines_b: DataFrame,
 
 
 def dtw_join(lines_a: DataFrame, lines_b: DataFrame,
-             quant: float = 1e6, geodetic: bool = False) -> DataFrame:
+             quant: float = 1e6, geodetic: bool = False,
+             self_join: bool = False) -> DataFrame:
     """Dynamic-time-warping distance per polyline pair —
     dp[i][j] = d(i,j) + min(dp[i−1][j], dp[i][j−1], dp[i−1][j−1]);
     the SUM variant of the Fréchet DP, same JVM-quantized matrix, same
@@ -452,7 +464,8 @@ def dtw_join(lines_a: DataFrame, lines_b: DataFrame,
     import numpy as np
     import pandas as pd
 
-    mat = _pair_dist_matrix(lines_a, lines_b, quant, geodetic)
+    mat = _pair_dist_matrix(lines_a, lines_b, quant, geodetic,
+                            self_join)
 
     def dp_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []

@@ -85,6 +85,10 @@ class RollupStore:
         delta = self._pyramid(new_docs)
         dirty = [(int(r.res), int(r.bucket))
                  for r in delta.select("res", "bucket").distinct().collect()]
+        if not dirty:
+            # empty delta: nothing to merge, nothing to rewrite
+            return delta, delta.limit(0).select(
+                "cell", "n_docs", "catmask", "res", "bucket")
         pred = None
         for res, b in dirty:
             c = (F.col("res") == res) & (F.col("bucket") == b)
@@ -102,6 +106,8 @@ class RollupStore:
         """Delta-cost maintenance: only the dirty (res, bucket)
         partitions are read, merged, and rewritten."""
         _, merged = self.dirty_merge(new_docs)
+        if merged.isEmpty():
+            return
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                    "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",

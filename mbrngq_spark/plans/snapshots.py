@@ -279,15 +279,18 @@ class SnapshotTable:
                      if isinstance(f.dataType, _STAT_TYPES)]
         aggs = [F.count("*").alias("__n")]
         for i, c in enumerate(stat_cols):
-            aggs += [F.min(c).alias(f"__mn{i}"), F.max(c).alias(f"__mx{i}")]
+            aggs += [F.min(c).alias(f"__mn{i}"), F.max(c).alias(f"__mx{i}"),
+                     (F.count("*") - F.count(c)).alias(f"__nl{i}")]
         per_file = (back.groupBy(F.input_file_name().alias("__p"))
                     .agg(*aggs).collect())
         out = []
         for r in per_file:
             stats = {c: [_json_val(r[f"__mn{i}"]), _json_val(r[f"__mx{i}"])]
                      for i, c in enumerate(stat_cols)}
+            nulls = {c: int(r[f"__nl{i}"])
+                     for i, c in enumerate(stat_cols)}
             out.append({"path": _localpath(r["__p"]), "n_rows": r["__n"],
-                        "stats": stats})
+                        "stats": stats, "n_nulls": nulls})
         return out
 
     # -- public operations ----------------------------------------------------
@@ -380,7 +383,14 @@ class SnapshotTable:
                    _pred_excludes(op, _json_val(val), *stats[col])
                    for col, op, val in preds):
                 continue
+            nulls = f.get("n_nulls", {})
             if all(col in stats and
+                   # the all-rows-match shortcut is only sound when the
+                   # file provably has NO nulls in the predicate column
+                   # (nulls match no comparison but are invisible to
+                   # min/max stats); legacy manifests without null
+                   # counts fall back to the boundary scan
+                   nulls.get(col) == 0 and
                    _pred_includes(op, _json_val(val), *stats[col])
                    for col, op, val in preds):
                 total += f["n_rows"]
@@ -391,7 +401,13 @@ class SnapshotTable:
                            "metadata_only": meta_only,
                            "scanned": len(boundary)}
         if boundary:
-            df = self.spark.read.parquet(*boundary)
+            reader = self.spark.read
+            if man.get("schema") is not None:
+                # same read contract as read(): schema-evolved old files
+                # surface missing columns as nulls instead of resolving
+                # a file-order-dependent footer schema
+                reader = reader.schema(T.StructType.fromJson(man["schema"]))
+            df = reader.parquet(*boundary)
             for col, op, val in preds:
                 df = df.filter(_OPS[op](F.col(col), val))
             total += df.count()

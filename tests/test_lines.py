@@ -260,3 +260,19 @@ def test_simplify_polylines_matches_python_dp(spark):
     assert got == exp
     ns = [len(v) for v in got.values()]
     assert min(ns) >= 2 and max(ns) > 2  # some lines actually simplify
+
+
+def test_simplify_keeps_single_vertex_lines(spark):
+    """Review regression: 1-vertex (and 2-vertex) polylines survive
+    simplification with all their endpoints."""
+    import pandas as pd
+    from mbrngq_spark.operators.lines import simplify_polylines
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"line_id": [1, 2],
+                      "vx": [[5.0], [0.0, 9.0]],
+                      "vy": [[5.0], [0.0, 9.0]]}),
+        "line_id long, vx array<double>, vy array<double>")
+    got = {(int(r.line_id), int(r.idx)) for r in
+           simplify_polylines(df, 1.0, 3).collect()}
+    assert got == {(1, 0), (2, 0), (2, 1)}

@@ -91,3 +91,13 @@ def test_dirty_read_is_partition_pruned(spark, docs_geo, tmp_path):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "res" in plan.split("PartitionFilters")[1][:400]
+
+
+def test_append_empty_delta_is_noop(spark, docs_geo, tmp_path):
+    """Review regression: an empty increment neither crashes nor
+    changes the table."""
+    st = RollupStore(spark, str(tmp_path / "e"))
+    st.create(docs_geo)
+    before = _rows(st.read())
+    st.append(docs_geo.filter(F.col("doc_id") < 0))  # empty
+    assert _rows(st.read()) == before

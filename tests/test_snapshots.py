@@ -415,3 +415,30 @@ def test_metadata_min_max(spark, tmp_path):
     row = docs.agg(F.min("v"), F.max("v")).collect()[0]
     assert (lo, hi) == (row[0], row[1])
     assert t.metadata_min_max("nope") == (None, None)
+
+
+def test_metadata_count_schema_evolution_and_nulls(spark, tmp_path):
+    """Review regressions: (1) boundary scans on a schema-evolved table
+    use the manifest schema (old files surface the new column as null);
+    (2) a file with SOME nulls in the predicate column is never counted
+    metadata-only (null rows match no comparison)."""
+    from mbrngq_spark.plans.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "ev"))
+    t.create(spark.range(0, 100).select(F.col("id").alias("doc_id")))
+    t.append(spark.range(100, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 2).cast("double").alias("v")))
+    # predicate on the evolved column: old files lack 'v' stats → they
+    # are boundary files read WITH the manifest schema (v = null there)
+    got = t.metadata_count(where=("v", ">=", 300.0))
+    assert got == t.read(where=("v", ">=", 300.0)).count() == 50
+
+    # nulls in a stats-tracked column must disable the shortcut
+    tn = SnapshotTable(spark, str(tmp_path / "nl"))
+    rows = [(i, float(i) if i % 2 == 0 else None) for i in range(40)]
+    tn.create(spark.createDataFrame(rows, "doc_id long, v double")
+              .coalesce(1))
+    got = tn.metadata_count(where=("v", "<=", 1000.0))
+    assert got == tn.read(where=("v", "<=", 1000.0)).count() == 20
+    assert tn.last_count["metadata_only"] == 0  # shortcut refused
