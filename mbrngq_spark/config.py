@@ -59,6 +59,33 @@ class EngineConfig:
 DEFAULT = EngineConfig()
 
 
+def refine_partitions(spark: SparkSession) -> int:
+    """Explicit partition count for exchanges feeding per-group Python
+    kernels (NGQ/geo refine). These exchanges carry FEW BYTES but much
+    CPU per row, so AQE's byte-based coalescing collapses them to ~1
+    task and serializes the kernel (measured: 3 post-AQE partitions for
+    a 200-query refine on local[32]). ``repartition(n, key)`` with an
+    explicit n is REPARTITION_BY_NUM, which AQE may not coalesce —
+    parallelism is preserved. Scale-adaptive: reads the session's
+    shuffle-partition setting (cluster-sized in production)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism * 2
+
+
+def spread_small_input(df, min_parts: int | None = None):
+    """Round-robin-repartition ``df`` ONLY when its scan parallelism is
+    below the session's core count (a tiny table often arrives as one
+    file split, serializing every map-side kernel downstream). Large
+    inputs — the 100 TB case — already scan with thousands of splits and
+    are returned untouched: no corpus-sized shuffle is ever added."""
+    n = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def session(app: str = "mbrngq_spark", cores: int | None = None,
             shuffle_partitions: int | None = None) -> SparkSession:
     """Build the engine SparkSession.

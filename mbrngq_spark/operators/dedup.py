@@ -255,9 +255,9 @@ def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7,
     whole band-join chain would recompute each time). The corpus is spread
     across the full parallelism first — sketching is the CPU-heavy stage
     and a small input often arrives as a single file split."""
-    spark = docs.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
-    d = docs.repartition(n_part)
+    from mbrngq_spark.config import spread_small_input
+
+    d = spread_small_input(docs)
     sigs = minhash_signatures(d, num_hashes, text_col, id_col).persist()
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col).persist()
     try:
@@ -383,8 +383,10 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     (one straggler/OOM task). Dropped buckets are near-identical families
     better handled by exact dedup first — same contract as the MinHash
     guard."""
-    sk = docs.select(F.col(id_col).alias("id"),
-                     simhash_col(F.col(text_col)).alias("sh"))
+    from mbrngq_spark.config import spread_small_input
+
+    sk = spread_small_input(docs).select(
+        F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh"))
     return _simhash_pairs(sk, max_hamming, max_bucket)
 
 
@@ -392,7 +394,13 @@ def _simhash_pairs(sk: DataFrame, max_hamming: int,
                    max_bucket: int) -> DataFrame:
     """Chunk-banded candidate join + exact hamming verify over a sketch
     table (id, sh) — shared by the xxhash64 production family and the
-    md5 oracle family."""
+    md5 oracle family.
+
+    The bucketed sketch table is PERSISTED across its three consumers
+    (the degenerate-bucket count and both sides of the self-join) — the
+    sketch UDF + token hashing otherwise re-execute once per consumer
+    (measured 3× the sketch cost per run); the small verified-pair
+    output is pinned before the persist is released."""
     bounds = simhash_chunk_bounds(max_hamming)
 
     def chunk(c: int) -> Column:
@@ -403,23 +411,30 @@ def _simhash_pairs(sk: DataFrame, max_hamming: int,
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
     chunks = F.array(*[chunk(c) for c in range(len(bounds) - 1)])
-    bucketed = sk.select("id", "sh", F.posexplode(chunks).alias("ci", "ck"))
-    ok = (bucketed.groupBy("ci", "ck").count()
-          .filter(F.col("count") <= max_bucket)
-          .select("ci", "ck"))
-    bucketed = bucketed.join(F.broadcast(ok), ["ci", "ck"])
-    other = bucketed.select(F.col("id").alias("id_b"),
-                            F.col("sh").alias("sh_b"), "ci", "ck")
-    pairs = (bucketed.join(other, ["ci", "ck"])
-             .filter(F.col("id") < F.col("id_b"))
-             .select(F.col("id").alias("id_a"), "id_b",
-                     F.col("sh").alias("sh_a"), "sh_b")
-             .distinct())
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs
-            .withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    bucketed = sk.select("id", "sh",
+                         F.posexplode(chunks).alias("ci", "ck")).persist()
+    try:
+        ok = (bucketed.groupBy("ci", "ck").count()
+              .filter(F.col("count") <= max_bucket)
+              .select("ci", "ck"))
+        keyed = bucketed.join(F.broadcast(ok), ["ci", "ck"])
+        other = keyed.select(F.col("id").alias("id_b"),
+                             F.col("sh").alias("sh_b"), "ci", "ck")
+        pairs = (keyed.join(other, ["ci", "ck"])
+                 .filter(F.col("id") < F.col("id_b"))
+                 .select(F.col("id").alias("id_a"), "id_b",
+                         F.col("sh").alias("sh_a"), "sh_b")
+                 .distinct())
+        ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        out = (pairs
+               .withColumn("hamming", ham)
+               .filter(F.col("hamming") <= max_hamming)
+               .select("id_a", "id_b", "hamming"))
+        # pin results before releasing the persisted sketch
+        out = out.localCheckpoint(eager=True)
+    finally:
+        bucketed.unpersist()
+    return out
 
 
 def simhash_md5_col(text: Column) -> Column:

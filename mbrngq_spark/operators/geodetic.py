@@ -46,6 +46,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mbrngq_spark.config import refine_partitions
+
 R_EARTH = 6_371_000.0
 
 
@@ -561,7 +563,7 @@ def geodetic_nearest_group(spark: SparkSession, docs_ll: DataFrame,
              .withColumn("rn", F.row_number().over(w))
              .filter(F.col("rn") <= L)
              .select("query_id", "category", id_col, "lat", "lon", "dq"))
-    return (cands.repartition("query_id").groupBy("query_id")
+    return (cands.repartition(refine_partitions(spark), "query_id").groupBy("query_id")
             .applyInPandas(_geo_group_refine(m, k, id_col),
                            schema="query_id long, group_rank long, "
                                   "members string, min_dist double"))
@@ -587,7 +589,7 @@ def geodetic_nearest_group_bruteforce(spark: SparkSession,
              .withColumn("rn", F.row_number().over(w))
              .filter(F.col("rn") <= L))
     return (cands.select("query_id", "category", id_col, "lat", "lon", "dq")
-            .repartition("query_id").groupBy("query_id")
+            .repartition(refine_partitions(spark), "query_id").groupBy("query_id")
             .applyInPandas(_geo_group_refine(m, k, id_col),
                            schema="query_id long, group_rank long, "
                                   "members string, min_dist double"))
@@ -736,7 +738,7 @@ def geodetic_nearest_group_distributed(spark: SparkSession,
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= L)
             .select("query_id", "category", id_col, "lat", "lon", "dq"))
-    return (topL.repartition("query_id").groupBy("query_id")
+    return (topL.repartition(refine_partitions(spark), "query_id").groupBy("query_id")
             .applyInPandas(_geo_group_refine(m, k, id_col),
                            schema="query_id long, group_rank long, "
                                   "members string, min_dist double"))

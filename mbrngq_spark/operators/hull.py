@@ -173,8 +173,11 @@ def hull_diameter(points: DataFrame, id_col: str = "doc_id",
     quadratic scan runs over the hull's O(h) vertices, not the corpus:
     corpus-scale work is the hull reduction; the pair scan is h² rows on
     one executor. Ties break on (a_id, b_id) — exact int comparisons,
-    identical in every engine."""
-    h = convex_hull(points, id_col=id_col, quant=quant)
+    identical in every engine. The hull is localCheckpointed before the
+    self-join — without it the full two-stage hull reduction (dedup +
+    per-partition chains + final chain) executes once per join side."""
+    h = convex_hull(points, id_col=id_col, quant=quant) \
+        .localCheckpoint(eager=True)
     a = h.select(F.col("id").alias("a_id"), F.col("qx").alias("aqx"),
                  F.col("qy").alias("aqy"))
     b = h.select(F.col("id").alias("b_id"), F.col("qx").alias("bqx"),

@@ -292,8 +292,12 @@ def _nearest_group_once(spark: SparkSession, docs_geo: DataFrame,
     cands = candidate_topL(spark, docs_geo, queries, L, res, cfg, stats=stats)
     refine = _make_refine(m, k, L, cat_totals, refine_budget)
     id_type = docs_geo.schema["doc_id"].dataType
+    # explicit partition count: the refine exchange is tiny in bytes but
+    # heavy in per-group NumPy CPU — keyless-count repartition lets AQE
+    # coalesce it to ~1 task and serialize the kernel (config.refine_partitions)
+    from mbrngq_spark.config import refine_partitions
     return (cands
-            .repartition("query_id")
+            .repartition(refine_partitions(spark), "query_id")
             .groupBy("query_id")
             .applyInPandas(refine, schema=_refine_schema(m, id_type)))
 

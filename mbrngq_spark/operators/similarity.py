@@ -39,11 +39,20 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
 
     ``queries``: (q_id, embedding) — the broadcast side. Returns
     (q_id, vec_id, cos, rnk); cos rounded to 6 dp BEFORE ranking so the
-    ordering is reproducible across engines (ties broken by vec_id)."""
+    ordering is reproducible across engines (ties broken by vec_id).
+
+    The query norm is computed ONCE on the broadcast side (same fold,
+    same double value — not per corpus row), and a single-split corpus
+    scan is spread to the session parallelism (the scoring folds are
+    interpreted ArrayAggregate expressions — per-core time dominates)."""
+    from mbrngq_spark.config import spread_small_input
+
+    corpus = spread_small_input(corpus)
     q = queries.select(F.col(q_id_col),
-                       F.col(vec_col).alias("q_vec"))
+                       F.col(vec_col).alias("q_vec"),
+                       _norm(F.col(vec_col)).alias("__q_norm"))
     cos = _dot(F.col(vec_col), F.col("q_vec")) / \
-        (_norm(F.col(vec_col)) * _norm(F.col("q_vec")))
+        (_norm(F.col(vec_col)) * F.col("__q_norm"))
     scored = (corpus.crossJoin(F.broadcast(q))
               .withColumn("cos", F.round(cos, 6)))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),

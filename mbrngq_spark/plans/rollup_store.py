@@ -82,7 +82,10 @@ class RollupStore:
         """(delta pyramid of the new rows, merged rows for the dirty
         partitions only) — exposed separately so the plan audit can
         assert the pruned read."""
-        delta = self._pyramid(new_docs)
+        # checkpoint the delta pyramid: it is consumed twice (the dirty-
+        # partition collect below and the merged write) and would
+        # otherwise recompute the full rollup per consumer
+        delta = self._pyramid(new_docs).localCheckpoint(eager=True)
         dirty = [(int(r.res), int(r.bucket))
                  for r in delta.select("res", "bucket").distinct().collect()]
         if not dirty:
