@@ -101,9 +101,18 @@ def candidate_topL(spark: SparkSession, docs_geo: DataFrame,
               # provably-sufficient per-(query, category) radius: prune
               # BEFORE the rank shuffle (≡ theta prune, RTree.cs:1391-1469)
               .filter(F.col("dq") <= F.col("radius")))
+    # ONE exchange serves both the rank window and the downstream refine
+    # groupBy: hashpartitioning(query_id) satisfies the window's clustered
+    # distribution on (query_id, category) AND the refine's on (query_id),
+    # so neither inserts its own shuffle. The explicit partition count
+    # keeps AQE from coalescing the CPU-heavy refine to ~1 task, and the
+    # partial WindowGroupLimit still cuts per-map-partition input to L
+    # below this exchange (the degenerate-density volume guard).
+    from mbrngq_spark.config import refine_partitions
     w = Window.partitionBy("query_id", "category") \
               .orderBy(F.col("dq").asc(), F.col(id_col).asc())
     return (joined
+            .repartition(refine_partitions(spark), "query_id")
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= L)
             .select("query_id", "category", id_col, "x", "y", "dq", "rn"))
@@ -292,12 +301,9 @@ def _nearest_group_once(spark: SparkSession, docs_geo: DataFrame,
     cands = candidate_topL(spark, docs_geo, queries, L, res, cfg, stats=stats)
     refine = _make_refine(m, k, L, cat_totals, refine_budget)
     id_type = docs_geo.schema["doc_id"].dataType
-    # explicit partition count: the refine exchange is tiny in bytes but
-    # heavy in per-group NumPy CPU — keyless-count repartition lets AQE
-    # coalesce it to ~1 task and serialize the kernel (config.refine_partitions)
-    from mbrngq_spark.config import refine_partitions
+    # no repartition here: cands is already hash(query_id)-partitioned
+    # with an explicit (non-coalescible) count — see candidate_topL
     return (cands
-            .repartition(refine_partitions(spark), "query_id")
             .groupBy("query_id")
             .applyInPandas(refine, schema=_refine_schema(m, id_type)))
 
