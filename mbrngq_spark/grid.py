@@ -57,6 +57,34 @@ def cell_encode(x: Column, y: Column, res: int,
     return _spread_bits(ix).bitwiseOR(F.shiftleft(_spread_bits(iy), 1)).cast("long")
 
 
+def _memo_col(key: tuple, build) -> Column:
+    """Session-scoped memo for expensive-to-BUILD Column expressions.
+
+    The Morton/tile encoders cost ~70 ms of py4j round-trips per build
+    (dozens of JVM calls for the bit-spread chain), and identical named-
+    column requests recur several times per query plan. A Column is an
+    immutable unresolved expression, safe to reuse across DataFrames of
+    one SparkContext; the cache lives ON the active context object so it
+    dies with the JVM gateway it references (a module-level cache would
+    hand out stale JVM handles after a context restart in tests)."""
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return build()
+    cache = sc.__dict__.setdefault("_mbrngq_colcache", {})
+    col = cache.get(key)
+    if col is None:
+        col = cache[key] = build()
+    return col
+
+
+def cell_encode_named(res: int, cfg: EngineConfig = DEFAULT,
+                      xname: str = "x", yname: str = "y") -> Column:
+    """Memoized cell_encode over plain named columns (the common case)."""
+    return _memo_col(("cell", xname, yname, res, cfg),
+                     lambda: cell_encode(F.col(xname), F.col(yname), res, cfg))
+
+
 def cell_from_indices(ix: Column, iy: Column) -> Column:
     """(ix, iy) grid indices → Morton cell id (callers clip to [0, 2^res))."""
     return _spread_bits(ix).bitwiseOR(F.shiftleft(_spread_bits(iy), 1)) \
@@ -105,6 +133,14 @@ def row_major_tile_id(x: Column, y: Column, res: int,
     ix = quantize(x, cfg.min_x, cfg.width, res)
     iy = quantize(y, cfg.min_y, cfg.height, res)
     return F.shiftleft(iy, res).bitwiseOR(ix).cast("long")
+
+
+def row_major_tile_id_named(res: int, cfg: EngineConfig = DEFAULT,
+                            xname: str = "x", yname: str = "y") -> Column:
+    """Memoized row_major_tile_id over plain named columns."""
+    return _memo_col(("tile", xname, yname, res, cfg),
+                     lambda: row_major_tile_id(F.col(xname), F.col(yname),
+                                               res, cfg))
 
 
 # ---------------------------------------------------------------------------

@@ -49,8 +49,9 @@ def build_index(docs_geo: DataFrame, layout: IndexLayout = IndexLayout(),
     """→ (indexed docs, cell stats). Pure Column math + one aggregate."""
     x, y = F.col("x"), F.col("y")
     base = (docs_geo
-            .withColumn("cell_coarse", grid.cell_encode(x, y, layout.coarse_res, cfg))
-            .withColumn("cell", grid.cell_encode(x, y, layout.index_res, cfg)))
+            .withColumn("cell_coarse",
+                        grid.cell_encode_named(layout.coarse_res, cfg))
+            .withColumn("cell", grid.cell_encode_named(layout.index_res, cfg)))
     # stats derive from the pre-checksum plan: the hot-cell broadcast branch
     # must not re-evaluate the (expensive) span checksum
     indexed = base
@@ -73,7 +74,7 @@ def build_index(docs_geo: DataFrame, layout: IndexLayout = IndexLayout(),
                .withColumn("is_hot", F.coalesce(F.col("is_hot"), F.lit(False)))
                .withColumn("cell_fine",
                            F.when(F.col("is_hot"),
-                                  grid.cell_encode(x, y, layout.fine_res, cfg))
+                                  grid.cell_encode_named(layout.fine_res, cfg))
                            .otherwise(F.col("cell")))
                .withColumn("salt",
                            F.when(F.col("is_hot"),

@@ -46,7 +46,7 @@ def cell_stats(docs_geo: DataFrame, res: int,
     (Node.cs:137-148) + category bitmap (RTree.cs:209-247 CalculateBitArray,
     here one row per category; ``bit_or`` masks are built in index.py)."""
     return (docs_geo
-            .withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"), res, cfg))
+            .withColumn("cell", grid.cell_encode_named(res, cfg))
             .groupBy("cell", "category")
             .agg(F.count("*").alias("n"),
                  F.min("x").alias("xmin"), F.min("y").alias("ymin"),
@@ -153,8 +153,9 @@ def _plan_windows_batched(g: np.ndarray, qids, qxs, qys, cxs, cys, radii,
         bi, wyi, wxi = np.nonzero(keep)
         cell = (grid.np_spread_bits(colc[bi, wxi])
                 | (grid.np_spread_bits(rowc[bi, wyi]) << 1))
-        out.append((qids[ids][bi].tolist(), cell.tolist(),
-                    rad[bi].tolist()))
+        # raw arrays, not .tolist(): the planner's output frame is built
+        # from these — list round-trips cost ~0.5 s/plan at large L
+        out.append((qids[ids][bi], cell, rad[bi]))
     return out
 
 
@@ -204,6 +205,9 @@ def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
     and this planner runs per Arrow batch inside mapInPandas
     (plan_cells_distributed).
     """
+    # accumulated as LISTS OF NUMPY ARRAYS, concatenated once at the end:
+    # Python-list round-trips (tolist + object-dtype DataFrame inference)
+    # cost ~0.5 s per plan at large L (driver-serial time)
     out_q, out_c, out_cat, out_r = [], [], [], []
     cats = sorted(stats["category"].unique()) if per_category else [None]
     qids = queries["query_id"].to_numpy()
@@ -293,11 +297,11 @@ def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
                 g, qids, qxs, qys, cxs, cys, radii, n, wx, wy, k, cfg,
                 done)
             for e_q, e_c, e_r in emitted:
-                out_q.extend(e_q)
-                out_c.extend(e_c)
-                out_r.extend(e_r)
+                out_q.append(e_q)
+                out_c.append(e_c)
+                out_r.append(e_r)
                 if cat is not None:
-                    out_cat.extend([cat] * len(e_q))
+                    out_cat.append(np.full(len(e_q), cat, dtype=np.int64))
 
         for qi in np.nonzero(~done)[0]:
             qx, qy = qxs[qi], qys[qi]
@@ -347,19 +351,26 @@ def plan_candidate_cells(stats: pd.DataFrame, queries: pd.DataFrame,
                             keep = kk
                 take = (grid.np_spread_bits((xx[keep] + sx0).astype(np.int64))
                         | (grid.np_spread_bits((yy[keep] + sy0).astype(np.int64)) << 1))
-            out_q.extend([qids[qi]] * len(take))
-            out_c.extend(take.tolist())
-            out_r.extend([radius] * len(take))
+            out_q.append(np.full(len(take), qids[qi], dtype=np.int64))
+            out_c.append(np.asarray(take, dtype=np.int64))
+            out_r.append(np.full(len(take), radius, dtype=np.float64))
             if cat is not None:
-                out_cat.extend([cat] * len(take))
-    data = {"query_id": out_q, "cell": out_c, "radius": out_r}
+                out_cat.append(np.full(len(take), cat, dtype=np.int64))
+
+    def cat_arrays(parts: list, dtype) -> np.ndarray:
+        return (np.concatenate(parts) if parts
+                else np.array([], dtype=dtype))
+
+    data = {"query_id": cat_arrays(out_q, np.int64),
+            "cell": cat_arrays(out_c, np.int64),
+            "radius": cat_arrays(out_r, np.float64)}
     if per_category:
-        data["category"] = out_cat
+        data["category"] = cat_arrays(out_cat, np.int64)
     return pd.DataFrame(data)
 
 
 def with_cell(docs_geo: DataFrame, res: int, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    return docs_geo.withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"), res, cfg))
+    return docs_geo.withColumn("cell", grid.cell_encode_named(res, cfg))
 
 
 def plan_cells_distributed(spark: SparkSession, stats: pd.DataFrame,
@@ -419,8 +430,7 @@ def planner_stats(docs_geo: DataFrame, res: int | None, k_per_group: int,
         # and a slim frame keeps the driver collect + executor broadcast
         # proportional to what is actually consumed
         return (docs_geo
-                .withColumn("cell", grid.cell_encode(F.col("x"), F.col("y"),
-                                                     at_res, cfg))
+                .withColumn("cell", grid.cell_encode_named(at_res, cfg))
                 .groupBy("cell", "category")
                 .agg(F.count("*").alias("n"))).toPandas()
 

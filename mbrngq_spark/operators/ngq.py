@@ -356,18 +356,28 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
         # escalate only queries the L-bound failed AND whose refine wasn't
         # budget-capped: for capped queries a deeper L hits the same cap,
         # so retrying burns rounds without changing the (flagged-inexact)
-        # answer — clustered-corpus queries land here by geometry
-        bad_df = out.filter(~F.col("exact") & ~F.col("capped")) \
-            .select("query_id").distinct()
+        # answer — clustered-corpus queries land here by geometry.
+        # ONE aggregate yields both the bad-query set and each query's kth
+        # score (exact/capped are per-query constants, so the filter keeps
+        # whole query groups) — previously a distinct + a semi-join +
+        # a second aggregate, i.e. two extra jobs per round.
+        bad_kth = (out.filter(~F.col("exact") & ~F.col("capped"))
+                   .groupBy("query_id").agg(F.max("min_dist").alias("kth")))
         if distributed:
-            none_bad = bad_df.isEmpty()
+            bad_kth = bad_kth.localCheckpoint(eager=True)
+            bad_df = bad_kth.select("query_id")
+            none_bad = bad_kth.isEmpty()
             good = out if none_bad else out.join(bad_df, "query_id",
                                                  "left_anti")
+            is_bad = None
         else:
-            bad = [r.query_id for r in bad_df.collect()]
+            bad_pdf = bad_kth.toPandas()
+            bad = list(bad_pdf["query_id"])
             none_bad = not bad
-            good = out if none_bad else out.filter(
-                ~F.col("query_id").isin(bad))
+            # build the literal-list predicate ONCE: each isin() costs
+            # ~0.1 s of py4j literal construction at a few hundred ids
+            is_bad = None if none_bad else F.col("query_id").isin(bad)
+            good = out if none_bad else out.filter(~is_bad)
         done = good if done is None else done.unionByName(good)
         if none_bad:
             return done
@@ -379,8 +389,6 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
         # jump to the certifying depth; clamp at the budget's per-category
         # cap — past it the kernel would truncate anyway, so deeper
         # retrieval cannot certify and the round would be pure waste
-        bad_kth = (out.join(bad_df, "query_id", "left_semi")
-                   .groupBy("query_id").agg(F.max("min_dist").alias("kth")))
         if distributed:
             # bookkeeping stays distributed: per-batch certifying_L in
             # mapInPandas (stats broadcast), driver receives ONE scalar —
@@ -389,18 +397,18 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
                 remaining.select("query_id", "qx", "qy"), "query_id")
             cert = certifying_L_distributed(spark, stats, bad_q, res, cfg)
         else:
-            bad_pdf = bad_kth.toPandas().merge(
-                remaining[["query_id", "qx", "qy"]], on="query_id")
-            cert = certifying_L(stats, bad_pdf, res, cfg)
+            cert = certifying_L(
+                stats, bad_pdf.merge(remaining[["query_id", "qx", "qy"]],
+                                     on="query_id"), res, cfg)
         next_L = min(max(cert, 2 * L), per_cap)
         if next_L <= L:
             # no useful depth left under the budget: results for these
             # queries are already as good as the budget allows
             return done.unionByName(
                 out.join(bad_df, "query_id", "left_semi") if distributed
-                else out.filter(F.col("query_id").isin(bad)))
+                else out.filter(is_bad))
         L = next_L
     # rounds exhausted: whatever is left is returned with exact=False visible
     last = (out.join(bad_df, "query_id", "left_semi") if distributed
-            else out.filter(F.col("query_id").isin(bad)))
+            else out.filter(is_bad))
     return done.unionByName(last) if done is not None else last

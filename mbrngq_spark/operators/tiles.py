@@ -24,7 +24,7 @@ def assign_tiles(docs_geo: DataFrame, res: int | None = None,
                  cfg: EngineConfig = DEFAULT) -> DataFrame:
     res = res or cfg.tile_res
     return docs_geo.withColumn(
-        "tile_id", grid.row_major_tile_id(F.col("x"), F.col("y"), res, cfg))
+        "tile_id", grid.row_major_tile_id_named(res, cfg))
 
 
 def tile_rollup(docs_geo: DataFrame, res: int | None = None,
