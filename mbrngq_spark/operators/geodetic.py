@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mbrngq_spark.config import refine_partitions
+from mbrngq_spark.config import bounded_shuffle, refine_partitions
 
 R_EARTH = 6_371_000.0
 
@@ -271,7 +271,8 @@ def geodetic_knn(spark: SparkSession, docs_ll: DataFrame,
     d = docs_ll.withColumn("cell", geo_cell_col(res))
 
     # tiny counts table to the driver (≤ 4^res rows) — the planner input
-    stats = d.groupBy("cell").count().toPandas()
+    with bounded_shuffle(spark):
+        stats = d.groupBy("cell").count().toPandas()
     plan = plan_geo_cells(stats, queries, k, res, max_dist_m)
     cand = spark.createDataFrame(plan, "query_id long, cell long")
     qdf = spark.createDataFrame(
@@ -347,7 +348,8 @@ def geodetic_range(spark: SparkSession, docs_ll: DataFrame,
     geodetic_knn); the exact haversine filter finishes. Returns
     (query_id, doc_id, dist_m) with dist_m rounded to 2 dp."""
     d = docs_ll.withColumn("cell", geo_cell_col(res))
-    stats = d.groupBy("cell").count().toPandas()
+    with bounded_shuffle(spark):
+        stats = d.groupBy("cell").count().toPandas()
     cand = spark.createDataFrame(
         plan_geo_range_cells(stats, queries, radius_m, res),
         "query_id long, cell long")
@@ -376,7 +378,8 @@ def geodetic_range_distributed(spark: SparkSession, docs_ll: DataFrame,
     bounded by |candidates|. Same result contract as geodetic_range
     (pytest asserts equality at 10k+ queries)."""
     d = docs_ll.withColumn("cell", geo_cell_col(res))
-    stats = d.groupBy("cell").count().toPandas()
+    with bounded_shuffle(spark):
+        stats = d.groupBy("cell").count().toPandas()
     bc = spark.sparkContext.broadcast(
         {c: stats[c].to_numpy() for c in ("cell", "count")})
 
@@ -434,7 +437,8 @@ def geodetic_knn_distributed(spark: SparkSession, docs_ll: DataFrame,
     shuffles bounded by |candidates|). Same result contract as
     geodetic_knn (pytest asserts equality)."""
     d = docs_ll.withColumn("cell", geo_cell_col(res))
-    stats = d.groupBy("cell").count().toPandas()
+    with bounded_shuffle(spark):
+        stats = d.groupBy("cell").count().toPandas()
     cand = plan_geo_cells_distributed(spark, stats, queries_df, k, res)
     dist = F.round(haversine_col(F.col("lat"), F.col("lon"),
                                  F.col("qlat"), F.col("qlon")), 2)
@@ -540,7 +544,8 @@ def geodetic_nearest_group(spark: SparkSession, docs_ll: DataFrame,
     comma-joined member ids in category order (array-valued gate columns
     hash unreliably across engines)."""
     d = docs_ll.withColumn("cell", geo_cell_col(res))
-    stats = d.groupBy("category", "cell").count().toPandas()
+    with bounded_shuffle(spark):
+        stats = d.groupBy("category", "cell").count().toPandas()
     plans = []
     for c in range(m):
         st_c = stats[stats["category"] == c][["cell", "count"]]
@@ -640,7 +645,8 @@ def geodetic_pairs(spark: SparkSession, docs_ll: DataFrame, eps_m: float,
     sides then shuffle once by cell (or arrive pre-bucketed), the pair
     table broadcasts, and the exact haversine predicate finishes."""
     d = docs_ll.withColumn("cell", geo_cell_col(res))
-    stats = d.groupBy("cell").count().toPandas()
+    with bounded_shuffle(spark):
+        stats = d.groupBy("cell").count().toPandas()
     if len(stats) == 0:
         return spark.createDataFrame(
             [], "a_id long, b_id long, dist_m double")
@@ -720,7 +726,8 @@ def geodetic_nearest_group_distributed(spark: SparkSession,
     same fixed-L haversine refine. Result contract identical to the
     driver-planned path (pytest asserts equality)."""
     d = docs_ll.withColumn("cell", geo_cell_col(res))
-    stats = d.groupBy("category", "cell").count().toPandas()
+    with bounded_shuffle(spark):
+        stats = d.groupBy("category", "cell").count().toPandas()
     cands = None
     for c in range(m):
         st_c = stats[stats["category"] == c][["cell", "count"]] \

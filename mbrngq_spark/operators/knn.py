@@ -428,11 +428,16 @@ def planner_stats(docs_geo: DataFrame, res: int | None, k_per_group: int,
     def counts(at_res: int) -> pd.DataFrame:
         # counts-only aggregate: the planner never reads the MBR columns,
         # and a slim frame keeps the driver collect + executor broadcast
-        # proportional to what is actually consumed
-        return (docs_geo
-                .withColumn("cell", grid.cell_encode_named(at_res, cfg))
-                .groupBy("cell", "category")
-                .agg(F.count("*").alias("n"))).toPandas()
+        # proportional to what is actually consumed. The output is bounded
+        # (≤ 4^res·m rows), so the exchange runs with a small constant
+        # reduce-partition count (config.bounded_shuffle).
+        from mbrngq_spark.config import bounded_shuffle
+        df = (docs_geo
+              .withColumn("cell", grid.cell_encode_named(at_res, cfg))
+              .groupBy("cell", "category")
+              .agg(F.count("*").alias("n")))
+        with bounded_shuffle(docs_geo.sparkSession):
+            return df.toPandas()
 
     base = cfg.planner_base_res
     if res is not None and res > base:

@@ -371,7 +371,9 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
                                                  "left_anti")
             is_bad = None
         else:
-            bad_pdf = bad_kth.toPandas()
+            from mbrngq_spark.config import bounded_shuffle
+            with bounded_shuffle(spark):
+                bad_pdf = bad_kth.toPandas()
             bad = list(bad_pdf["query_id"])
             none_bad = not bad
             # build the literal-list predicate ONCE: each isin() costs
