@@ -66,12 +66,12 @@ def refine_partitions(spark: SparkSession) -> int:
     task and serializes the kernel (measured: 3 post-AQE partitions for
     a 200-query refine on local[32]). ``repartition(n, key)`` with an
     explicit n is REPARTITION_BY_NUM, which AQE may not coalesce —
-    parallelism is preserved. Scale-adaptive: reads the session's
-    shuffle-partition setting (cluster-sized in production)."""
-    try:
-        return int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        return spark.sparkContext.defaultParallelism * 2
+    parallelism is preserved. One partition per core: each Arrow-grouped
+    Python task carries ~8 ms of fixed stream-setup overhead, so extra
+    waves cost more than they balance (measured 1.30 s at 32 partitions
+    vs 2.05 s at 64 for a 200-group refine on local[32]). Scale-adaptive:
+    defaultParallelism is the cluster's total core count in production."""
+    return spark.sparkContext.defaultParallelism
 
 
 from contextlib import contextmanager

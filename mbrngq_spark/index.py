@@ -66,21 +66,43 @@ def build_index(docs_geo: DataFrame, layout: IndexLayout = IndexLayout(),
                   F.min("x").alias("xmin"), F.min("y").alias("ymin"),
                   F.max("x").alias("xmax"), F.max("y").alias("ymax")))
 
-    # adaptive split: hot cells get a finer cell id + a salt bucket
-    hot = stats.filter(F.col("n") > layout.hot_threshold) \
-               .select("cell", F.lit(True).alias("is_hot"))
-    indexed = (indexed
-               .join(F.broadcast(hot), "cell", "left")
-               .withColumn("is_hot", F.coalesce(F.col("is_hot"), F.lit(False)))
-               .withColumn("cell_fine",
-                           F.when(F.col("is_hot"),
-                                  grid.cell_encode_named(layout.fine_res, cfg))
-                           .otherwise(F.col("cell")))
-               .withColumn("salt",
-                           F.when(F.col("is_hot"),
-                                  F.pmod(F.xxhash64(F.col("doc_id")),
-                                         F.lit(layout.salt_buckets)).cast("int"))
-                           .otherwise(F.lit(0))))
+    # adaptive split: hot cells get a finer cell id + a salt bucket.
+    # Hot-cell DETECTION runs eagerly as a counts-only bounded aggregate
+    # (≤ 4^res rows → small constant reduce-partition count) instead of a
+    # full-stats subquery inside the main plan: the subquery re-ran the
+    # 6-aggregate stats pass at the cluster-sized partition count on every
+    # materialization, and when no cell is hot (any non-degenerate layout)
+    # the broadcast join is skipped outright — the common-case index pass
+    # is then one map-only projection.
+    from mbrngq_spark.config import bounded_shuffle
+
+    hot_counts = base.groupBy("cell").agg(F.count("*").alias("n")) \
+        .filter(F.col("n") > layout.hot_threshold).select("cell")
+    with bounded_shuffle(docs_geo.sparkSession):
+        hot_cells = [r.cell for r in hot_counts.collect()]
+    if hot_cells:
+        hot = docs_geo.sparkSession.createDataFrame(
+            [(c, True) for c in hot_cells], "cell long, is_hot boolean")
+        indexed = (indexed
+                   .join(F.broadcast(hot), "cell", "left")
+                   .withColumn("is_hot",
+                               F.coalesce(F.col("is_hot"), F.lit(False)))
+                   .withColumn("cell_fine",
+                               F.when(F.col("is_hot"),
+                                      grid.cell_encode_named(layout.fine_res,
+                                                             cfg))
+                               .otherwise(F.col("cell")))
+                   .withColumn("salt",
+                               F.when(F.col("is_hot"),
+                                      F.pmod(F.xxhash64(F.col("doc_id")),
+                                             F.lit(layout.salt_buckets))
+                                      .cast("int"))
+                               .otherwise(F.lit(0))))
+    else:
+        indexed = (indexed
+                   .withColumn("is_hot", F.lit(False))
+                   .withColumn("cell_fine", F.col("cell"))
+                   .withColumn("salt", F.lit(0).cast("int")))
     return indexed, stats
 
 
