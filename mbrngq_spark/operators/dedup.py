@@ -250,25 +250,27 @@ def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7,
     """End-to-end MinHash-LSH near-dup detection: sketch → band join →
     exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard).
 
-    Signatures AND candidate pairs are persisted across their reuses (the
-    verify stage references the pair set three times — unpersisted, the
-    whole band-join chain would recompute each time). The corpus is spread
-    across the full parallelism first — sketching is the CPU-heavy stage
-    and a small input often arrives as a single file split."""
+    Signatures are persisted across their three consumers (the
+    degenerate-bucket count and both self-join sides); the bucket count
+    is BROADCAST, so its build job populates the signature cache before
+    the join stages scan it — no separate materialization action is
+    needed. The candidate-pair set is consumed exactly once by the
+    verify join, so it is not persisted (pinning it cost a full extra
+    materialization of the band-join chain per run). A single-file-split
+    input is spread across the full parallelism first — sketching is the
+    CPU-heavy stage."""
     from mbrngq_spark.config import spread_small_input
 
     d = spread_small_input(docs)
     sigs = minhash_signatures(d, num_hashes, text_col, id_col).persist()
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col).persist()
     try:
-        cands.count()  # materialize both persisted stages
+        cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
         out = jaccard_pairs(d, cands, text_col, id_col) \
             .filter(F.col("jaccard") >= threshold)
         # pin results before releasing upstream storage
         out = out.localCheckpoint(eager=True)
     finally:
         sigs.unpersist()
-        cands.unpersist()
     return out
 
 

@@ -579,14 +579,15 @@ def knn_candidates(spark: SparkSession, docs_geo: DataFrame,
     else:
         cand = plan_candidate_cells(stats, queries, k, res, cfg,
                                     max_dist=max_dist)
+        # attach (qx, qy) driver-side: ONE broadcast + ONE join instead
+        # of a second broadcast exchange + join (see ngq.candidate_topL)
+        cand = cand.merge(queries[["query_id", "qx", "qy"]], on="query_id")
         # explicit schema: an empty-corpus plan yields an empty frame,
         # where pandas schema inference would fail
         cand_df = spark.createDataFrame(
-            cand, "query_id long, cell long, radius double")
-        joined = (docs_c
-                  .join(F.broadcast(cand_df), "cell")
-                  .join(F.broadcast(spark.createDataFrame(queries)),
-                        "query_id"))
+            cand, "query_id long, cell long, radius double, "
+                  "qx double, qy double")
+        joined = docs_c.join(F.broadcast(cand_df), "cell")
     return (joined
             .withColumn("dist", geom.dist_point(F.col("x"), F.col("y"),
                                                 F.col("qx"), F.col("qy")))

@@ -87,14 +87,16 @@ def candidate_topL(spark: SparkSession, docs_geo: DataFrame,
     else:
         cand = plan_candidate_cells(stats, queries, L, res, cfg,
                                     per_category=True)
+        # attach (qx, qy) driver-side: ONE broadcast + ONE join instead
+        # of a second broadcast exchange + join per round (the query
+        # coordinates are a pandas merge away; identical join graph)
+        cand = cand.merge(queries[["query_id", "qx", "qy"]], on="query_id")
         # explicit schema: an empty-corpus plan yields an empty frame,
         # where pandas schema inference would fail
         cand_df = spark.createDataFrame(
-            cand, "query_id long, cell long, radius double, category int")
-        joined = (docs_c
-                  .join(F.broadcast(cand_df), ["cell", "category"])
-                  .join(F.broadcast(spark.createDataFrame(queries)),
-                        "query_id"))
+            cand, "query_id long, cell long, radius double, category int, "
+                  "qx double, qy double")
+        joined = docs_c.join(F.broadcast(cand_df), ["cell", "category"])
     joined = (joined
               .withColumn("dq", geom.dist_point(F.col("x"), F.col("y"),
                                                 F.col("qx"), F.col("qy")))
