@@ -348,6 +348,10 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
     # L target is already per-group — no separate group knob
     stats, res = planner_stats(docs_geo, res, L, cfg)
     distributed = isinstance(queries, DataFrame)
+    if not distributed:
+        return _nearest_group_pandas(spark, docs_geo, queries, k, L, res,
+                                     cfg, max_rounds, refine_budget,
+                                     stats, per_cap)
 
     remaining = queries
     done: DataFrame | None = None
@@ -364,55 +368,85 @@ def nearest_group(spark: SparkSession, docs_geo: DataFrame,
         # whole query groups) — previously a distinct + a semi-join +
         # a second aggregate, i.e. two extra jobs per round.
         bad_kth = (out.filter(~F.col("exact") & ~F.col("capped"))
-                   .groupBy("query_id").agg(F.max("min_dist").alias("kth")))
-        if distributed:
-            bad_kth = bad_kth.localCheckpoint(eager=True)
-            bad_df = bad_kth.select("query_id")
-            none_bad = bad_kth.isEmpty()
-            good = out if none_bad else out.join(bad_df, "query_id",
-                                                 "left_anti")
-            is_bad = None
-        else:
-            from mbrngq_spark.config import bounded_shuffle
-            with bounded_shuffle(spark):
-                bad_pdf = bad_kth.toPandas()
-            bad = list(bad_pdf["query_id"])
-            none_bad = not bad
-            # build the literal-list predicate ONCE: each isin() costs
-            # ~0.1 s of py4j literal construction at a few hundred ids
-            is_bad = None if none_bad else F.col("query_id").isin(bad)
-            good = out if none_bad else out.filter(~is_bad)
+                   .groupBy("query_id").agg(F.max("min_dist").alias("kth"))
+                   .localCheckpoint(eager=True))
+        bad_df = bad_kth.select("query_id")
+        none_bad = bad_kth.isEmpty()
+        good = out if none_bad else out.join(bad_df, "query_id", "left_anti")
         done = good if done is None else done.unionByName(good)
         if none_bad:
             return done
         if rnd == max_rounds - 1:
             break
-        remaining = (remaining.join(bad_df, "query_id", "left_semi")
-                     if distributed else
-                     remaining[remaining["query_id"].isin(bad)])
+        remaining = remaining.join(bad_df, "query_id", "left_semi")
         # jump to the certifying depth; clamp at the budget's per-category
         # cap — past it the kernel would truncate anyway, so deeper
-        # retrieval cannot certify and the round would be pure waste
-        if distributed:
-            # bookkeeping stays distributed: per-batch certifying_L in
-            # mapInPandas (stats broadcast), driver receives ONE scalar —
-            # no .toPandas() of the (possibly huge) bad-query set
-            bad_q = bad_kth.join(
-                remaining.select("query_id", "qx", "qy"), "query_id")
-            cert = certifying_L_distributed(spark, stats, bad_q, res, cfg)
-        else:
-            cert = certifying_L(
-                stats, bad_pdf.merge(remaining[["query_id", "qx", "qy"]],
-                                     on="query_id"), res, cfg)
+        # retrieval cannot certify and the round would be pure waste.
+        # Bookkeeping stays distributed: per-batch certifying_L in
+        # mapInPandas (stats broadcast), driver receives ONE scalar —
+        # no .toPandas() of the (possibly huge) bad-query set
+        bad_q = bad_kth.join(
+            remaining.select("query_id", "qx", "qy"), "query_id")
+        cert = certifying_L_distributed(spark, stats, bad_q, res, cfg)
         next_L = min(max(cert, 2 * L), per_cap)
         if next_L <= L:
             # no useful depth left under the budget: results for these
             # queries are already as good as the budget allows
             return done.unionByName(
-                out.join(bad_df, "query_id", "left_semi") if distributed
-                else out.filter(is_bad))
+                out.join(bad_df, "query_id", "left_semi"))
         L = next_L
     # rounds exhausted: whatever is left is returned with exact=False visible
-    last = (out.join(bad_df, "query_id", "left_semi") if distributed
-            else out.filter(is_bad))
+    last = out.join(bad_df, "query_id", "left_semi")
     return done.unionByName(last) if done is not None else last
+
+
+def _nearest_group_pandas(spark: SparkSession, docs_geo: DataFrame,
+                          queries: pd.DataFrame, k: int, L: int, res: int,
+                          cfg: EngineConfig, max_rounds: int,
+                          refine_budget: int, stats: pd.DataFrame,
+                          per_cap: int) -> DataFrame:
+    """The small-Q (pandas queries) adaptive loop: each round's result is
+    k·Q rows — inherently driver-sized, since the queries themselves were
+    handed over as a pandas frame — so the round executes as ONE Spark
+    action (an Arrow collect) and all escalation bookkeeping (bad set,
+    kth bound, certifying depth) runs in pandas. The localCheckpoint +
+    per-round aggregate jobs of the distributed loop would cost 2-3 extra
+    job rounds here for data that fits in one collect."""
+    from mbrngq_spark.operators.knn import certifying_L
+
+    m = cfg.m
+    id_type = docs_geo.schema["doc_id"].dataType
+    schema = _refine_schema(m, id_type)
+    remaining = queries
+    parts: list[pd.DataFrame] = []
+
+    def finish(extra: pd.DataFrame | None = None) -> DataFrame:
+        all_parts = parts + ([extra] if extra is not None else [])
+        final = pd.concat(all_parts, ignore_index=True) if all_parts \
+            else pd.DataFrame()
+        if len(final) == 0:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(final, schema)
+
+    for rnd in range(max_rounds):
+        out = _nearest_group_once(spark, docs_geo, remaining, k, L, res,
+                                  cfg, stats, refine_budget).toPandas()
+        bad_mask = ~out["exact"] & ~out["capped"]
+        parts.append(out[~bad_mask])
+        if not bad_mask.any():
+            return finish()
+        if rnd == max_rounds - 1:
+            return finish(out[bad_mask])
+        bad_rows = out[bad_mask]
+        remaining = remaining[remaining["query_id"]
+                              .isin(bad_rows["query_id"].unique())]
+        kth = (bad_rows.groupby("query_id", as_index=False)["min_dist"]
+               .max().rename(columns={"min_dist": "kth"}))
+        cert = certifying_L(
+            stats, kth.merge(remaining[["query_id", "qx", "qy"]],
+                             on="query_id"), res, cfg)
+        next_L = min(max(cert, 2 * L), per_cap)
+        if next_L <= L:
+            return finish(bad_rows)
+        L = next_L
+    return finish()
