@@ -90,15 +90,21 @@ def bounded_shuffle(spark: SparkSession, n: int = 8):
     scale. Map-side parallelism (input splits) is unaffected. Only valid
     around eager actions — the conf is read at planning time."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         target = min(int(old), n)
     except ValueError:
         target = n
     spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    # AQE has nothing to adapt on an 8-partition bounded aggregate; its
+    # stage-level re-optimization pass costs ~0.1 s per collect here
+    # (interleaved A/B: 0.42 s → 0.30 s)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 def spread_small_input(df, min_parts: int | None = None):
