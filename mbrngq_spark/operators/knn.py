@@ -553,7 +553,13 @@ def knn_join(spark: SparkSession, docs_geo: DataFrame,
     rank_fn = F.rank() if keep_ties else F.row_number()
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
                                                F.col(id_col).asc())
+    # explicit-count repartition: the rank exchange is byte-light, so the
+    # AQE-coalesced ENSURE_REQUIREMENTS shuffle ran the sort+rank on ~1
+    # task and added a re-optimization stage (interleaved A/B: full knn
+    # 1.46 s → 1.00 s); REPARTITION_BY_NUM keeps it parallel
+    from mbrngq_spark.config import refine_partitions
     return (joined
+            .repartition(refine_partitions(spark), "query_id")
             .withColumn("rank", rank_fn.over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "dist", "rank"))
