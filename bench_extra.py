@@ -41,6 +41,7 @@ def _arg(flag: str, default: str | None = None) -> str | None:
 def main() -> None:
     from pyspark.sql import functions as F
 
+    from mbrngq_spark.config import DEFAULT as DEFAULT_CFG
     from mbrngq_spark.config import session
     from mbrngq_spark.index import IndexLayout, build_index
     from mbrngq_spark.operators import dedup, similarity, text, tiles
@@ -109,12 +110,16 @@ def main() -> None:
         stage("knn:full", lambda: out.count())
 
     if want("ngq"):
+        from mbrngq_spark.operators.ngq import _nearest_group_once
         stage("ngq:planner_stats", lambda: planner_stats(geo, None, 32))
         stats, res = planner_stats(geo, None, 32)
         c = candidate_topL(spark, geo, qpts, 32, res, stats=stats)
         stage("ngq:candidates_noop", lambda: noop(c))
+        # nearest_group is eager (the pandas-path loop collects per
+        # round), so the meaningful plan is the per-round DAG
+        save_explain("ngq", _nearest_group_once(spark, geo, qpts, 10, 32,
+                                                res, DEFAULT_CFG, stats))
         out = nearest_group(spark, geo, qpts, k=10, L=32)
-        save_explain("ngq", out)
         stage("ngq:full", lambda: out.count())
 
     if want("tile_rollup"):
@@ -135,8 +140,10 @@ def main() -> None:
         stage("ngq_skew:cand_L32_noop", lambda: noop(c))
         c161 = candidate_topL(spark, geo_skew, qpts, 161, res, stats=stats)
         stage("ngq_skew:cand_L161_noop", lambda: noop(c161))
+        from mbrngq_spark.operators.ngq import _nearest_group_once
+        save_explain("ngq_skew", _nearest_group_once(
+            spark, geo_skew, qpts, 10, 161, res, DEFAULT_CFG, stats))
         out = nearest_group(spark, geo_skew, qpts, k=10, L=32)
-        save_explain("ngq_skew", out)
         stage("ngq_skew:full", lambda: out.count())
         geo_skew.unpersist()
 
@@ -156,18 +163,44 @@ def main() -> None:
         cands_p.count()
         verify = dedup.jaccard_pairs(d, cands_p).filter(F.col("jaccard") >= 0.7)
         stage("dedup:jaccard_verify", lambda: verify.count())
+        # near_duplicates_minhash is eager; the meaningful plan is the
+        # full verify DAG before the pinning checkpoint
+        save_explain("dedup_minhash",
+                     dedup.jaccard_pairs(d, cands_p).filter(
+                         F.col("jaccard") >= 0.7))
         sigs_p.unpersist()
         cands_p.unpersist()
         out = dedup.near_duplicates_minhash(tdocs, threshold=0.7)
-        save_explain("dedup_minhash", out)
         stage("dedup_minhash:full", lambda: out.count())
 
     if want("simhash"):
         sk = tdocs.select(F.col("doc_id").alias("id"),
                           dedup.simhash_col(F.col("text")).alias("sh"))
         stage("simhash:sketch_noop", lambda: noop(sk))
+        # _simhash_pairs is eager; capture the banded-join DAG shape
+        bounds = dedup.simhash_chunk_bounds(3)
+        chunks = F.array(*[
+            F.shiftrightunsigned(F.col("sh"), bounds[c]).bitwiseAND(
+                F.lit((1 << (bounds[c + 1] - bounds[c])) - 1))
+            for c in range(len(bounds) - 1)])
+        bucketed = sk.select("id", "sh",
+                             F.posexplode(chunks).alias("ci", "ck"))
+        ok = (bucketed.groupBy("ci", "ck").count()
+              .filter(F.col("count") <= 1000).select("ci", "ck"))
+        keyed = bucketed.join(F.broadcast(ok), ["ci", "ck"])
+        other = keyed.select(F.col("id").alias("id_b"),
+                             F.col("sh").alias("sh_b"), "ci", "ck")
+        pairs_plan = (keyed.join(other, ["ci", "ck"])
+                      .filter(F.col("id") < F.col("id_b"))
+                      .select(F.col("id").alias("id_a"), "id_b",
+                              F.col("sh").alias("sh_a"), "sh_b")
+                      .distinct()
+                      .withColumn("hamming", F.bit_count(
+                          F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+                      .filter(F.col("hamming") <= 3)
+                      .select("id_a", "id_b", "hamming"))
+        save_explain("simhash", pairs_plan)
         out = dedup.simhash_near_dups(tdocs, max_hamming=3)
-        save_explain("simhash", out)
         stage("simhash:full", lambda: out.count())
 
     if want("text_features"):
