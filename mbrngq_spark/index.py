@@ -99,7 +99,11 @@ def build_index(docs_geo: DataFrame, layout: IndexLayout = IndexLayout(),
                                       .cast("int"))
                                .otherwise(F.lit(0))))
     else:
+        # match the hot branch's column order (join key first) so the
+        # output schema is identical whichever branch ran
+        rest = [c for c in indexed.columns if c != "cell"]
         indexed = (indexed
+                   .select("cell", *rest)
                    .withColumn("is_hot", F.lit(False))
                    .withColumn("cell_fine", F.col("cell"))
                    .withColumn("salt", F.lit(0).cast("int")))
