@@ -8,6 +8,7 @@ Mirrors the reference's global query/space parameters
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -72,9 +73,6 @@ def refine_partitions(spark: SparkSession) -> int:
     vs 2.05 s at 64 for a 200-group refine on local[32]). Scale-adaptive:
     defaultParallelism is the cluster's total core count in production."""
     return spark.sparkContext.defaultParallelism
-
-
-from contextlib import contextmanager
 
 
 @contextmanager
