@@ -147,13 +147,19 @@ def lsh_candidate_pairs(sigs: DataFrame, num_hashes: int = 16, bands: int = 4,
         for b in range(bands)])
     # ONE pass over the signatures: explode bands → (band, bucket) keys →
     # one degenerate-bucket filter → one self-join (instead of a per-band
-    # loop of join pipelines — bands× fewer shuffles and jobs)
+    # loop of join pipelines — bands× fewer shuffles and jobs).
+    # The degenerate filter broadcasts the OVERFULL bucket keys (≤
+    # rows/max_bucket of them by construction — kB-scale at any corpus
+    # size) and anti-joins, instead of broadcasting the OK keys, whose
+    # count grows with the corpus and would breach the broadcast cap at
+    # scale. Identical kept rows.
     bucketed = sigs.select(F.col(id_col).alias("id"),
                            F.posexplode(band_hashes).alias("band", "bucket"))
-    ok = (bucketed.groupBy("band", "bucket").count()
-          .filter(F.col("count") <= max_bucket)
-          .select("band", "bucket"))
-    bucketed = bucketed.join(F.broadcast(ok), ["band", "bucket"])
+    overfull = (bucketed.groupBy("band", "bucket").count()
+                .filter(F.col("count") > max_bucket)
+                .select("band", "bucket"))
+    bucketed = bucketed.join(F.broadcast(overfull), ["band", "bucket"],
+                             "left_anti")
     other = bucketed.select(F.col("id").alias("id_b"), "band", "bucket")
     return (bucketed.join(other, ["band", "bucket"])
             .filter(F.col("id") < F.col("id_b"))
@@ -416,10 +422,14 @@ def _simhash_pairs(sk: DataFrame, max_hamming: int,
     bucketed = sk.select("id", "sh",
                          F.posexplode(chunks).alias("ci", "ck")).persist()
     try:
-        ok = (bucketed.groupBy("ci", "ck").count()
-              .filter(F.col("count") <= max_bucket)
-              .select("ci", "ck"))
-        keyed = bucketed.join(F.broadcast(ok), ["ci", "ck"])
+        # broadcast the OVERFULL keys (≤ rows/max_bucket — kB at any
+        # scale) and anti-join; broadcasting the OK keys would grow with
+        # the corpus (see lsh_candidate_pairs)
+        overfull = (bucketed.groupBy("ci", "ck").count()
+                    .filter(F.col("count") > max_bucket)
+                    .select("ci", "ck"))
+        keyed = bucketed.join(F.broadcast(overfull), ["ci", "ck"],
+                              "left_anti")
         other = keyed.select(F.col("id").alias("id_b"),
                              F.col("sh").alias("sh_b"), "ci", "ck")
         pairs = (keyed.join(other, ["ci", "ck"])
