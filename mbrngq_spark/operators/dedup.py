@@ -66,7 +66,16 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 
 def shingles_col(text: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles, built JVM-side."""
+    """Distinct word n-gram shingles, built JVM-side.
+
+    NOTE (round 7): binding the token array to a lambda variable before
+    the per-shingle loop avoids re-evaluating the split per ELEMENT and
+    measured 2.7× faster on a 50 k-doc verify corpus — but the deeper
+    HOF nesting inside a pandas-UDF argument intermittently broke
+    Spark's Python-UDF extraction ([INTERNAL_ERROR] Cannot evaluate
+    PythonUDF in an interpreted projection) in multi-gate sessions, so
+    the flat form is kept; see OPTIMIZATION_r07.md "Not yet
+    optimized"."""
     toks = F.split(text, " ")
     k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     sh = F.transform(F.sequence(F.lit(1), k),
@@ -219,6 +228,26 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
     - 'docs': shingles are built once per doc BEFORE the join — O(docs)
       builds, reused across pairs. Right for dense pair sets (all-pairs
       verification), where pairs ≫ docs."""
+    def jaccard_expr(sh_a: Column, sh_b: Column,
+                     n_a: Column | None = None,
+                     n_b: Column | None = None) -> Column:
+        # ONE nested higher-order expression: the shingle arrays and the
+        # intersection size are bound to lambda variables so each is
+        # evaluated exactly once per row — written as separate derived
+        # columns, Catalyst's CollapseProject duplicated array_intersect
+        # (2×) and the shingle split chain (4×) per pair row, the
+        # dominant cost of a dup-heavy verify stage (see CLAUDE.md)
+        pair = F.array(F.struct(sh_a.alias("a"), sh_b.alias("b")))
+
+        def with_pair(s):
+            na = F.size(s["a"]) if n_a is None else n_a
+            nb = F.size(s["b"]) if n_b is None else n_b
+            return F.transform(
+                F.array(F.size(F.array_intersect(s["a"], s["b"]))),
+                lambda i: i.cast("double") / (na + nb - i).cast("double"))[0]
+
+        return F.transform(pair, with_pair)[0]
+
     if shingle_side == "docs":
         sh = docs.select(F.col(id_col).alias("id"),
                          shingles_col(F.col(text_col)).alias("sh")) \
@@ -230,8 +259,8 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
                   .join(sh.select(F.col("id").alias("id_b"),
                                   F.col("sh").alias("sh_b"),
                                   F.col("n_sh").alias("n_b")), "id_b"))
-        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-        union = F.col("n_a") + F.col("n_b") - inter
+        jac = jaccard_expr(F.col("sh_a"), F.col("sh_b"),
+                           F.col("n_a"), F.col("n_b"))
     else:
         texts = docs.select(F.col(id_col).alias("id"),
                             F.col(text_col).alias("t"))
@@ -239,13 +268,11 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
                   .join(texts.select(F.col("id").alias("id_a"),
                                      F.col("t").alias("t_a")), "id_a")
                   .join(texts.select(F.col("id").alias("id_b"),
-                                     F.col("t").alias("t_b")), "id_b")
-                  .withColumn("sh_a", shingles_col(F.col("t_a")))
-                  .withColumn("sh_b", shingles_col(F.col("t_b"))))
-        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-        union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+                                     F.col("t").alias("t_b")), "id_b"))
+        jac = jaccard_expr(shingles_col(F.col("t_a")),
+                           shingles_col(F.col("t_b")))
     return (joined
-            .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+            .withColumn("jaccard", jac)
             .select("id_a", "id_b", "jaccard"))
 
 
